@@ -1,0 +1,377 @@
+"""Strict pydantic configuration schemas.
+
+Mirrors the reference's config layer behavior (reference
+``shrimpy/dynatrack/tracking.py:45-234``, ``config/mda/mantis/
+dynatrack_demo.yaml``):
+
+* every model rejects unknown keys (``extra="forbid"``) so a mistyped
+  setting fails fast;
+* the XY pixel size and Z step are *not* config fields — they are
+  derived from the dataset/acquisition metadata and injected at runtime
+  by :func:`inject_derived_parameters` (single source of truth, no
+  config drift; reference ``manager.py:242-262`` and the NOTE block in
+  ``dynatrack_demo.yaml``);
+* the deskew/phase sub-configs are validated against *our own* first-
+  party schemas (the reference defers to external biahub/waveorder
+  schemas — we own the whole stack, so validation is eager and local).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Literal
+
+import yaml
+from pydantic import BaseModel, ConfigDict, Field, model_validator
+
+# ---------------------------------------------------------------------------
+# Kernel settings (replace biahub.settings.DeskewSettings / waveorder
+# phase settings with first-party equivalents)
+# ---------------------------------------------------------------------------
+
+
+class DeskewSettings(BaseModel):
+    """Oblique-plane light-sheet deskew geometry.
+
+    Raw volumes are indexed ``(scan, tilt, coverslip)`` = (Z, Y, X) of
+    the acquisition. The light sheet is inclined at ``ls_angle_deg`` to
+    the coverslip and the stage scans along the coverslip, so raw pixel
+    ``(s, t, x)`` sits at lab coordinates (in units of the camera pixel
+    size)::
+
+        z_lab = t * sin(theta)
+        y_lab = s / px_to_scan_ratio + t * cos(theta)
+        x_lab = x
+
+    Matches the parameter surface of the reference's deskew config
+    (reference ``dynatrack_demo.yaml`` deskew block and
+    ``preprocessing.py:277-294``): ``ls_angle_deg``,
+    ``px_to_scan_ratio`` (or ``pixel_size_um`` + ``scan_step_um``),
+    ``keep_overhang``, ``average_n_slices``.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    ls_angle_deg: float = 30.0
+    px_to_scan_ratio: float | None = None
+    pixel_size_um: float | None = None
+    scan_step_um: float | None = None
+    keep_overhang: bool = False
+    average_n_slices: int = 1
+
+    @model_validator(mode="after")
+    def _derive_ratio(self) -> "DeskewSettings":
+        if self.px_to_scan_ratio is None:
+            if self.pixel_size_um is not None and self.scan_step_um is not None:
+                self.px_to_scan_ratio = round(self.pixel_size_um / self.scan_step_um, 3)
+        if self.average_n_slices < 1:
+            raise ValueError("average_n_slices must be >= 1")
+        if not (0.0 < self.ls_angle_deg < 90.0):
+            raise ValueError("ls_angle_deg must be in (0, 90)")
+        return self
+
+    def require_ratio(self) -> float:
+        if self.px_to_scan_ratio is None:
+            raise ValueError(
+                "px_to_scan_ratio is not set; provide it directly or via "
+                "pixel_size_um + scan_step_um (normally injected from "
+                "dataset metadata — see inject_derived_parameters)"
+            )
+        return self.px_to_scan_ratio
+
+
+class PhaseTransferFunctionSettings(BaseModel):
+    """Parameters of the 3-D weak-object phase transfer function.
+
+    Parameter surface mirrors the reference's waveorder config
+    (reference ``dynatrack_demo.yaml`` phase.transfer_function block):
+    illumination wavelength, refractive index of the medium, detection /
+    illumination NA, z padding, contrast inversion. ``yx_pixel_size``
+    and ``z_pixel_size`` are injected at runtime (see module docstring).
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    wavelength_illumination: float = 0.450  # um
+    index_of_refraction_media: float = 1.4
+    numerical_aperture_detection: float = 1.35
+    numerical_aperture_illumination: float = 0.52
+    z_padding: int = 5
+    invert_phase_contrast: bool = False
+    yx_pixel_size: float | None = None  # um, injected
+    z_pixel_size: float | None = None  # um, injected
+
+    @model_validator(mode="after")
+    def _check(self) -> "PhaseTransferFunctionSettings":
+        if self.numerical_aperture_detection > self.index_of_refraction_media:
+            raise ValueError("detection NA cannot exceed the medium index")
+        if self.z_padding < 0:
+            raise ValueError("z_padding must be >= 0")
+        return self
+
+
+class PhaseApplyInverseSettings(BaseModel):
+    """Inverse (reconstruction) parameters for phase retrieval."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    reconstruction_algorithm: Literal["Tikhonov"] = "Tikhonov"
+    regularization_strength: float = 0.01
+
+
+class PhaseSettings(BaseModel):
+    """3-D phase reconstruction settings (transfer function + inverse)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    transfer_function: PhaseTransferFunctionSettings = Field(
+        default_factory=PhaseTransferFunctionSettings
+    )
+    apply_inverse: PhaseApplyInverseSettings = Field(
+        default_factory=PhaseApplyInverseSettings
+    )
+
+
+class DeconvolveSettings(BaseModel):
+    """Richardson-Lucy deconvolution settings.
+
+    ``iterations=20`` matches the driver benchmark config
+    (BASELINE.json configs[1]).
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    iterations: int = 20
+    psf_path: str | None = None  # OME-Zarr or .npy PSF volume
+    epsilon: float = 1e-6  # ratio-guard floor
+    pad_mode: Literal["reflect", "edge", "constant"] = "reflect"
+
+    @model_validator(mode="after")
+    def _check(self) -> "DeconvolveSettings":
+        if self.iterations < 1:
+            raise ValueError("iterations must be >= 1")
+        return self
+
+
+class RegistrationSettings(BaseModel):
+    """Cross-modality (label-free <-> fluorescence) registration.
+
+    Estimate = phase cross-correlation for the translation seed, then
+    optional differentiable affine refinement by gradient descent on a
+    similarity loss (the JAX-native upgrade of the reference's fixed
+    3x3 ``image_to_stage_matrix_xyz``, reference ``tracking.py:1172-1181``).
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    method: Literal["pcc", "pcc+refine"] = "pcc+refine"
+    maximum_shift: float = 1.0
+    refine_iterations: int = 100
+    learning_rate: float = 0.05
+    loss: Literal["mse", "ncc"] = "ncc"
+    downsample_yx: int = 1  # refine on a downsampled grid for speed
+
+
+# ---------------------------------------------------------------------------
+# Tracking settings (DynaTrack parity; reference tracking.py:45-234)
+# ---------------------------------------------------------------------------
+
+
+class ShiftSettings(BaseModel):
+    """Shift search range, per-axis bounds, and dampening.
+
+    Same semantics as the reference (``tracking.py:45-67``): ``maximum``
+    scales the FFT padding of the PCC search; ``limits`` maps axis name
+    ("z"/"y"/"x") to (min, max) microns — below min the shift is zeroed
+    (deadband), above max it is clipped preserving sign; ``dampening``
+    multiplies the (z, y, x) shift.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    maximum: float = 1.0
+    limits: dict[str, tuple[float, float]] | None = None
+    dampening: tuple[float, float, float] | None = None
+
+
+class SegmentationSettings(BaseModel):
+    """Parameters for the ``multiotsu_*`` methods (reference ``tracking.py:69-84``)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    otsu_sigma: float = 5.0
+    otsu_component: int = 0
+
+
+class RoiCenterSettings(BaseModel):
+    """Parameters for referenceless ROI-centre methods (reference ``tracking.py:86-113``)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    blob_sigma: float = 10.0
+    background_percentile: float | None = None
+    blur_sigma: float = 0.0
+
+
+TRACKING_METHODS = (
+    "pcc",
+    "intensity_center_of_mass",
+    "roi_center_pcc",
+    "multiotsu_center_of_mass",
+    "multiotsu_pcc",
+)
+
+# Methods whose target is the ROI centre rather than a stored reference
+# stack (reference tracking.py:237-240).
+ROI_CENTER_METHODS = frozenset({"intensity_center_of_mass", "roi_center_pcc"})
+
+
+class DynaTrackConfig(BaseModel):
+    """DynaTrack position-tracking configuration.
+
+    Field-for-field parity with the reference's ``DynaTrackConfig``
+    (``tracking.py:115-234``), with the nested deskew/phase configs
+    validated eagerly against our first-party schemas instead of
+    lazily against external biahub/waveorder ones.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    enabled: bool = True
+    input_channel: str
+    z_device: str | None = None
+    shift: ShiftSettings = Field(default_factory=ShiftSettings)
+    tracking_interval: int = 1
+    tracking_method: str = "pcc"
+    segmentation: SegmentationSettings = Field(default_factory=SegmentationSettings)
+    roi_center: RoiCenterSettings = Field(default_factory=RoiCenterSettings)
+    reference_update_interval: int = 0
+    tracking_channel: str
+    preprocessing: list[str] | None = None
+    deskew: dict[str, Any] | None = None
+    phase: dict[str, Any] | None = None
+    virtual_staining: dict[str, Any] | None = None
+    image_to_stage_matrix_xyz: list[list[float]] | None = None
+    shift_log_path: str | Path | None = None
+    debug: bool = False
+
+    @model_validator(mode="after")
+    def _check(self) -> "DynaTrackConfig":
+        if self.tracking_method not in TRACKING_METHODS:
+            raise ValueError(
+                f"Unknown tracking_method={self.tracking_method!r}; "
+                f"use one of {TRACKING_METHODS}"
+            )
+        # Reserved channel names rejected, as in the reference
+        # (tracking.py:180-190).
+        if self.tracking_channel in ("phase", "deskewed") or self.tracking_channel.startswith(
+            "vs_"
+        ):
+            raise ValueError(
+                f"tracking_channel={self.tracking_channel!r} is reserved; name the "
+                "input channel or a virtual_staining target channel"
+            )
+        if self.preprocessing:
+            allowed = {"deskew", "phase", "vs"}
+            unknown = set(self.preprocessing) - allowed
+            if unknown:
+                raise ValueError(f"Unknown preprocessing steps: {sorted(unknown)}")
+            if "vs" in self.preprocessing and "phase" not in self.preprocessing:
+                raise ValueError("'vs' preprocessing requires 'phase' first")
+        # Eagerly validate nested kernel configs.
+        if self.deskew is not None:
+            DeskewSettings(**self.deskew)
+        if self.phase is not None:
+            PhaseSettings(**self.phase)
+        return self
+
+    @property
+    def referenceless(self) -> bool:
+        return self.tracking_method in ROI_CENTER_METHODS
+
+    def deskew_settings(self) -> DeskewSettings | None:
+        return DeskewSettings(**self.deskew) if self.deskew is not None else None
+
+    def phase_settings(self) -> PhaseSettings | None:
+        return PhaseSettings(**self.phase) if self.phase is not None else None
+
+
+# ---------------------------------------------------------------------------
+# Top-level reconstruction settings (CLI surface)
+# ---------------------------------------------------------------------------
+
+
+class ReconstructSettings(BaseModel):
+    """Settings for the ``reconstruct`` verb: which stages to run.
+
+    The TPU-side fused pipeline applies the enabled stages per
+    (position, timepoint, channel) volume: deskew -> phase -> register
+    -> deconvolve.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    deskew: DeskewSettings | None = None
+    phase: PhaseSettings | None = None
+    registration: RegistrationSettings | None = None
+    deconvolve: DeconvolveSettings | None = None
+    channels: list[str] | None = None  # None = all
+    positions: list[str] | None = None  # None = all
+    time_indices: list[int] | None = None  # None = all
+    output_dtype: Literal["float32", "uint16"] = "float32"
+
+
+# ---------------------------------------------------------------------------
+# Derived-parameter injection + YAML loading
+# ---------------------------------------------------------------------------
+
+
+def inject_derived_parameters(
+    config: DynaTrackConfig | ReconstructSettings,
+    *,
+    pixel_size_um: float,
+    z_step_um: float,
+) -> None:
+    """Inject the runtime-derived pixel size / z step into sub-configs.
+
+    The single-source-of-truth rule from the reference
+    (``manager.py:242-262``): the dataset/acquisition metadata supplies
+    ``pixel_size_um`` and ``z_step_um``; they are pushed into the deskew
+    (``pixel_size_um``/``scan_step_um``) and phase
+    (``yx_pixel_size``/``z_pixel_size``) blocks rather than duplicated
+    in config files.
+    """
+    if isinstance(config, DynaTrackConfig):
+        if config.deskew is not None:
+            config.deskew.setdefault("pixel_size_um", pixel_size_um)
+            config.deskew.setdefault("scan_step_um", z_step_um)
+            DeskewSettings(**config.deskew)  # re-validate
+        if config.phase is not None:
+            tf = config.phase.setdefault("transfer_function", {})
+            tf.setdefault("yx_pixel_size", pixel_size_um)
+            tf.setdefault("z_pixel_size", z_step_um)
+            PhaseSettings(**config.phase)
+        return
+
+    if config.deskew is not None:
+        if config.deskew.pixel_size_um is None:
+            config.deskew.pixel_size_um = pixel_size_um
+        if config.deskew.scan_step_um is None:
+            config.deskew.scan_step_um = z_step_um
+        if config.deskew.px_to_scan_ratio is None:
+            config.deskew.px_to_scan_ratio = round(
+                config.deskew.pixel_size_um / config.deskew.scan_step_um, 3
+            )
+    if config.phase is not None:
+        tf = config.phase.transfer_function
+        if tf.yx_pixel_size is None:
+            tf.yx_pixel_size = pixel_size_um
+        if tf.z_pixel_size is None:
+            tf.z_pixel_size = z_step_um
+
+
+def load_yaml_config(path: str | Path, model: type[BaseModel]) -> BaseModel:
+    """Load and validate a YAML file against a pydantic model."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return model(**raw)
