@@ -33,8 +33,14 @@ from shrimpy_tpu.utils.fft import fast_fft_shape, match_shape
 
 @partial(jax.jit, static_argnames=("fft_shape", "subpixel"))
 def _pcc_jit(ref, mov, fft_shape: tuple[int, ...], subpixel: bool):
-    ref = match_shape(ref.astype(jnp.float32), fft_shape)
-    mov = match_shape(mov.astype(jnp.float32), fft_shape)
+    # Mean-subtract, then zero-pad (or center-crop) to the FFT grid.
+    # Zero padding keeps the enlarged-search correlation linear — reflect
+    # padding would plant mirror copies of the scene that create spurious
+    # correlation peaks when maximum_shift > 1.
+    ref = ref.astype(jnp.float32)
+    mov = mov.astype(jnp.float32)
+    ref = match_shape(ref - jnp.mean(ref), fft_shape, mode="constant")
+    mov = match_shape(mov - jnp.mean(mov), fft_shape, mode="constant")
 
     f_ref = jnp.fft.rfftn(ref)
     f_mov = jnp.fft.rfftn(mov)

@@ -1,0 +1,267 @@
+"""Cross-modality affine registration: PCC seed + differentiable refinement.
+
+The reference registers label-free <-> fluorescence volumes with a fixed
+3x3 ``image_to_stage_matrix_xyz`` plus PCC translation estimates
+(reference ``shrimpy/dynatrack/tracking.py:1172-1198``); heavy offline
+registration is delegated to biahub (``README.md:126-128``). Here the
+estimate itself is first-party and differentiable — the JAX-native
+upgrade: seed the translation with phase cross-correlation, then refine
+a full affine transform by gradient descent (optax Adam) on a
+similarity loss, with the warp expressed as an XLA one-shot gather
+(trilinear ``map_coordinates``-style resample) so the whole refinement
+loop is one compiled ``lax.scan`` (BASELINE.json configs[2]).
+
+Conventions
+-----------
+``matrix`` (3x3) and ``offset`` (3,) map **output** (fixed-frame) voxel
+coordinates to **input** (moving-frame) voxel coordinates, ZYX order —
+the same inverse-map convention as ``scipy.ndimage.affine_transform``
+and :mod:`shrimpy_tpu.ops.deskew`, so the scipy oracle applies directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from shrimpy_tpu.config.schemas import RegistrationSettings
+from shrimpy_tpu.ops.pcc import phase_cross_correlation
+
+
+# ---------------------------------------------------------------------------
+# Affine apply (trilinear resample)
+# ---------------------------------------------------------------------------
+
+
+def _trilinear_sample(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``vol`` at fractional ZYX ``coords`` (3, ...), zero outside.
+
+    Straight trilinear interpolation with out-of-range corners weighted
+    to zero — matches scipy's order=1 'grid-constant' boundary.
+    """
+    shape = vol.shape
+    floors = jnp.floor(coords)
+    fracs = coords - floors
+    base = floors.astype(jnp.int32)
+
+    out = jnp.zeros(coords.shape[1:], dtype=vol.dtype)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                idx = base + jnp.array([dz, dy, dx], dtype=jnp.int32).reshape(
+                    3, *([1] * (coords.ndim - 1))
+                )
+                w = (
+                    jnp.where(dz, fracs[0], 1.0 - fracs[0])
+                    * jnp.where(dy, fracs[1], 1.0 - fracs[1])
+                    * jnp.where(dx, fracs[2], 1.0 - fracs[2])
+                )
+                valid = (
+                    (idx[0] >= 0)
+                    & (idx[0] < shape[0])
+                    & (idx[1] >= 0)
+                    & (idx[1] < shape[1])
+                    & (idx[2] >= 0)
+                    & (idx[2] < shape[2])
+                )
+                clipped = [
+                    jnp.clip(idx[a], 0, shape[a] - 1) for a in range(3)
+                ]
+                vals = vol[clipped[0], clipped[1], clipped[2]]
+                out = out + jnp.where(valid, w, 0.0) * vals
+    return out
+
+
+@partial(jax.jit, static_argnames=("output_shape",))
+def _affine_apply_jit(vol, matrix, offset, output_shape: tuple[int, int, int]):
+    vol = vol.astype(jnp.float32)
+    zz, yy, xx = jnp.meshgrid(
+        jnp.arange(output_shape[0], dtype=jnp.float32),
+        jnp.arange(output_shape[1], dtype=jnp.float32),
+        jnp.arange(output_shape[2], dtype=jnp.float32),
+        indexing="ij",
+    )
+    out_coords = jnp.stack([zz, yy, xx])  # (3, Z, Y, X)
+    in_coords = (
+        jnp.einsum("ij,j...->i...", matrix.astype(jnp.float32), out_coords)
+        + offset.astype(jnp.float32).reshape(3, 1, 1, 1)
+    )
+    return _trilinear_sample(vol, in_coords)
+
+
+def affine_apply(
+    vol,
+    matrix,
+    offset=(0.0, 0.0, 0.0),
+    output_shape: tuple[int, int, int] | None = None,
+) -> jnp.ndarray:
+    """Warp ``vol`` by the inverse map ``in = matrix @ out + offset`` (ZYX).
+
+    Oracle: ``scipy.ndimage.affine_transform(vol, matrix, offset,
+    output_shape, order=1, mode='grid-constant')``.
+    """
+    vol = jnp.asarray(vol)
+    output_shape = tuple(output_shape or vol.shape)
+    return _affine_apply_jit(
+        vol, jnp.asarray(matrix), jnp.asarray(offset, dtype=jnp.float32), output_shape
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity losses
+# ---------------------------------------------------------------------------
+
+
+def mse_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((a - b) ** 2)
+
+
+def ncc_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """1 - normalized cross-correlation (robust to intensity scaling —
+    the point for cross-modality label-free vs fluorescence data)."""
+    a = a - jnp.mean(a)
+    b = b - jnp.mean(b)
+    denom = jnp.sqrt(jnp.sum(a**2) * jnp.sum(b**2)) + 1e-8
+    return 1.0 - jnp.sum(a * b) / denom
+
+
+# ---------------------------------------------------------------------------
+# Estimate: PCC seed + differentiable refinement
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RegistrationResult:
+    matrix: np.ndarray  # (3, 3) ZYX inverse map
+    offset: np.ndarray  # (3,)
+    translation_seed: np.ndarray  # (3,) PCC estimate
+    final_loss: float
+
+
+@partial(
+    jax.jit,
+    static_argnames=("iterations", "loss_name", "learning_rate", "down"),
+)
+def _refine_jit(
+    fixed,
+    moving,
+    offset0,
+    iterations: int,
+    loss_name: str,
+    learning_rate: float,
+    down: int,
+):
+    fixed = fixed.astype(jnp.float32)
+    moving = moving.astype(jnp.float32)
+    if down > 1:
+        fixed_s = fixed[:, ::down, ::down]
+    else:
+        fixed_s = fixed
+    out_shape = fixed_s.shape
+    loss_fn = ncc_loss if loss_name == "ncc" else mse_loss
+
+    # Parameterize the inverse map as identity + delta; the downsampled
+    # grid maps back to full-res moving coordinates via the scale matrix.
+    scale = jnp.diag(jnp.array([1.0, float(down), float(down)], jnp.float32))
+
+    def objective(params):
+        matrix = scale + params["dm"]
+        offset = params["off"]
+        warped = _affine_apply_jit(moving, matrix, offset, out_shape)
+        return loss_fn(warped, fixed_s)
+
+    params0 = {
+        "dm": jnp.zeros((3, 3), jnp.float32),
+        "off": offset0.astype(jnp.float32),
+    }
+    opt = optax.adam(learning_rate)
+    opt_state0 = opt.init(params0)
+
+    def step(carry, _):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(objective)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    (params, _), losses = jax.lax.scan(
+        step, (params0, opt_state0), None, length=iterations
+    )
+    matrix = scale + params["dm"]
+    # Rescale to a full-resolution inverse map: out coords at full res are
+    # (z, y, x) = (z_s, down*y_s, down*x_s) -> divide the y/x columns.
+    col_scale = jnp.array([1.0, 1.0 / down, 1.0 / down], jnp.float32)
+    matrix_full = matrix * col_scale[None, :]
+    return matrix_full, params["off"], losses[-1]
+
+
+def estimate_registration(
+    fixed,
+    moving,
+    settings: RegistrationSettings | None = None,
+) -> RegistrationResult:
+    """Estimate the affine map aligning ``moving`` onto ``fixed`` (ZYX).
+
+    ``pcc``: translation only. ``pcc+refine``: PCC translation seed, then
+    full-affine gradient refinement on the configured similarity loss.
+    The returned (matrix, offset) feed :func:`affine_apply`:
+    ``affine_apply(moving, matrix, offset)`` ~ ``fixed``.
+    """
+    settings = settings or RegistrationSettings()
+    fixed = jnp.asarray(fixed)
+    moving = jnp.asarray(moving)
+    assert fixed.ndim == moving.ndim == 3
+
+    shift = phase_cross_correlation(
+        fixed, moving, maximum_shift=settings.maximum_shift, upsample="parabolic"
+    )
+    # PCC: positive shift = moving displaced positively relative to fixed,
+    # so the inverse map offset is +shift... the moving-frame coordinate of
+    # fixed voxel u is u + shift.
+    offset0 = jnp.asarray(shift, dtype=jnp.float32)
+
+    if settings.method == "pcc":
+        return RegistrationResult(
+            matrix=np.eye(3, dtype=np.float32),
+            offset=np.asarray(offset0),
+            translation_seed=np.asarray(shift),
+            final_loss=float("nan"),
+        )
+
+    matrix, offset, final_loss = _refine_jit(
+        fixed,
+        moving,
+        offset0,
+        settings.refine_iterations,
+        settings.loss,
+        settings.learning_rate,
+        settings.downsample_yx,
+    )
+    return RegistrationResult(
+        matrix=np.asarray(matrix),
+        offset=np.asarray(offset),
+        translation_seed=np.asarray(shift),
+        final_loss=float(final_loss),
+    )
+
+
+def affine_apply_reference_scipy(
+    vol: np.ndarray, matrix: np.ndarray, offset: np.ndarray, output_shape=None
+) -> np.ndarray:
+    """Trusted CPU oracle for :func:`affine_apply`."""
+    from scipy import ndimage
+
+    return ndimage.affine_transform(
+        np.asarray(vol, dtype=np.float64),
+        np.asarray(matrix, dtype=np.float64),
+        offset=np.asarray(offset, dtype=np.float64),
+        output_shape=output_shape or vol.shape,
+        order=1,
+        mode="grid-constant",
+        cval=0.0,
+    ).astype(np.float32)

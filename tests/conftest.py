@@ -1,24 +1,23 @@
 """Test bootstrap: run everything on a virtual 8-device CPU mesh.
 
 Mirrors the reference's conftest trick of pinning the runtime before
-heavy imports (``tests/conftest.py:10-17`` pins OMP_NUM_THREADS): here
-we pin JAX to the CPU platform with 8 virtual devices *before* jax is
-imported anywhere, so multi-chip sharding paths are exercised without
-TPU hardware.
+heavy imports (``tests/conftest.py:10-17`` pins OMP_NUM_THREADS). In
+this environment jax may already be imported (and defaulted to the
+tunneled TPU platform) before conftest runs, so env vars are too late —
+``jax.config.update`` still works until the first backend call, and
+pins every test to a virtual 8-device CPU mesh: multi-chip sharding
+paths are exercised without TPU hardware, and the test suite never
+contends for the single tunneled TPU chip.
 """
 
 import os
 
-# Force (not setdefault: the shell may preset JAX_PLATFORMS to the TPU
-# platform) CPU with 8 virtual devices for every test run.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-# Keep CPU feature autotuning quiet and runs deterministic.
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any spawned subprocesses
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,71 @@
+"""Richardson-Lucy: fp64-oracle parity + actual deconvolution power.
+
+Modeled on the reference's pure-math kernel tier (SURVEY.md §4 tier 1):
+the XLA path must match the trusted fp64 numpy oracle (BASELINE.json
+parity budget, relative max abs err <= 1e-3), and RL must demonstrably
+sharpen a blurred scene toward the ground truth.
+"""
+
+import numpy as np
+import pytest
+from scipy.signal import fftconvolve
+
+from shrimpy_tpu.config import DeconvolveSettings
+from shrimpy_tpu.io.synthetic import gaussian_blob
+from shrimpy_tpu.ops.deconv import (
+    gaussian_psf,
+    richardson_lucy,
+    richardson_lucy_reference,
+)
+
+
+def _blurred_scene(rng, shape=(24, 48, 48), sigma=(1.5, 2.5, 2.5)):
+    truth = gaussian_blob(shape, (12.0, 20.0, 30.0), (1.0, 1.5, 1.5), amplitude=500.0)
+    truth += gaussian_blob(shape, (10.0, 34.0, 14.0), (1.2, 2.0, 2.0), amplitude=300.0)
+    psf = gaussian_psf((9, 15, 15), sigma)
+    blurred = fftconvolve(truth, psf, mode="same").astype(np.float32)
+    blurred += rng.normal(0.0, 0.2, size=shape).astype(np.float32)
+    blurred = np.clip(blurred, 0.0, None)
+    return truth, psf, blurred
+
+
+def test_rl_matches_fp64_oracle(rng):
+    truth, psf, blurred = _blurred_scene(rng)
+    ours = np.asarray(richardson_lucy(blurred, psf, iterations=10))
+    oracle = richardson_lucy_reference(blurred, psf, iterations=10)
+    scale = np.abs(oracle).max()
+    err = np.abs(ours - oracle).max() / max(scale, 1e-12)
+    assert err <= 1e-3, f"relative max abs err {err:.2e}"
+
+
+def test_rl_sharpens_toward_truth(rng):
+    truth, psf, blurred = _blurred_scene(rng)
+    deconv = np.asarray(richardson_lucy(blurred, psf, iterations=20))
+    mse_before = float(np.mean((blurred - truth) ** 2))
+    mse_after = float(np.mean((deconv - truth) ** 2))
+    assert mse_after < 0.5 * mse_before, (mse_before, mse_after)
+    # The restored peak must be sharper (higher max) than the blurred one.
+    assert deconv.max() > 1.5 * blurred.max()
+
+
+def test_rl_preserves_nonnegativity_and_flux(rng):
+    truth, psf, blurred = _blurred_scene(rng)
+    deconv = np.asarray(richardson_lucy(blurred, psf, iterations=20))
+    assert np.all(deconv >= 0.0)
+    # RL conserves total flux up to boundary effects.
+    assert deconv.sum() == pytest.approx(blurred.sum(), rel=0.05)
+
+
+def test_rl_identity_psf_is_noop(rng):
+    vol = rng.random((8, 32, 32), dtype=np.float32) + 0.1
+    psf = np.zeros((3, 3, 3), dtype=np.float32)
+    psf[1, 1, 1] = 1.0
+    out = np.asarray(richardson_lucy(vol, psf, iterations=5))
+    np.testing.assert_allclose(out, vol, rtol=1e-4, atol=1e-4)
+
+
+def test_settings_validation():
+    with pytest.raises(ValueError):
+        DeconvolveSettings(iterations=0)
+    with pytest.raises(ValueError):
+        DeconvolveSettings(unknown_key=1)

@@ -61,8 +61,10 @@ def test_pcc_mismatched_shapes_pad_crop():
 
 
 def test_pcc_maximum_shift_pads_fft():
-    rng = np.random.default_rng(8)
-    ref = rng.random((20, 20), dtype=np.float32)
-    mov = _roll(ref, (2, 2))
+    """maximum_shift > 1 widens the FFT search grid and still recovers a
+    genuine (non-wrapped) translation of a compact object."""
+    shape = (40, 40)
+    ref = gaussian_blob((1, *shape), (0.0, 20.0, 20.0), (1.0, 4.0, 4.0))[0]
+    mov = gaussian_blob((1, *shape), (0.0, 26.0, 13.0), (1.0, 4.0, 4.0))[0]
     est = phase_cross_correlation(ref, mov, maximum_shift=2.0)
-    np.testing.assert_array_equal(est, [2.0, 2.0])
+    np.testing.assert_array_equal(est, [6.0, -7.0])
