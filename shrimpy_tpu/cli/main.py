@@ -1,0 +1,269 @@
+"""``shrimpy-tpu`` CLI.
+
+Mirrors the reference's click surface (``shrimpy acquire`` / ``shrimpy
+gui``, reference ``shrimpy/cli/main.py:21-37``, ``cli/acquire.py:22-147``)
+and adds the reconstruction verbs of the TPU engine (SURVEY.md §7.6):
+``deskew``, ``deconvolve``, ``phase``, ``reconstruct``, ``register``,
+``track``, ``replay``, ``info``.
+
+Derived parameters (pixel size, z step) come from the dataset metadata
+and are injected into kernel configs — never duplicated in config files
+(reference ``manager.py:242-262``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+from pathlib import Path
+
+import click
+import numpy as np
+
+
+@click.group()
+@click.version_option(version="0.1.0", prog_name="shrimpy-tpu")
+@click.option("-v", "--verbose", is_flag=True, help="DEBUG-level logging.")
+@click.option(
+    "--platform",
+    default=None,
+    help="Force a JAX platform (e.g. 'cpu' for hardware-free runs).",
+)
+def cli(verbose: bool, platform: str | None) -> None:
+    """TPU-native reconstruction engine for mantis OME-Zarr datasets."""
+    from shrimpy_tpu.utils.logging import configure_logging
+
+    configure_logging(level=logging.DEBUG if verbose else logging.INFO)
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def _inject_from_store(settings, input_path: Path) -> tuple:
+    """Read (pixel size, z step) from the store scale and inject."""
+    from shrimpy_tpu.config.schemas import inject_derived_parameters
+    from shrimpy_tpu.io.ngff import open_ngff
+
+    store = open_ngff(input_path)
+    pos = store.position()
+    sz, sy, _ = pos.zyx_scale
+    inject_derived_parameters(settings, pixel_size_um=sy, z_step_um=sz)
+    return store, pos
+
+
+def _run_reconstruct(input, output, settings, devices, space, batch, resume):
+    from shrimpy_tpu.parallel import make_mesh
+    from shrimpy_tpu.runtime import reconstruct_store
+
+    _inject_from_store(settings, Path(input))
+    mesh = None
+    if devices:
+        mesh = make_mesh(devices, space=space)
+    summary = reconstruct_store(
+        input, output, settings, mesh=mesh, batch_size=batch, resume=resume
+    )
+    click.echo(json.dumps(summary, indent=2))
+
+
+_shared = [
+    click.argument("input", type=click.Path(exists=True)),
+    click.option("-o", "--output", required=True, type=click.Path()),
+    click.option("--devices", type=int, default=None, help="Mesh device count."),
+    click.option("--space", type=int, default=1, help="X-axis sharding factor."),
+    click.option("--batch", type=int, default=None, help="Volumes per step."),
+    click.option("--resume", is_flag=True, help="Skip completed volumes."),
+]
+
+
+def shared_options(f):
+    for opt in reversed(_shared):
+        f = opt(f)
+    return f
+
+
+@cli.command()
+@shared_options
+@click.option("--ls-angle-deg", type=float, default=30.0, show_default=True)
+@click.option("--px-to-scan-ratio", type=float, default=None)
+@click.option("--keep-overhang", is_flag=True)
+@click.option("--average-n-slices", type=int, default=1, show_default=True)
+def deskew(
+    input, output, devices, space, batch, resume,
+    ls_angle_deg, px_to_scan_ratio, keep_overhang, average_n_slices,
+):
+    """Deskew every volume of an OME-Zarr store."""
+    from shrimpy_tpu.config import DeskewSettings, ReconstructSettings
+
+    settings = ReconstructSettings(
+        deskew=DeskewSettings(
+            ls_angle_deg=ls_angle_deg,
+            px_to_scan_ratio=px_to_scan_ratio,
+            keep_overhang=keep_overhang,
+            average_n_slices=average_n_slices,
+        )
+    )
+    _run_reconstruct(input, output, settings, devices, space, batch, resume)
+
+
+@cli.command()
+@shared_options
+@click.option("--psf", "psf_path", type=click.Path(exists=True), default=None,
+              help="PSF volume (.npy or OME-Zarr); default synthetic.")
+@click.option("--iterations", type=int, default=20, show_default=True)
+@click.option("--algorithm", type=click.Choice(["auto", "fft", "separable"]),
+              default="auto", show_default=True)
+def deconvolve(
+    input, output, devices, space, batch, resume, psf_path, iterations, algorithm
+):
+    """Richardson-Lucy deconvolve every volume of an OME-Zarr store."""
+    from shrimpy_tpu.config import DeconvolveSettings, ReconstructSettings
+
+    settings = ReconstructSettings(
+        deconvolve=DeconvolveSettings(
+            psf_path=psf_path, iterations=iterations, algorithm=algorithm
+        )
+    )
+    _run_reconstruct(input, output, settings, devices, space, batch, resume)
+
+
+@cli.command()
+@shared_options
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None,
+              help="PhaseSettings YAML (transfer_function / apply_inverse).")
+def phase(input, output, devices, space, batch, resume, config_path):
+    """3-D phase reconstruction of brightfield defocus stacks."""
+    from shrimpy_tpu.config import PhaseSettings, ReconstructSettings
+    from shrimpy_tpu.config.schemas import load_yaml_config
+
+    phase_settings = (
+        load_yaml_config(config_path, PhaseSettings) if config_path else PhaseSettings()
+    )
+    settings = ReconstructSettings(phase=phase_settings)
+    _run_reconstruct(input, output, settings, devices, space, batch, resume)
+
+
+@cli.command()
+@shared_options
+@click.option("-c", "--config", "config_path", type=click.Path(exists=True),
+              required=True, help="ReconstructSettings YAML.")
+def reconstruct(input, output, devices, space, batch, resume, config_path):
+    """Run the full configured pipeline (deskew/phase/register/deconvolve)."""
+    from shrimpy_tpu.config import ReconstructSettings
+    from shrimpy_tpu.config.schemas import load_yaml_config
+
+    settings = load_yaml_config(config_path, ReconstructSettings)
+    _run_reconstruct(input, output, settings, devices, space, batch, resume)
+
+
+@cli.command()
+@click.argument("input", type=click.Path(exists=True))
+@click.option("--fixed-channel", required=True)
+@click.option("--moving-channel", required=True)
+@click.option("-o", "--output", type=click.Path(), required=True,
+              help="Output JSON transform file.")
+@click.option("--timepoint", type=int, default=0, show_default=True)
+@click.option("--method", type=click.Choice(["pcc", "pcc+refine"]),
+              default="pcc+refine", show_default=True)
+def register(input, fixed_channel, moving_channel, output, timepoint, method):
+    """Estimate the affine transform between two channels of one position."""
+    from shrimpy_tpu.config import RegistrationSettings
+    from shrimpy_tpu.io.ngff import open_ngff
+    from shrimpy_tpu.ops.register import estimate_registration
+
+    pos = open_ngff(input).position()
+    names = pos.channel_names
+    fixed = pos.volume(timepoint, names.index(fixed_channel))
+    moving = pos.volume(timepoint, names.index(moving_channel))
+    result = estimate_registration(
+        fixed, moving, RegistrationSettings(method=method)
+    )
+    transform = {
+        "matrix_zyx": result.matrix.tolist(),
+        "offset_zyx": result.offset.tolist(),
+        "translation_seed_zyx": result.translation_seed.tolist(),
+        "final_loss": result.final_loss,
+        "fixed_channel": fixed_channel,
+        "moving_channel": moving_channel,
+    }
+    Path(output).write_text(json.dumps(transform, indent=2))
+    click.echo(json.dumps(transform, indent=2))
+
+
+@cli.command()
+@click.argument("input", type=click.Path(exists=True))
+@click.option("-c", "--config", "config_path", type=click.Path(exists=True),
+              required=True, help="DynaTrackConfig YAML.")
+@click.option("-o", "--output", type=click.Path(), default="shifts.csv",
+              show_default=True, help="Shift journal CSV.")
+def track(input, config_path, output):
+    """Run DynaTrack shift estimation over a time-lapse store."""
+    from shrimpy_tpu.config import DynaTrackConfig
+    from shrimpy_tpu.config.schemas import inject_derived_parameters, load_yaml_config
+    from shrimpy_tpu.io.ngff import open_ngff
+    from shrimpy_tpu.tracking import ShiftJournal, Tracker
+
+    cfg = load_yaml_config(config_path, DynaTrackConfig)
+    store = open_ngff(input)
+    pos = store.position()
+    sz, sy, _ = pos.zyx_scale
+    inject_derived_parameters(cfg, pixel_size_um=sy, z_step_um=sz)
+    c = pos.channel_names.index(cfg.tracking_channel)
+    tracker = Tracker(cfg, scale_zyx_um=pos.zyx_scale, journal=ShiftJournal(output))
+    for key, p in store.positions().items():
+        for t in range(p.shape[0]):
+            r = tracker.update(p.volume(t, c), t=t, p=key)
+            click.echo(
+                f"t={t} p={key} shift_px={np.round(r.shift_px_zyx, 2).tolist()} "
+                f"stage_um={np.round(r.stage_shift_xyz, 3).tolist()}"
+            )
+    click.echo(f"journal: {output}")
+
+
+@cli.command()
+@click.argument("input", type=click.Path(exists=True))
+@click.option("-o", "--output-dir", required=True, type=click.Path())
+@click.option("-n", "--name", default="replay", show_default=True)
+@click.option("--plan", "plan_path", type=click.Path(exists=True), default=None,
+              help="AcquisitionPlan YAML; default replays the full source.")
+def replay(input, output_dir, name, plan_path):
+    """Replay a pre-acquired dataset through the acquisition engine
+    (hardware-free demo mode, the reference's ReplayCamera role)."""
+    from shrimpy_tpu.engine import AcquisitionEngine, AcquisitionPlan, ReplaySource
+
+    source = ReplaySource(input)
+    plan = (
+        AcquisitionPlan.from_yaml(plan_path)
+        if plan_path
+        else AcquisitionPlan(time={"n_timepoints": source.n_timepoints})
+    )
+    out = AcquisitionEngine(source).acquire(output_dir, name, plan)
+    click.echo(str(out))
+
+
+@cli.command()
+@click.argument("input", type=click.Path(exists=True))
+def info(input):
+    """Describe an OME-Zarr store (layout, positions, shapes, scales)."""
+    from shrimpy_tpu.io.ngff import open_ngff
+
+    store = open_ngff(input)
+    out = {
+        "path": str(input),
+        "ngff_version": store.version,
+        "layout": "hcs-plate" if store.is_plate else "fov",
+        "positions": {},
+    }
+    for key, pos in store.positions().items():
+        out["positions"][key] = {
+            "shape_tczyx": list(pos.shape),
+            "dtype": str(pos.dtype),
+            "channels": pos.channel_names,
+            "zyx_scale_um": list(pos.zyx_scale),
+        }
+    click.echo(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    cli()

@@ -145,6 +145,13 @@ class DeconvolveSettings(BaseModel):
     psf_path: str | None = None  # OME-Zarr or .npy PSF volume
     epsilon: float = 1e-6  # ratio-guard floor
     pad_mode: Literal["reflect", "edge", "constant"] = "reflect"
+    # Algorithm selection: "separable" runs RL as circulant banded-matrix
+    # products on the MXU (fast path for (near-)separable PSFs, ~25x the
+    # FFT path's throughput on TPU); "auto" picks it when the PSF is
+    # rank-decomposable within separable_tol, else falls back to "fft".
+    algorithm: Literal["auto", "fft", "separable"] = "auto"
+    separable_tol: float = 1e-4  # PSF reconstruction rel error budget
+    max_separable_terms: int = 6
 
     @model_validator(mode="after")
     def _check(self) -> "DeconvolveSettings":

@@ -1,0 +1,5 @@
+"""Acquisition engine (demo/replay mode): event loop, autofocus, output."""
+
+from shrimpy_tpu.engine.engine import AcquisitionEngine, SkipEvent  # noqa: F401
+from shrimpy_tpu.engine.plan import AcquisitionPlan  # noqa: F401
+from shrimpy_tpu.engine.replay import ReplaySource  # noqa: F401

@@ -1,0 +1,168 @@
+"""Autoexposure: the reference's three algorithms + escalation policy.
+
+Parity with the archived production autoexposure (reference
+``shrimpy/mantis/archive/pycromanager/autoexposure.py:22-285``): each
+algorithm returns ``(flag, exposure_ms, laser_power)`` with flag -1
+(underexposed), 0 (well exposed), +1 (overexposed), or None (no
+change possible); plus the per-well manual CSV loader
+(``docs/illumination.csv`` schema) and the laser-power-first
+escalation (``:257-285``).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class AutoexposureSettings:
+    """Bounds + targets (reference ``AcquisitionSettings.py`` dataclass)."""
+
+    min_intensity: float = 100.0
+    max_intensity: float = 60000.0
+    target_intensity: float = 30000.0
+    min_exposure_ms: float = 1.0
+    max_exposure_ms: float = 500.0
+    default_exposure_ms: float = 10.0
+    min_laser_power: float = 1.0
+    max_laser_power: float = 100.0
+    relative_exposure_step: float = 0.8
+    percentile: float = 99.99
+    hot_pixel_percentile: float = 99.999
+
+
+def mean_intensity(
+    image: np.ndarray,
+    exposure_ms: float,
+    laser_power: float,
+    settings: AutoexposureSettings,
+) -> tuple[int | None, float, float]:
+    """Scale exposure so the mean hits the target (reference ``:67-118``)."""
+    mean = float(np.mean(image))
+    if settings.min_intensity <= mean <= settings.max_intensity:
+        return 0, exposure_ms, laser_power
+    flag = -1 if mean < settings.min_intensity else 1
+    if mean <= 0:
+        return flag, settings.max_exposure_ms, laser_power
+    new_exposure = float(
+        np.clip(
+            exposure_ms * settings.target_intensity / mean,
+            settings.min_exposure_ms,
+            settings.max_exposure_ms,
+        )
+    )
+    if new_exposure == exposure_ms:
+        return flag, exposure_ms, laser_power
+    return flag, new_exposure, laser_power
+
+
+def masked_mean_intensity(
+    image: np.ndarray,
+    exposure_ms: float,
+    laser_power: float,
+    settings: AutoexposureSettings,
+) -> tuple[int | None, float, float]:
+    """Mean over foreground with hot pixels masked (reference ``:121-179``)."""
+    hot_cutoff = np.percentile(image, settings.hot_pixel_percentile)
+    valid = image[image < hot_cutoff]
+    if valid.size == 0:
+        valid = image.ravel()
+    foreground = valid[valid >= np.percentile(valid, 50)]
+    if foreground.size == 0:
+        return -1, settings.max_exposure_ms, laser_power
+    return mean_intensity(foreground, exposure_ms, laser_power, settings)
+
+
+def intensity_percentile(
+    image: np.ndarray,
+    exposure_ms: float,
+    laser_power: float,
+    settings: AutoexposureSettings,
+) -> tuple[int | None, float, float]:
+    """Judge by the 99.99th-percentile intensity (reference ``:182-235``)."""
+    p = float(np.percentile(image, settings.percentile))
+    if settings.min_intensity <= p <= settings.max_intensity:
+        return 0, exposure_ms, laser_power
+    if p > settings.max_intensity:
+        # Overexposed: shrink exposure multiplicatively.
+        new_exposure = float(
+            np.clip(
+                exposure_ms * settings.relative_exposure_step,
+                settings.min_exposure_ms,
+                settings.max_exposure_ms,
+            )
+        )
+        return 1, new_exposure, laser_power
+    if p <= 0:
+        return -1, settings.max_exposure_ms, laser_power
+    new_exposure = float(
+        np.clip(
+            exposure_ms * settings.target_intensity / p,
+            settings.min_exposure_ms,
+            settings.max_exposure_ms,
+        )
+    )
+    return -1, new_exposure, laser_power
+
+
+ALGORITHMS = {
+    "mean_intensity": mean_intensity,
+    "masked_mean_intensity": masked_mean_intensity,
+    "intensity_percentile": intensity_percentile,
+}
+
+
+def autoexpose_with_escalation(
+    acquire_fn,
+    settings: AutoexposureSettings,
+    *,
+    algorithm: str = "intensity_percentile",
+    exposure_ms: float | None = None,
+    laser_power: float = 10.0,
+    max_rounds: int = 5,
+) -> tuple[float, float, bool]:
+    """Iterate until well-exposed; raise laser power before exposure when
+    underexposure persists at max exposure (reference ``:257-285``).
+
+    ``acquire_fn(exposure_ms, laser_power) -> image``.
+    Returns (exposure_ms, laser_power, converged).
+    """
+    algo = ALGORITHMS[algorithm]
+    exposure = exposure_ms or settings.default_exposure_ms
+    for _ in range(max_rounds):
+        image = acquire_fn(exposure, laser_power)
+        flag, new_exposure, laser_power = algo(image, exposure, laser_power, settings)
+        if flag == 0:
+            return new_exposure, laser_power, True
+        if (
+            flag == -1
+            and new_exposure >= settings.max_exposure_ms
+            and laser_power < settings.max_laser_power
+        ):
+            # Laser-power-first escalation: double power, reset exposure.
+            laser_power = min(laser_power * 2.0, settings.max_laser_power)
+            new_exposure = settings.default_exposure_ms
+            logger.info("autoexposure: escalating laser power to %.1f", laser_power)
+        exposure = new_exposure
+    return exposure, laser_power, False
+
+
+def load_manual_exposures(csv_path: str | Path) -> dict[str, tuple[float, float]]:
+    """Per-well manual exposures: ``well,exposure_ms,laser_power`` rows
+    (reference ``docs/illumination.csv`` + loader ``:22-40``)."""
+    import csv
+
+    out: dict[str, tuple[float, float]] = {}
+    with open(csv_path, newline="") as f:
+        for row in csv.DictReader(f):
+            out[row["well"]] = (
+                float(row["exposure_ms"]),
+                float(row.get("laser_power", 0) or 0),
+            )
+    return out

@@ -1,0 +1,246 @@
+"""Acquisition engine: the MDA run loop in demo/replay mode.
+
+Re-creates the reference's ``MantisEngine`` lifecycle (reference
+``shrimpy/mantis/mantis_engine.py:114-494``) over our replay source and
+OME-Zarr writer:
+
+* ``setup_sequence`` equivalent: resolve the output store (name
+  auto-increment so re-runs never overwrite, ``:497-518``), wire
+  DynaTrack from the plan metadata (``:146-183``), configure per-
+  acquisition logging;
+* event loop (t -> p -> c): autofocus engagement per (t, p) with
+  :class:`SkipEvent` semantics — a failed autofocus writes zero-padded
+  volumes and the acquisition continues (``:228-230``, verified
+  on-disk by the reference's integration tests);
+* ``frameReady`` fan-out: every completed volume goes to the writer,
+  the tracking manager (baseline capture + async shift update,
+  backpressure drain at timepoint boundaries ``:194-209``), and any
+  registered viewer hooks;
+* ``teardown_sequence`` equivalent: drain + shutdown tracking, write
+  the ``summary_metadata.json`` sidecar (``:477-483``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+from shrimpy_tpu.config.schemas import DynaTrackConfig
+from shrimpy_tpu.engine.autofocus import DemoAutofocus
+from shrimpy_tpu.engine.plan import AcquisitionPlan
+from shrimpy_tpu.engine.replay import ReplaySource
+from shrimpy_tpu.io import ngff
+from shrimpy_tpu.tracking.core import ShiftJournal, Tracker
+from shrimpy_tpu.tracking.position import PositionStore, PositionUpdateManager
+
+logger = logging.getLogger(__name__)
+
+
+class SkipEvent(Exception):
+    """Skip the remaining frames of a position; the writer zero-pads.
+
+    Same contract as the reference's SkipEvent on autofocus failure
+    (``mantis_engine.py:228-230``).
+    """
+
+    def __init__(self, num_frames: int):
+        super().__init__(f"skip {num_frames} frames")
+        self.num_frames = num_frames
+
+
+def resolve_acquisition_name(output_dir: Path, name: str) -> str:
+    """Auto-increment the acquisition name so re-runs never overwrite
+    (reference ``mantis_engine.py:497-518``)."""
+    candidate = name
+    i = 1
+    while (output_dir / f"{candidate}.zarr").exists():
+        candidate = f"{name}_{i}"
+        i += 1
+    return candidate
+
+
+class AcquisitionEngine:
+    """Demo/replay acquisition: plan + replay source -> OME-Zarr output."""
+
+    def __init__(
+        self,
+        source: ReplaySource,
+        *,
+        viewer_hooks: list | None = None,
+    ):
+        self.source = source
+        self.viewer_hooks = viewer_hooks or []
+        self._tracking: PositionUpdateManager | None = None
+        self._tracker: Tracker | None = None
+        self._track_channel_idx: int | None = None
+
+    # -- setup ---------------------------------------------------------------
+    def _setup_tracking(
+        self, plan: AcquisitionPlan, channels: list[str], out_dir: Path
+    ) -> None:
+        meta = plan.dynatrack_metadata()
+        if not meta:
+            return
+        cfg = DynaTrackConfig(**meta)
+        if not cfg.enabled:
+            return
+        if cfg.tracking_channel not in channels:
+            raise ValueError(
+                f"dynatrack tracking_channel={cfg.tracking_channel!r} not in "
+                f"acquired channels {channels}"
+            )
+        journal = ShiftJournal(out_dir / "dynatrack_log.csv")
+        self._tracker = Tracker(
+            cfg, scale_zyx_um=self.source.zyx_scale, journal=journal
+        )
+        self._track_channel_idx = channels.index(cfg.tracking_channel)
+        store = PositionStore()
+
+        def updater(stack: np.ndarray, t: int, p: str) -> np.ndarray:
+            result = self._tracker.update(stack, t, p)
+            return result.stage_shift_xyz
+
+        self._tracking = PositionUpdateManager(store, updater)
+        logger.info("dynatrack enabled: method=%s", cfg.tracking_method)
+
+    # -- acquisition ---------------------------------------------------------
+    def acquire(
+        self,
+        output_dir: str | Path,
+        name: str,
+        plan: AcquisitionPlan,
+    ) -> Path:
+        t_start = time.monotonic()
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        final_name = resolve_acquisition_name(output_dir, name)
+        out_path = output_dir / f"{final_name}.zarr"
+
+        positions = plan.positions or self.source.position_keys
+        channels = (
+            [c.name for c in plan.channels]
+            if plan.channels
+            else self.source.channel_names
+        )
+        chan_idx = [self.source.channel_index(c) for c in channels]
+        src_z = self.source.shape_tczyx[2]
+        nz = plan.z.n_slices or src_z
+        ny, nx = self.source.shape_tczyx[3:]
+        n_t = plan.time.n_timepoints
+        shape = (n_t, len(channels), nz, ny, nx)
+
+        self._setup_tracking(plan, channels, output_dir)
+        autofocus = DemoAutofocus(plan.autofocus, len(positions))
+
+        # Output store mirrors the source layout.
+        out_positions: dict[str, ngff.NgffPosition] = {}
+        if self.source.store.is_plate and len(positions) > 0:
+            out_store = ngff.create_hcs(out_path, channel_names=channels)
+            for key in positions:
+                row, col, fov = key.split("/")
+                pos = out_store.create_position(
+                    row, col, fov, channel_names=channels,
+                    zyx_scale=self.source.zyx_scale,
+                )
+                pos.create_array(shape, dtype="float32")
+                out_positions[key] = pos
+        else:
+            pos = ngff.create_fov(
+                out_path,
+                shape=shape,
+                dtype="float32",
+                channel_names=channels,
+                zyx_scale=self.source.zyx_scale,
+            )
+            out_positions[positions[0]] = pos
+
+        skipped: list[tuple[int, str]] = []
+        n_volumes = 0
+        for t in range(n_t):
+            # Backpressure: timepoint-t tracking completes before t+1
+            # events execute (reference mantis_engine.py:194-209).
+            if self._tracking is not None and t > 0:
+                self._tracking.drain_pending()
+            for p_idx, p_key in enumerate(positions):
+                out_pos = out_positions[p_key]
+                offset = self._stage_offset_px(p_key)
+                if not autofocus.engage(t, p_idx):
+                    # SkipEvent contract: zero-padded volumes on disk.
+                    try:
+                        raise SkipEvent(len(channels) * nz)
+                    except SkipEvent:
+                        zeros = np.zeros((nz, ny, nx), np.float32)
+                        for ci in range(len(channels)):
+                            out_pos.write((t, ci), zeros)
+                        skipped.append((t, p_key))
+                        continue
+                if self._tracking is not None:
+                    self._tracking.record_acquisition(t, p_key)
+                for ci, c_src in enumerate(chan_idx):
+                    vol = self.source.volume(
+                        p_key, t, c_src, offset_px_zyx=offset
+                    )[:nz].astype(np.float32)
+                    out_pos.write((t, ci), vol)
+                    n_volumes += 1
+                    for hook in self.viewer_hooks:
+                        self._safe_hook(hook, vol, t, p_key, channels[ci])
+                    if (
+                        self._tracking is not None
+                        and ci == self._track_channel_idx
+                    ):
+                        self._tracking.on_stack_complete(vol, t, p_key)
+            if plan.time.interval_s > 0:
+                time.sleep(min(plan.time.interval_s, 0.01))  # demo pacing
+
+        if self._tracking is not None:
+            self._tracking.drain_pending()
+            self._tracking.shutdown()
+
+        summary = {
+            "name": final_name,
+            "plan": plan.model_dump(),
+            "positions": positions,
+            "channels": channels,
+            "shape_tczyx": list(shape),
+            "skipped_autofocus": [[t, p] for t, p in skipped],
+            "volumes_acquired": n_volumes,
+            "wall_time_s": round(time.monotonic() - t_start, 3),
+        }
+        with open(output_dir / f"{final_name}_summary_metadata.json", "w") as f:
+            json.dump(summary, f, indent=2)
+        logger.info(
+            "acquisition %s complete: %d volumes, %d skipped",
+            final_name,
+            n_volumes,
+            len(skipped),
+        )
+        return out_path
+
+    # -- helpers -------------------------------------------------------------
+    def _stage_offset_px(self, p_key: str) -> tuple[int, int, int]:
+        """Current corrected stage position -> pixel offset (ZYX)."""
+        if self._tracking is None:
+            return (0, 0, 0)
+        pos = self._tracking.store.get(p_key)
+        if pos is None:
+            self._tracking.store.set(p_key, 0.0, 0.0, 0.0)
+            return (0, 0, 0)
+        sz, sy, sx = self.source.zyx_scale
+        return (
+            int(round(pos.z / sz)),
+            int(round(pos.y / sy)),
+            int(round(pos.x / sx)),
+        )
+
+    @staticmethod
+    def _safe_hook(hook, vol, t, p, channel) -> None:
+        """Viewer hooks never raise into the acquisition (reference
+        ``feeder.py:9-13``)."""
+        try:
+            hook(vol, t, p, channel)
+        except Exception:
+            logger.exception("viewer hook failed (ignored)")

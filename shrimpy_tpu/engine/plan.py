@@ -1,0 +1,83 @@
+"""Declarative acquisition plans (the useq-schema MDASequence role).
+
+The reference drives acquisitions from YAML ``MDASequence`` plans with
+microscope-specific settings under ``metadata.mantis`` (reference
+``mantis_engine.py:470``, ``config/mda/mantis/demo.yaml``, SURVEY.md
+§5.6). This is the first-party equivalent: a strict pydantic plan with
+time/channel/z axes, an autofocus block, and a free-form ``metadata``
+dict carrying the ``dynatrack`` config.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import yaml
+from pydantic import BaseModel, ConfigDict, Field, model_validator
+
+
+class TimePlan(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+
+    n_timepoints: int = 1
+    interval_s: float = 0.0
+
+    @model_validator(mode="after")
+    def _check(self):
+        if self.n_timepoints < 1:
+            raise ValueError("n_timepoints must be >= 1")
+        return self
+
+
+class ChannelPlan(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+
+    name: str
+    exposure_ms: float = 10.0
+
+
+class ZPlan(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+
+    n_slices: int | None = None  # None = full source depth
+    step_um: float | None = None  # None = source scale
+
+
+class AutofocusPlan(BaseModel):
+    """Demo-PFS simulation: configurable success rate and deterministic
+    failures (reference ``mantis_engine.py:348-386``)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    enabled: bool = False
+    success_rate: float = 1.0
+    fail_at_indices: list[int] | None = None  # flat (t * n_pos + p) indices
+    seed: int = 0
+
+
+class AcquisitionPlan(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+
+    time: TimePlan = Field(default_factory=TimePlan)
+    channels: list[ChannelPlan] | None = None  # None = all source channels
+    z: ZPlan = Field(default_factory=ZPlan)
+    positions: list[str] | None = None  # None = all source positions
+    axis_order: str = "tpcz"
+    autofocus: AutofocusPlan = Field(default_factory=AutofocusPlan)
+    metadata: dict = Field(default_factory=dict)
+
+    @model_validator(mode="after")
+    def _check(self):
+        if self.axis_order != "tpcz":
+            raise ValueError("only axis_order='tpcz' is supported")
+        return self
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "AcquisitionPlan":
+        with open(path) as f:
+            return cls(**(yaml.safe_load(f) or {}))
+
+    def dynatrack_metadata(self) -> dict | None:
+        """The ``metadata.dynatrack`` block (reference
+        ``metadata.mantis.dynatrack``, ``manager.py:170-240``)."""
+        return self.metadata.get("dynatrack")

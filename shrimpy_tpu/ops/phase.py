@@ -142,9 +142,20 @@ def compute_transfer_function(
     return _compute_tf_cached(tuple(zyx_shape), _settings_key(settings))
 
 
+def tf_as_real(tf: np.ndarray) -> np.ndarray:
+    """Complex TF -> stacked (2, Z, Y, X) float32 (re, im).
+
+    Host->device transfers of complex arrays are unsupported on some
+    TPU transports; the TF crosses as reals and is recombined on device.
+    """
+    tf = np.asarray(tf)
+    return np.stack([tf.real, tf.imag]).astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=("z_padding", "reg"))
-def _apply_inverse_jit(stack, tf, z_padding: int, reg: float):
+def _apply_inverse_jit(stack, tf_ri, z_padding: int, reg: float):
     stack = stack.astype(jnp.float32)
+    tf = tf_ri[0] + 1j * tf_ri[1]  # recombined on device (see tf_as_real)
     if z_padding:
         stack = jnp.pad(stack, ((z_padding, z_padding), (0, 0), (0, 0)), mode="reflect")
     # Remove the DC background (the delta term of the weak-object model).
@@ -173,7 +184,7 @@ def apply_inverse_transfer_function(
     settings = settings or PhaseApplyInverseSettings()
     return _apply_inverse_jit(
         jnp.asarray(stack_zyx),
-        jnp.asarray(tf),
+        jnp.asarray(tf_as_real(np.asarray(tf))),
         z_padding,
         settings.regularization_strength,
     )

@@ -1,0 +1,244 @@
+"""Sharded fused reconstruction step: deskew -> phase -> deconvolve.
+
+The per-volume kernels (:mod:`shrimpy_tpu.ops`) compose into one
+jit-compiled program, vmapped over a batch of independent volumes and
+sharded over a :func:`shrimpy_tpu.parallel.mesh.make_mesh` device mesh:
+the batch axis spans (position, timepoint, channel) volumes — the
+reference's HPC fan-out axis (SURVEY.md §2.9) — and the optional
+``space`` axis shards each volume's X extent so FFT stages ride XLA's
+collective FFT over ICI.
+
+XLA fuses the stage boundaries (deskew output feeds the RL ratio
+pipeline without round-tripping HBM more than the FFTs require), which
+is exactly the reason the stages live in one jit program instead of
+separate dispatches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from shrimpy_tpu.config.schemas import ReconstructSettings
+from shrimpy_tpu.ops.deconv import (
+    _padded_grid_shape,
+    _rl_jit,
+    _sep_matrices,
+    _sep_pads,
+    separable_decompose,
+)
+from shrimpy_tpu.ops.deskew import _deskew_xla, get_deskewed_shape
+from shrimpy_tpu.ops.phase import _apply_inverse_jit, compute_transfer_function
+
+
+def _deconv_fn(settings: ReconstructSettings, psf: np.ndarray | None):
+    """Per-volume RL stage with the PSF baked at build time.
+
+    The separable fast path turns the PSF into circulant matrices —
+    host-side, data-dependent work — so the pipeline needs the concrete
+    PSF when the program is built, not at call time.
+    """
+    deconv = settings.deconvolve
+    if deconv is None:
+        return None
+    if psf is None:
+        raise ValueError("deconvolve stage enabled but no PSF provided")
+    psf_np = np.asarray(psf, dtype=np.float32)
+
+    terms = None
+    if deconv.algorithm in ("auto", "separable"):
+        terms = separable_decompose(
+            psf_np / psf_np.sum(),
+            tol=deconv.separable_tol,
+            max_terms=deconv.max_separable_terms,
+        )
+        if terms is None and deconv.algorithm == "separable":
+            raise ValueError("PSF not separable within separable_tol")
+
+    if terms is not None:
+
+        def rl(vol):
+            pads = _sep_pads(tuple(vol.shape), tuple(psf_np.shape))
+            grid = tuple(n + lo + hi for n, (lo, hi) in zip(vol.shape, pads))
+            mats = _sep_matrices(terms, grid)
+            return _rl_sep_inline(vol, mats, deconv, pads)
+
+        return rl
+
+    def rl(vol):
+        grid, pads = _padded_grid_shape(tuple(vol.shape), tuple(psf_np.shape))
+        return _rl_jit(
+            vol,
+            jnp.asarray(psf_np),
+            iterations=deconv.iterations,
+            grid=grid,
+            pads=pads,
+            epsilon=deconv.epsilon,
+            pad_mode=deconv.pad_mode,
+        )
+
+    return rl
+
+
+def _rl_sep_inline(vol, mats, deconv, pads):
+    from shrimpy_tpu.ops.deconv import _rl_sep_jit
+
+    return _rl_sep_jit(
+        vol,
+        *(jnp.asarray(m) for m in mats),
+        iterations=deconv.iterations,
+        pads=pads,
+        epsilon=deconv.epsilon,
+        pad_mode=deconv.pad_mode,
+    )
+
+
+def _stage_fns(settings: ReconstructSettings, psf: np.ndarray | None):
+    """(deskew_fn | None, fft_fn | None) traced per-volume stages.
+
+    The pipeline is split at the deskew boundary so the sharded build
+    can reshard between them: the deskew resample is pointwise in X
+    (stays X-sharded), while the volumetric stages (phase inverse, RL)
+    run volume-local after a reshard to whole volumes per device.
+    """
+    desk = settings.deskew
+    phase = settings.phase
+
+    deskew_fn = None
+    if desk is not None:
+
+        def deskew_fn(raw):
+            return _deskew_xla(
+                raw.astype(jnp.float32),
+                ls_angle_deg=desk.ls_angle_deg,
+                px_to_scan_ratio=desk.require_ratio(),
+                keep_overhang=desk.keep_overhang,
+                average_n_slices=desk.average_n_slices,
+            )
+
+    rl_fn = _deconv_fn(settings, psf)
+    fft_fn = None
+    if phase is not None or rl_fn is not None:
+
+        def fft_fn(vol, tf_ri):
+            vol = vol.astype(jnp.float32)
+            if phase is not None:
+                vol = _apply_inverse_jit(
+                    vol,
+                    tf_ri,
+                    phase.transfer_function.z_padding,
+                    phase.apply_inverse.regularization_strength,
+                )
+            if rl_fn is not None:
+                vol = rl_fn(vol)
+            return vol
+
+    return deskew_fn, fft_fn
+
+
+def build_reconstruct_step(
+    settings: ReconstructSettings,
+    *,
+    psf: np.ndarray | None = None,
+    mesh: Mesh | None = None,
+    donate: bool = True,
+):
+    """Compile-ready batched step ``fn(batch_raw, tf) -> batch_out``.
+
+    ``batch_raw`` is ``(B, S/Z, T/Y, X)``; ``tf`` is the phase transfer
+    function (replicated; pass a shape-(1,1,1) dummy when the phase
+    stage is disabled). The PSF is baked into the program at build time
+    (see :func:`_deconv_fn`).
+
+    Sharding layout with a mesh: inputs arrive ``P('batch', None, None,
+    'space')`` (volumes over batch, X over space — the deskew stage is
+    pointwise in X so it runs fully sharded). Before the volumetric
+    stages the volumes reshard to one-whole-volume-per-device
+    (``P(('batch','space'))`` when the batch divides the device count,
+    else ``P('batch')``): per-volume FFT/matmul stages never span
+    chips, the reshard is one all-to-all over ICI.
+    """
+    deskew_fn, fft_fn = _stage_fns(settings, psf)
+
+    def batched(raw, tf):
+        vol = raw
+        if deskew_fn is not None:
+            vol = jax.vmap(deskew_fn)(vol)
+        if fft_fn is not None:
+            if mesh is not None and mesh.devices.shape[1] > 1:
+                n_dev = mesh.devices.size
+                b = vol.shape[0]
+                spec = (
+                    P(("batch", "space")) if b % n_dev == 0 else P("batch")
+                )
+                vol = jax.lax.with_sharding_constraint(
+                    vol, NamedSharding(mesh, spec)
+                )
+            vol = jax.vmap(fft_fn, in_axes=(0, None))(vol, tf)
+        return vol
+
+    if mesh is None:
+        return jax.jit(batched, donate_argnums=(0,) if donate else ())
+
+    in_sharding = NamedSharding(mesh, P("batch", None, None, "space"))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        batched,
+        in_shardings=(in_sharding, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def reconstruct_batch(
+    batch_raw,
+    settings: ReconstructSettings,
+    *,
+    psf=None,
+    mesh: Mesh | None = None,
+) -> jax.Array:
+    """One-shot convenience: build, (cached) compile, and run the step.
+
+    Computes the phase transfer function host-side when the phase stage
+    is enabled (cached per shape+settings, reference
+    ``preprocessing.py:188-218`` split).
+    """
+    batch_raw = jnp.asarray(batch_raw)
+    dummy = jnp.zeros((2, 1, 1, 1), jnp.float32)
+
+    tf_arr = dummy
+    if settings.phase is not None:
+        from shrimpy_tpu.ops.phase import tf_as_real
+
+        vol_shape = _stage_input_shape_for_phase(tuple(batch_raw.shape[1:]), settings)
+        tfs = settings.phase.transfer_function
+        tf_arr = jnp.asarray(
+            tf_as_real(
+                compute_transfer_function(
+                    (vol_shape[0] + 2 * tfs.z_padding, *vol_shape[1:]), tfs
+                )
+            )
+        )
+
+    step = build_reconstruct_step(settings, psf=psf, mesh=mesh, donate=False)
+    return step(batch_raw, tf_arr)
+
+
+def _stage_input_shape_for_phase(
+    raw_shape: tuple[int, int, int], settings: ReconstructSettings
+) -> tuple[int, int, int]:
+    """Shape of the volume entering the phase stage (post-deskew if any)."""
+    if settings.deskew is not None:
+        shape, _ = get_deskewed_shape(raw_shape, settings.deskew)
+        return shape
+    return raw_shape
+
+
+def output_shape(
+    raw_shape: tuple[int, int, int], settings: ReconstructSettings
+) -> tuple[int, int, int]:
+    """Static output ZYX shape of the reconstruction for ``raw_shape``."""
+    return _stage_input_shape_for_phase(raw_shape, settings)

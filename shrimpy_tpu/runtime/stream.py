@@ -1,0 +1,311 @@
+"""Streaming reconstruction of an OME-Zarr store over a device mesh.
+
+The TPU-native replacement for the reference's offline biahub/HPC
+post-processing fan-out (reference ``docs/data_structure.md:63-66``:
+positions distributed over SLURM jobs) and the DynaTrack worker's
+read-compute-write loop (``worker.py:196-262``):
+
+* the work plan enumerates independent (position, timepoint, channel)
+  volumes — the embarrassingly parallel axis (SURVEY.md §2.9);
+* tensorstore async reads prefetch the next batch while the current one
+  computes (host-side double buffering; tensorstore's C++ thread pool
+  does the blosc-zstd decode, the role acquire-zarr's native writer
+  plays in the reference);
+* batches are device_put with the mesh sharding and run through the
+  fused jit step (:func:`shrimpy_tpu.parallel.build_reconstruct_step`);
+* writes are async and only awaited one batch later;
+* a JSON-lines progress journal makes runs resumable: completed items
+  are skipped on restart (SURVEY.md §5.4 — scan the store for written
+  chunks and continue).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from shrimpy_tpu.config.schemas import ReconstructSettings
+from shrimpy_tpu.io import ngff
+from shrimpy_tpu.ops.deconv import gaussian_psf
+from shrimpy_tpu.ops.phase import compute_transfer_function
+from shrimpy_tpu.parallel.pipeline import build_reconstruct_step, output_shape
+from shrimpy_tpu.utils.timing import StageTimer
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class WorkItem:
+    position: str
+    t: int
+    c: int
+
+    @property
+    def key(self) -> str:
+        return f"{self.position}|{self.t}|{self.c}"
+
+
+def plan_work(
+    store: ngff.NgffStore, settings: ReconstructSettings
+) -> list[WorkItem]:
+    """Enumerate the independent volumes selected by ``settings``."""
+    items: list[WorkItem] = []
+    for pos_key, pos in store.positions().items():
+        if settings.positions is not None and pos_key not in settings.positions:
+            continue
+        t_size, c_size = pos.shape[0], pos.shape[1]
+        names = pos.channel_names or [str(i) for i in range(c_size)]
+        for t in range(t_size):
+            if settings.time_indices is not None and t not in settings.time_indices:
+                continue
+            for c in range(c_size):
+                if settings.channels is not None and names[c] not in settings.channels:
+                    continue
+                items.append(WorkItem(pos_key, t, c))
+    return items
+
+
+def _load_psf(settings: ReconstructSettings) -> np.ndarray | None:
+    if settings.deconvolve is None:
+        return None
+    path = settings.deconvolve.psf_path
+    if path is None:
+        # Default synthetic PSF; real pipelines set psf_path to the
+        # bead-measured PSF (shrimpy_tpu.psf, reference measure_psf.py).
+        return gaussian_psf((9, 15, 15), (1.5, 2.5, 2.5))
+    p = Path(path)
+    if p.suffix == ".npy":
+        return np.load(p).astype(np.float32)
+    pos = ngff.open_ngff(p).position()
+    return pos.volume(0, 0).astype(np.float32)
+
+
+def _create_output_store(
+    in_store: ngff.NgffStore,
+    out_path: Path,
+    settings: ReconstructSettings,
+    out_zyx: tuple[int, int, int],
+    out_voxel: tuple[float, float, float],
+    items: list[WorkItem],
+):
+    """Mirror the input layout (FOV or HCS) for the reconstructed data."""
+    dtype = settings.output_dtype
+    positions_out: dict[str, ngff.NgffPosition] = {}
+    by_pos: dict[str, list[WorkItem]] = {}
+    for it in items:
+        by_pos.setdefault(it.position, []).append(it)
+
+    if in_store.is_plate:
+        first = next(iter(in_store.positions().values()))
+        names = first.channel_names
+        out_store = ngff.create_hcs(
+            out_path, channel_names=names, version=in_store.version
+        )
+        for pos_key in by_pos:
+            in_pos = in_store.positions()[pos_key]
+            row, col, fov = pos_key.split("/")
+            pos = out_store.create_position(
+                row, col, fov, channel_names=in_pos.channel_names, zyx_scale=out_voxel
+            )
+            pos.create_array(
+                (in_pos.shape[0], in_pos.shape[1], *out_zyx), dtype=dtype
+            )
+            positions_out[pos_key] = pos
+    else:
+        in_pos = in_store.position()
+        pos = ngff.create_fov(
+            out_path,
+            shape=(in_pos.shape[0], in_pos.shape[1], *out_zyx),
+            dtype=dtype,
+            channel_names=in_pos.channel_names,
+            zyx_scale=out_voxel,
+            version=in_store.version,
+        )
+        positions_out[ngff.DEFAULT_POSITION_KEY] = pos
+    return positions_out
+
+
+def _as_output_dtype(batch: np.ndarray, dtype: str) -> np.ndarray:
+    if dtype == "uint16":
+        return np.clip(batch, 0, 65535).astype(np.uint16)
+    return batch.astype(np.float32)
+
+
+class _Progress:
+    """JSON-lines journal of completed work items (resume support)."""
+
+    def __init__(self, path: Path):
+        self.path = path
+        self.done: set[str] = set()
+        if path.exists():
+            for line in path.read_text().splitlines():
+                try:
+                    self.done.add(json.loads(line)["key"])
+                except (json.JSONDecodeError, KeyError):
+                    continue
+
+    def mark(self, items: list[WorkItem]) -> None:
+        with open(self.path, "a") as f:
+            for it in items:
+                f.write(json.dumps({"key": it.key}) + "\n")
+                self.done.add(it.key)
+
+
+def reconstruct_store(
+    input_path: str | Path,
+    output_path: str | Path,
+    settings: ReconstructSettings,
+    *,
+    mesh=None,
+    batch_size: int | None = None,
+    resume: bool = False,
+    timer: StageTimer | None = None,
+) -> dict:
+    """Reconstruct every selected volume of ``input_path`` into
+    ``output_path``; returns a summary dict.
+
+    ``batch_size`` defaults to the mesh device count (or 1). With
+    ``resume=True``, previously completed items (per the progress
+    journal sidecar) are skipped.
+    """
+    input_path, output_path = Path(input_path), Path(output_path)
+    timer = timer or StageTimer()
+    in_store = ngff.open_ngff(input_path)
+    items = plan_work(in_store, settings)
+    if not items:
+        raise ValueError(f"no work selected in {input_path}")
+
+    first_pos = in_store.positions()[items[0].position]
+    raw_zyx = tuple(first_pos.shape[2:])
+    raw_scale = first_pos.zyx_scale
+
+    out_zyx = output_shape(raw_zyx, settings)
+    if settings.deskew is not None:
+        from shrimpy_tpu.ops.deskew import get_deskewed_shape
+
+        _, out_voxel = get_deskewed_shape(
+            raw_zyx, settings.deskew, pixel_size_um=raw_scale[1]
+        )
+    else:
+        out_voxel = raw_scale
+
+    n_dev = mesh.devices.size if mesh is not None else 1
+    batch_size = batch_size or n_dev
+    if mesh is not None:
+        # The batch axis shards over the mesh: round up to a multiple of
+        # the mesh's batch dimension (short batches are zero-padded).
+        batch_axis = mesh.devices.shape[0]
+        batch_size = -(-batch_size // batch_axis) * batch_axis
+
+    progress_path = output_path.with_suffix(output_path.suffix + ".progress.jsonl")
+    if not resume and progress_path.exists():
+        progress_path.unlink()
+    progress = _Progress(progress_path)
+    todo = [it for it in items if it.key not in progress.done]
+
+    positions_out = None
+    if not output_path.exists():
+        positions_out = _create_output_store(
+            in_store, output_path, settings, out_zyx, out_voxel, items
+        )
+    else:
+        positions_out = {
+            k: v
+            for k, v in ngff.open_ngff(output_path).positions().items()
+            if k in {it.position for it in items}
+        }
+
+    psf = _load_psf(settings)
+    tf_arr = jnp.zeros((2, 1, 1, 1), jnp.float32)
+    if settings.phase is not None:
+        from shrimpy_tpu.ops.phase import tf_as_real
+        from shrimpy_tpu.parallel.pipeline import _stage_input_shape_for_phase
+
+        tfs = settings.phase.transfer_function
+        ph_shape = _stage_input_shape_for_phase(raw_zyx, settings)
+        tf_arr = jnp.asarray(
+            tf_as_real(
+                compute_transfer_function(
+                    (ph_shape[0] + 2 * tfs.z_padding, *ph_shape[1:]), tfs
+                )
+            )
+        )
+
+    step = build_reconstruct_step(settings, psf=psf, mesh=mesh, donate=False)
+    sharding = (
+        NamedSharding(mesh, P("batch", None, None, "space")) if mesh is not None else None
+    )
+
+    in_positions = in_store.positions()
+    batches = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
+
+    #
+
+    def start_reads(batch: list[WorkItem]):
+        return [
+            in_positions[it.position].read_async((it.t, it.c)) for it in batch
+        ]
+
+    pending_writes: list = []
+    read_futures = start_reads(batches[0]) if batches else []
+    n_done = 0
+    for bi, batch in enumerate(batches):
+        with timer.stage("read"):
+            vols = [np.asarray(f.result(), dtype=np.float32) for f in read_futures]
+        # Prefetch the next batch while this one computes.
+        if bi + 1 < len(batches):
+            read_futures = start_reads(batches[bi + 1])
+
+        with timer.stage("h2d"):
+            pad = batch_size - len(vols)
+            stacked = np.stack(vols + [np.zeros(raw_zyx, np.float32)] * pad)
+            device_batch = (
+                jax.device_put(stacked, sharding)
+                if sharding is not None
+                else jnp.asarray(stacked)
+            )
+        with timer.stage("compute"):
+            out = step(device_batch, tf_arr)
+            out_host = np.asarray(out)[: len(vols)]
+
+        with timer.stage("write"):
+            # Await the previous batch's writes before issuing new ones
+            # (bounded in-flight, one batch deep).
+            for fut in pending_writes:
+                fut.result()
+            pending_writes = []
+            out_cast = _as_output_dtype(out_host, settings.output_dtype)
+            for it, vol in zip(batch, out_cast):
+                pending_writes.append(
+                    positions_out[it.position].write_async((it.t, it.c), vol)
+                )
+        progress.mark(batch)
+        n_done += len(batch)
+        logger.info("reconstructed %d/%d volumes", n_done, len(todo))
+
+    for fut in pending_writes:
+        fut.result()
+
+    summary = {
+        "input": str(input_path),
+        "output": str(output_path),
+        "volumes": n_done,
+        "skipped_resume": len(items) - len(todo),
+        "raw_shape": raw_zyx,
+        "out_shape": out_zyx,
+        "out_voxel_um": tuple(float(v) for v in out_voxel),
+        "stages": timer.as_dict(),
+    }
+    (output_path / "reconstruct_summary.json").parent.mkdir(
+        parents=True, exist_ok=True
+    )
+    with open(output_path / "reconstruct_summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary

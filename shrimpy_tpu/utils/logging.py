@@ -1,0 +1,74 @@
+"""Logging bootstrap (reference ``shrimpy/_logging.py`` parity).
+
+Console INFO / file DEBUG with distinct formatters, timestamped
+per-acquisition log files under ``<output>/logs/``, and environment
+provenance logging — the observable behaviors of the reference's
+fileConfig-based setup (``_logging.py:23-89``, ``config/logging.ini``).
+"""
+
+from __future__ import annotations
+
+import logging
+import logging.handlers
+import sys
+import time
+from pathlib import Path
+
+CONSOLE_FORMAT = "%(levelname).4s %(name)s: %(message)s"
+FILE_FORMAT = "%(asctime)s %(levelname)-8s %(name)s [%(processName)s] %(message)s"
+
+_ROOT = "shrimpy_tpu"
+
+
+def configure_logging(
+    level: int = logging.INFO,
+    *,
+    log_dir: str | Path | None = None,
+    acquisition_name: str | None = None,
+) -> Path | None:
+    """Configure console logging; optionally add a per-acquisition file.
+
+    Returns the log file path when ``log_dir`` is given. Repeated calls
+    reconfigure idempotently (handlers are replaced, not stacked).
+    """
+    logger = logging.getLogger(_ROOT)
+    logger.setLevel(logging.DEBUG)
+    logger.propagate = False
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+
+    console = logging.StreamHandler(sys.stderr)
+    console.setLevel(level)
+    console.setFormatter(logging.Formatter(CONSOLE_FORMAT))
+    logger.addHandler(console)
+
+    if log_dir is None:
+        return None
+    log_dir = Path(log_dir) / "logs"
+    log_dir.mkdir(parents=True, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%S")
+    name = acquisition_name or "shrimpy_tpu"
+    log_file = log_dir / f"{stamp}_{name}.log"
+    fh = logging.FileHandler(log_file)
+    fh.setLevel(logging.DEBUG)  # file gets DEBUG, console stays at `level`
+    fh.setFormatter(logging.Formatter(FILE_FORMAT))
+    logger.addHandler(fh)
+    log_environment(logger)
+    return log_file
+
+
+def log_environment(logger: logging.Logger) -> None:
+    """Environment provenance (reference ``_logging.py:92-136``)."""
+    import platform
+
+    logger.debug("python %s on %s", sys.version.split()[0], platform.platform())
+    try:
+        import jax
+
+        logger.debug(
+            "jax %s devices=%s",
+            jax.__version__,
+            [str(d) for d in jax.devices()],
+        )
+    except Exception:  # jax backend may not be initializable yet
+        logger.debug("jax devices unavailable at configure time")

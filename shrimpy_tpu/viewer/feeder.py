@@ -1,0 +1,167 @@
+"""Viewer feeder: acquisition-side bridge to the monitor process.
+
+Parity with the reference's ``ViewerFeeder`` (``viewer/feeder.py``):
+never blocks and never raises into the acquisition (``feeder.py:9-13``),
+drops frames when the monitor falls behind (bounded queue,
+``:34-42``), sizes the shared-memory ring from a MB budget
+(``:178-210``), and runs the consumer in a separate process for crash
+isolation. The consumer here is a headless monitor that renders PNG
+previews (mid-slice + max-projection) instead of the reference's napari
+process — the hardware-free equivalent for TPU pods.
+"""
+
+from __future__ import annotations
+
+import logging
+import multiprocessing as mp
+import queue as queue_mod
+from pathlib import Path
+
+import numpy as np
+
+from shrimpy_tpu.viewer.ring import FrameRing
+
+logger = logging.getLogger(__name__)
+
+QUEUE_MAX = 16384  # reference feeder.py:34-42
+
+
+class ViewerFeeder:
+    """Publish acquired volumes to a monitor subprocess, best-effort."""
+
+    def __init__(
+        self,
+        *,
+        frame_shape: tuple[int, int],
+        cache_mb: float = 512.0,
+        preview_dir: str | Path | None = None,
+        preview_interval_s: float = 0.5,
+    ):
+        self.frame_shape = tuple(frame_shape)
+        self.n_slots = FrameRing.slots_for_budget(cache_mb, self.frame_shape)
+        self.ring: FrameRing | None = None
+        self.preview_dir = Path(preview_dir) if preview_dir else None
+        self.preview_interval_s = preview_interval_s
+        self._queue: mp.Queue | None = None
+        self._proc: mp.Process | None = None
+        self._seq = 0
+        self.dropped = 0
+
+    # -- lifecycle -----------------------------------------------------------
+    def start(self) -> None:
+        self.ring = FrameRing(
+            None, n_slots=self.n_slots, frame_shape=self.frame_shape
+        )
+        ctx = mp.get_context("spawn")
+        self._queue = ctx.Queue(maxsize=QUEUE_MAX)
+        self._proc = ctx.Process(
+            target=_monitor_main,
+            args=(
+                self.ring.name,
+                self.n_slots,
+                self.frame_shape,
+                str(self.preview_dir) if self.preview_dir else None,
+                self.preview_interval_s,
+                self._queue,
+            ),
+            daemon=True,
+        )
+        self._proc.start()
+        logger.info(
+            "viewer feeder: ring %s (%d slots), monitor pid=%s",
+            self.ring.name,
+            self.n_slots,
+            self._proc.pid,
+        )
+
+    def stop(self) -> None:
+        if self._queue is not None:
+            try:
+                self._queue.put_nowait(None)
+            except queue_mod.Full:
+                pass
+        if self._proc is not None:
+            self._proc.join(timeout=5)
+            if self._proc.is_alive():
+                self._proc.terminate()
+        if self.ring is not None:
+            self.ring.close()
+
+    # -- acquisition-side hook (never raises: feeder.py:9-13) ----------------
+    def on_volume(self, vol: np.ndarray, t: int, p, channel: str) -> None:
+        """Engine viewer hook: publish each z-plane + a volume message."""
+        try:
+            if self.ring is None or self._queue is None:
+                return
+            slots = []
+            for z in range(vol.shape[0]):
+                slots.append(self.ring.write(self._seq, vol[z]))
+                self._seq += 1
+            try:
+                self._queue.put_nowait(
+                    {"type": "volume", "t": t, "p": str(p), "channel": channel,
+                     "slots": slots, "shape": tuple(vol.shape)}
+                )
+            except queue_mod.Full:
+                self.dropped += 1
+        except Exception:
+            logger.exception("viewer feeder failed (ignored)")
+
+
+def _monitor_main(
+    ring_name: str,
+    n_slots: int,
+    frame_shape: tuple[int, int],
+    preview_dir: str | None,
+    interval_s: float,
+    q: mp.Queue,
+) -> None:
+    """Monitor subprocess: drain messages, render PNG previews."""
+    import time
+
+    ring = FrameRing(
+        ring_name, n_slots=n_slots, frame_shape=frame_shape, create=False
+    )
+    out_dir = Path(preview_dir) if preview_dir else None
+    if out_dir:
+        out_dir.mkdir(parents=True, exist_ok=True)
+    last_render = 0.0
+    try:
+        while True:
+            msg = q.get()
+            if msg is None:
+                break
+            if msg["type"] != "volume":
+                continue
+            now = time.monotonic()
+            if out_dir is None or now - last_render < interval_s:
+                continue
+            last_render = now
+            _render_preview(ring, msg, out_dir)
+    finally:
+        ring.close()
+
+
+def _render_preview(ring: FrameRing, msg: dict, out_dir: Path) -> None:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        slots = msg["slots"]
+        mid_seq, mid = ring.read(slots[len(slots) // 2])
+        planes = [ring.read(s)[1] for s in slots]
+        mproj = np.max(np.stack(planes), axis=0)
+        fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+        axes[0].imshow(mid, cmap="gray")
+        axes[0].set_title(f"mid z  t={msg['t']} {msg['channel']}")
+        axes[1].imshow(mproj, cmap="magma")
+        axes[1].set_title("max projection")
+        for ax in axes:
+            ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(out_dir / f"preview_p{msg['p']}_{msg['channel']}.png", dpi=72)
+        plt.close(fig)
+    except Exception:  # pragma: no cover - best-effort preview
+        logging.getLogger(__name__).exception("preview render failed")

@@ -1,0 +1,110 @@
+"""POSIX shared-memory frame ring (reference ``viewer/ring_buffer.py``).
+
+One slot per frame; writers overwrite the oldest slot; readers may
+observe a slot mid-overwrite — explicitly accepted for best-effort
+preview, exactly the reference's contract (``ring_buffer.py:10-12``).
+A per-slot sequence counter lets readers detect torn frames after the
+fact. ``read_rows`` gathers a single tilt row across all scan slots for
+the live deskew preview at a fraction of the volume's footprint
+(``ring_buffer.py:98-112``).
+"""
+
+from __future__ import annotations
+
+import logging
+from multiprocessing import shared_memory
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_HEADER_DTYPE = np.int64  # per-slot sequence number
+
+
+class FrameRing:
+    """Fixed-capacity ring of equally-shaped frames in shared memory."""
+
+    def __init__(
+        self,
+        name: str | None,
+        *,
+        n_slots: int,
+        frame_shape: tuple[int, int],
+        dtype: str = "float32",
+        create: bool = True,
+    ):
+        self.n_slots = int(n_slots)
+        self.frame_shape = tuple(frame_shape)
+        self.dtype = np.dtype(dtype)
+        frame_bytes = int(np.prod(self.frame_shape)) * self.dtype.itemsize
+        header_bytes = self.n_slots * np.dtype(_HEADER_DTYPE).itemsize
+        total = header_bytes + self.n_slots * frame_bytes
+        if create:
+            self.shm = shared_memory.SharedMemory(create=True, size=total, name=name)
+        else:
+            assert name is not None
+            self.shm = shared_memory.SharedMemory(name=name)
+        self._seq = np.ndarray(
+            (self.n_slots,), dtype=_HEADER_DTYPE, buffer=self.shm.buf[:header_bytes]
+        )
+        self._frames = np.ndarray(
+            (self.n_slots, *self.frame_shape),
+            dtype=self.dtype,
+            buffer=self.shm.buf[header_bytes:],
+        )
+        if create:
+            self._seq[:] = -1
+        self._owner = create
+
+    @property
+    def name(self) -> str:
+        return self.shm.name
+
+    # -- write side ----------------------------------------------------------
+    def write(self, seq: int, frame: np.ndarray) -> int:
+        """Write frame with global sequence ``seq``; returns the slot."""
+        slot = seq % self.n_slots
+        self._seq[slot] = -1  # torn-frame marker while writing
+        self._frames[slot] = frame
+        self._seq[slot] = seq
+        return slot
+
+    # -- read side -----------------------------------------------------------
+    def read(self, slot: int) -> tuple[int, np.ndarray]:
+        """(sequence, frame copy); sequence -1 marks a torn slot."""
+        seq = int(self._seq[slot])
+        frame = self._frames[slot].copy()
+        # Torn if overwritten while copying.
+        if int(self._seq[slot]) != seq:
+            seq = -1
+        return seq, frame
+
+    def latest(self) -> tuple[int, np.ndarray] | None:
+        if self._seq.max() < 0:
+            return None
+        return self.read(int(np.argmax(self._seq)))
+
+    def read_rows(self, row: int, slots: list[int]) -> np.ndarray:
+        """Gather one Y-row from each listed slot -> (len(slots), X).
+
+        The deskew-preview gather: one tilt row across the scan stack
+        (~MBs instead of ~GBs, reference ``ring_buffer.py:98-112``).
+        """
+        return np.stack([self._frames[s, row, :].copy() for s in slots])
+
+    # -- lifecycle -----------------------------------------------------------
+    def close(self) -> None:
+        self.shm.close()
+        if self._owner:
+            try:
+                self.shm.unlink()
+            except FileNotFoundError:
+                pass
+
+    @staticmethod
+    def slots_for_budget(
+        cache_mb: float, frame_shape: tuple[int, int], dtype: str = "float32"
+    ) -> int:
+        """Slot count for a memory budget (reference ``feeder.py:178-210``)."""
+        frame_bytes = int(np.prod(frame_shape)) * np.dtype(dtype).itemsize
+        return max(2, int(cache_mb * 1024 * 1024 / max(frame_bytes, 1)))

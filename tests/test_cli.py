@@ -1,0 +1,111 @@
+"""CLI surface: verbs, help, end-to-end store reconstruction.
+
+Mirrors the reference's CliRunner tests (``tests/test_cli.py:16-48``).
+"""
+
+import json
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from shrimpy_tpu.cli.main import cli
+from shrimpy_tpu.io.ngff import open_ngff
+from shrimpy_tpu.io.synthetic import synthetic_blob_fov, synthetic_ls_stack
+
+
+@pytest.fixture()
+def runner():
+    return CliRunner()
+
+
+def test_help_lists_verbs(runner):
+    result = runner.invoke(cli, ["--help"])
+    assert result.exit_code == 0
+    for verb in (
+        "deskew", "deconvolve", "phase", "reconstruct", "register",
+        "track", "replay", "info",
+    ):
+        assert verb in result.output
+
+
+def test_version(runner):
+    result = runner.invoke(cli, ["--version"])
+    assert result.exit_code == 0
+    assert "0.1.0" in result.output
+
+
+def test_info(runner, tmp_path):
+    synthetic_ls_stack(tmp_path / "ls.zarr", raw_shape_szx=(32, 24, 16))
+    result = runner.invoke(cli, ["info", str(tmp_path / "ls.zarr")])
+    assert result.exit_code == 0, result.output
+    payload = json.loads(result.output)
+    assert payload["layout"] == "fov"
+    assert payload["positions"]["0"]["shape_tczyx"] == [1, 1, 32, 24, 16]
+
+
+def test_deskew_verb_end_to_end(runner, tmp_path):
+    synthetic_ls_stack(tmp_path / "ls.zarr", raw_shape_szx=(48, 32, 32))
+    out = tmp_path / "out.zarr"
+    result = runner.invoke(
+        cli, ["deskew", str(tmp_path / "ls.zarr"), "-o", str(out)]
+    )
+    assert result.exit_code == 0, result.output
+    pos = open_ngff(out).position()
+    assert pos.shape[0] == 1
+    assert np.asarray(pos.volume(0, 0)).max() > 0
+
+
+def test_track_verb(runner, tmp_path):
+    synthetic_blob_fov(tmp_path / "tl.zarr", n_timepoints=3, shape_zyx=(8, 32, 32))
+    cfg = tmp_path / "track.yml"
+    cfg.write_text(
+        "input_channel: BF\ntracking_channel: BF\ntracking_method: pcc\n"
+    )
+    out_csv = tmp_path / "shifts.csv"
+    result = runner.invoke(
+        cli,
+        ["track", str(tmp_path / "tl.zarr"), "-c", str(cfg), "-o", str(out_csv)],
+    )
+    assert result.exit_code == 0, result.output
+    assert out_csv.exists()
+    assert len(out_csv.read_text().splitlines()) == 4  # header + 3
+
+
+def test_replay_verb(runner, tmp_path):
+    synthetic_blob_fov(tmp_path / "src.zarr", n_timepoints=2, shape_zyx=(4, 16, 16))
+    result = runner.invoke(
+        cli,
+        ["replay", str(tmp_path / "src.zarr"), "-o", str(tmp_path / "out"), "-n", "demo"],
+    )
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / "out" / "demo.zarr").exists()
+    assert (tmp_path / "out" / "demo_summary_metadata.json").exists()
+
+
+def test_register_verb(runner, tmp_path):
+    from shrimpy_tpu.io.ngff import create_fov
+    from shrimpy_tpu.io.synthetic import gaussian_blob
+
+    pos = create_fov(
+        tmp_path / "two.zarr", shape=(1, 2, 12, 32, 32), dtype="float32",
+        channel_names=["phase", "gfp"],
+    )
+    fixed = gaussian_blob((12, 32, 32), (6.0, 16.0, 16.0), (2.0, 3.0, 3.0))
+    moving = gaussian_blob((12, 32, 32), (7.0, 14.0, 19.0), (2.0, 3.0, 3.0))
+    pos.write((0, 0), fixed)
+    pos.write((0, 1), moving)
+    out = tmp_path / "transform.json"
+    result = runner.invoke(
+        cli,
+        [
+            "register", str(tmp_path / "two.zarr"),
+            "--fixed-channel", "phase", "--moving-channel", "gfp",
+            "--method", "pcc", "-o", str(out),
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    transform = json.loads(out.read_text())
+    np.testing.assert_allclose(
+        transform["translation_seed_zyx"], [1.0, -2.0, 3.0], atol=0.5
+    )

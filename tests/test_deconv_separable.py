@@ -1,0 +1,111 @@
+"""Separable (circulant-matmul) RL path: oracle parity + dispatch rules."""
+
+import numpy as np
+import pytest
+from scipy.signal import fftconvolve
+
+from shrimpy_tpu.config import DeconvolveSettings
+from shrimpy_tpu.io.synthetic import gaussian_blob
+from shrimpy_tpu.ops.deconv import (
+    gaussian_psf,
+    richardson_lucy,
+    richardson_lucy_reference_separable,
+    separable_decompose,
+)
+
+
+def _scene(rng, shape=(20, 40, 40)):
+    truth = gaussian_blob(shape, (10.0, 18.0, 24.0), (1.2, 1.8, 1.8), amplitude=400.0)
+    psf = gaussian_psf((7, 13, 13), (1.2, 2.0, 2.0))
+    blurred = np.clip(
+        fftconvolve(truth, psf, mode="same") + rng.normal(0, 0.2, shape), 0, None
+    ).astype(np.float32)
+    return truth, psf, blurred
+
+
+def test_gaussian_psf_is_rank_one():
+    psf = gaussian_psf((7, 13, 13), (1.2, 2.0, 2.0))
+    terms = separable_decompose(psf, tol=1e-4, max_terms=6)
+    assert terms is not None and len(terms) == 1
+    wz, wy, wx = terms[0]
+    recon = np.einsum("z,y,x->zyx", wz, wy, wx)
+    assert np.abs(recon - psf).max() <= 1e-6
+
+
+def test_random_psf_is_not_separable(rng):
+    psf = rng.random((5, 7, 7), dtype=np.float32)
+    assert separable_decompose(psf, tol=1e-4, max_terms=3) is None
+    with pytest.raises(ValueError, match="separable"):
+        richardson_lucy(
+            rng.random((8, 16, 16), dtype=np.float32),
+            psf,
+            DeconvolveSettings(algorithm="separable"),
+        )
+
+
+def test_separable_matches_fp64_oracle(rng):
+    truth, psf, blurred = _scene(rng)
+    settings = DeconvolveSettings(algorithm="separable", iterations=10)
+    ours = np.asarray(richardson_lucy(blurred, psf, settings))
+    oracle = richardson_lucy_reference_separable(blurred, psf, iterations=10)
+    err = np.abs(ours - oracle).max() / np.abs(oracle).max()
+    assert err <= 1e-3, f"relative max abs err {err:.2e}"
+
+
+def test_separable_agrees_with_fft_path(rng):
+    """Same PSF, same scene: the two algorithms must agree in the
+    interior (boundary grids differ, rim excluded)."""
+    truth, psf, blurred = _scene(rng)
+    sep = np.asarray(
+        richardson_lucy(blurred, psf, DeconvolveSettings(algorithm="separable", iterations=8))
+    )
+    fft = np.asarray(
+        richardson_lucy(blurred, psf, DeconvolveSettings(algorithm="fft", iterations=8))
+    )
+    interior = (slice(4, -4),) * 3
+    scale = np.abs(fft[interior]).max()
+    err = np.abs(sep[interior] - fft[interior]).max() / scale
+    assert err <= 5e-3, f"interior disagreement {err:.2e}"
+
+
+def test_auto_dispatch_uses_separable_for_gaussian(rng):
+    truth, psf, blurred = _scene(rng)
+    auto = np.asarray(richardson_lucy(blurred, psf, DeconvolveSettings(iterations=6)))
+    sep = np.asarray(
+        richardson_lucy(blurred, psf, DeconvolveSettings(algorithm="separable", iterations=6))
+    )
+    np.testing.assert_allclose(auto, sep, rtol=1e-5, atol=1e-5)
+
+
+def test_separable_sharpens(rng):
+    truth, psf, blurred = _scene(rng)
+    out = np.asarray(
+        richardson_lucy(blurred, psf, DeconvolveSettings(algorithm="separable", iterations=20))
+    )
+    assert float(np.mean((out - truth) ** 2)) < 0.5 * float(
+        np.mean((blurred - truth) ** 2)
+    )
+    assert np.all(out >= 0.0)
+
+
+def test_banded_path_matches_dense(rng, monkeypatch):
+    """Force the block-banded scheme on a small volume: it must equal
+    the dense circulant result exactly (same linear operator)."""
+    import shrimpy_tpu.ops.deconv as dc
+
+    truth, psf, blurred = _scene(rng, shape=(12, 40, 40))
+    settings = DeconvolveSettings(algorithm="separable", iterations=5)
+    dense = np.asarray(richardson_lucy(blurred, psf, settings))
+
+    monkeypatch.setattr(dc, "_DENSE_MAX", 24)
+    monkeypatch.setattr(dc, "_BLOCK", 16)
+    banded = np.asarray(richardson_lucy(blurred, psf, settings))
+    # Grids differ (block rounding adds pad), so compare via the fp64
+    # oracle of the banded grid instead of bitwise vs dense.
+    oracle = richardson_lucy_reference_separable(blurred, psf, iterations=5)
+    err_b = np.abs(banded - oracle).max() / np.abs(oracle).max()
+    assert err_b <= 1e-3, f"banded vs oracle {err_b:.2e}"
+    # And the two device paths agree closely in the interior.
+    interior = (slice(3, -3),) * 3
+    err_d = np.abs(banded[interior] - dense[interior]).max() / np.abs(dense).max()
+    assert err_d <= 5e-3, f"banded vs dense interior {err_d:.2e}"

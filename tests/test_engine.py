@@ -1,0 +1,163 @@
+"""Acquisition engine: replay, SkipEvent zero-padding, naming, tracking.
+
+Mirrors the reference's integration tier
+(``tests/test_mantis_integration.py:93-292``,
+``tests/test_dynatrack_manager.py:508+``) on coordinate-encoded and
+drifting-blob fixtures.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from shrimpy_tpu.engine import AcquisitionEngine, AcquisitionPlan, ReplaySource
+from shrimpy_tpu.engine.engine import resolve_acquisition_name
+from shrimpy_tpu.io.ngff import open_ngff
+from shrimpy_tpu.io.synthetic import (
+    coordinate_encoded_fov,
+    coordinate_encoded_plate,
+    coordinate_encoded_value,
+    synthetic_blob_fov,
+)
+
+
+@pytest.fixture()
+def fov_source(tmp_path):
+    coordinate_encoded_fov(tmp_path / "src.zarr", shape=(2, 2, 4, 16, 16))
+    return ReplaySource(tmp_path / "src.zarr")
+
+
+def test_replay_source_serves_encoded_values(fov_source):
+    vol = fov_source.volume("0", t=1, c=1)
+    assert vol[2, 0, 0] == coordinate_encoded_value(0, 1, 1, 2)
+    # timepoint wrap-around
+    vol = fov_source.volume("0", t=3, c=0)
+    assert vol[0, 0, 0] == coordinate_encoded_value(0, 1, 0, 0)
+
+
+def test_basic_acquisition_roundtrip(tmp_path, fov_source):
+    plan = AcquisitionPlan(time={"n_timepoints": 2})
+    out = AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+    store = open_ngff(out)
+    pos = store.position()
+    assert pos.shape == (2, 2, 4, 16, 16)
+    data = pos.read()
+    for t in range(2):
+        for c in range(2):
+            for z in range(4):
+                assert data[t, c, z, 0, 0] == coordinate_encoded_value(0, t, c, z)
+    summary = json.loads(
+        (tmp_path / "out" / "acq_summary_metadata.json").read_text()
+    )
+    assert summary["volumes_acquired"] == 4
+    assert summary["skipped_autofocus"] == []
+
+
+def test_name_auto_increment(tmp_path, fov_source):
+    plan = AcquisitionPlan()
+    eng = AcquisitionEngine(fov_source)
+    out1 = eng.acquire(tmp_path / "out", "acq", plan)
+    out2 = eng.acquire(tmp_path / "out", "acq", plan)
+    assert out1.name == "acq.zarr"
+    assert out2.name == "acq_1.zarr"
+    assert resolve_acquisition_name(tmp_path / "out", "acq") == "acq_2"
+
+
+def test_autofocus_failure_zero_pads_on_disk(tmp_path, fov_source):
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 2},
+        autofocus={"enabled": True, "fail_at_indices": [1]},  # t=1, p=0
+    )
+    out = AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+    data = open_ngff(out).position().read()
+    # t=0 intact, t=1 zero-padded (read back from disk, as the reference
+    # integration test verifies).
+    assert data[0, 0, 0, 0, 0] == coordinate_encoded_value(0, 0, 0, 0)
+    assert np.all(data[1] == 0)
+    summary = json.loads((tmp_path / "out" / "acq_summary_metadata.json").read_text())
+    assert summary["skipped_autofocus"] == [[1, "0"]]
+
+
+def test_hcs_plate_acquisition(tmp_path):
+    coordinate_encoded_plate(
+        tmp_path / "plate.zarr", n_positions=2, shape_tczyx=(1, 1, 3, 8, 8)
+    )
+    source = ReplaySource(tmp_path / "plate.zarr")
+    out = AcquisitionEngine(source).acquire(
+        tmp_path / "out", "plate_acq", AcquisitionPlan()
+    )
+    store = open_ngff(out)
+    assert store.is_plate
+    keys = sorted(store.positions())
+    assert keys == ["0/0/000", "0/1/001"]
+    for p, key in enumerate(keys):
+        data = store.positions()[key].read()
+        assert data[0, 0, 1, 0, 0] == coordinate_encoded_value(p, 0, 0, 1)
+
+
+def test_viewer_hook_errors_are_contained(tmp_path, fov_source):
+    calls = []
+
+    def bad_hook(vol, t, p, channel):
+        calls.append((t, channel))
+        raise RuntimeError("viewer crashed")
+
+    out = AcquisitionEngine(fov_source, viewer_hooks=[bad_hook]).acquire(
+        tmp_path / "out", "acq", AcquisitionPlan()
+    )
+    assert out.exists()
+    assert len(calls) == 2  # one per channel, errors swallowed
+
+
+def test_tracking_recenters_drifting_blob(tmp_path):
+    """End-to-end DynaTrack loop closure: with tracking enabled, the
+    corrected stage offsets follow the drift so later volumes are
+    re-centered (the reference's 'positions actually shift' test)."""
+    synthetic_blob_fov(
+        tmp_path / "drift.zarr",
+        shape_zyx=(8, 48, 48),
+        n_timepoints=4,
+        drift_zyx=(0.0, 4.0, -6.0),
+        noise=0.5,
+        zyx_scale=(1.0, 1.0, 1.0),
+    )
+    source = ReplaySource(tmp_path / "drift.zarr")
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 4},
+        metadata={
+            "dynatrack": {
+                "input_channel": "BF",
+                "tracking_channel": "BF",
+                "tracking_method": "pcc",
+                # Demo geometry: moving the simulated stage +d shifts the
+                # displayed image -d, so image axes map to stage axes
+                # with a sign flip (the reference's configurable
+                # image_to_stage matrix exists for exactly this).
+                "image_to_stage_matrix_xyz": [
+                    [-1.0, 0.0, 0.0],
+                    [0.0, -1.0, 0.0],
+                    [0.0, 0.0, -1.0],
+                ],
+            }
+        },
+    )
+    engine = AcquisitionEngine(source)
+    out = engine.acquire(tmp_path / "out", "tracked", plan)
+
+    # The shift journal recorded per-timepoint corrections.
+    journal = (tmp_path / "out" / "dynatrack_log.csv").read_text().splitlines()
+    assert len(journal) == 1 + 4  # header + 4 timepoints
+
+    # The stage ended up following the accumulated drift (x drifts -6/t,
+    # stage correction is cumulative and negative of centering error).
+    pos = engine._tracking.store.get("0") if engine._tracking else None
+    data = open_ngff(out).position().read()
+    # Tracked volumes at late timepoints are re-centered: the blob peak
+    # should be closer to center than the uncorrected drift (3*(4,-6)).
+    t3 = data[3, 0]
+    peak = np.unravel_index(np.argmax(t3), t3.shape)
+    center = np.array([4, 24, 24])
+    uncorrected_err = np.linalg.norm([0, 3 * 4.0, 3 * -6.0])
+    corrected_err = np.linalg.norm(np.array(peak) - center)
+    assert corrected_err < uncorrected_err, (peak, uncorrected_err)

@@ -1,0 +1,89 @@
+"""Streaming runtime: store-to-store reconstruction, resume, HCS fan-out."""
+
+import json
+
+import numpy as np
+import pytest
+
+from shrimpy_tpu.config import DeconvolveSettings, DeskewSettings, ReconstructSettings
+from shrimpy_tpu.io.ngff import create_fov, create_hcs, open_ngff
+from shrimpy_tpu.io.synthetic import synthetic_ls_stack
+from shrimpy_tpu.ops.deskew import deskew_volume
+from shrimpy_tpu.parallel import make_mesh
+from shrimpy_tpu.runtime import plan_work, reconstruct_store
+
+DESKEW = DeskewSettings(ls_angle_deg=30.0, px_to_scan_ratio=0.386)
+
+
+@pytest.fixture()
+def ls_fov(tmp_path):
+    path = tmp_path / "ls.zarr"
+    synthetic_ls_stack(path, raw_shape_szx=(48, 32, 32))
+    return path
+
+
+def test_plan_work_filters(tmp_path, ls_fov):
+    store = open_ngff(ls_fov)
+    settings = ReconstructSettings(deskew=DESKEW)
+    assert len(plan_work(store, settings)) == 1
+    settings = ReconstructSettings(deskew=DESKEW, time_indices=[5])
+    assert plan_work(store, settings) == []
+
+
+def test_reconstruct_fov_deskew(tmp_path, ls_fov):
+    settings = ReconstructSettings(deskew=DESKEW)
+    summary = reconstruct_store(ls_fov, tmp_path / "out.zarr", settings)
+    assert summary["volumes"] == 1
+
+    out = open_ngff(tmp_path / "out.zarr").position()
+    raw = open_ngff(ls_fov).position().volume(0, 0)
+    expected = np.asarray(deskew_volume(raw, DESKEW))
+    np.testing.assert_allclose(out.volume(0, 0), expected, rtol=1e-5, atol=1e-4)
+    # voxel metadata follows the deskew geometry
+    sz, sy, sx = out.zyx_scale
+    assert sy == pytest.approx(0.116)
+    assert sz == pytest.approx(0.116 * 0.5, rel=1e-3)  # px*sin(30)
+    # summary sidecar on disk
+    sidecar = json.loads((tmp_path / "out.zarr" / "reconstruct_summary.json").read_text())
+    assert sidecar["volumes"] == 1
+
+
+def test_reconstruct_resume_skips_done(tmp_path, ls_fov):
+    settings = ReconstructSettings(deskew=DESKEW)
+    reconstruct_store(ls_fov, tmp_path / "out.zarr", settings)
+    summary = reconstruct_store(
+        ls_fov, tmp_path / "out.zarr", settings, resume=True
+    )
+    assert summary["volumes"] == 0
+    assert summary["skipped_resume"] == 1
+
+
+def test_reconstruct_hcs_plate_sharded(tmp_path, rng):
+    # 2-position plate, 2 timepoints -> 4 volumes over an 8-device mesh.
+    plate = tmp_path / "plate.zarr"
+    store = create_hcs(plate, channel_names=["GFP"])
+    for p in range(2):
+        pos = store.create_position("0", str(p), "000", channel_names=["GFP"])
+        pos.create_array((2, 1, 32, 24, 16), dtype="float32")
+        pos.write(Ellipsis, rng.random((2, 1, 32, 24, 16), dtype=np.float32))
+
+    settings = ReconstructSettings(
+        deskew=DESKEW, deconvolve=DeconvolveSettings(iterations=2)
+    )
+    mesh = make_mesh(8)
+    summary = reconstruct_store(
+        plate, tmp_path / "out.zarr", settings, mesh=mesh, batch_size=4
+    )
+    assert summary["volumes"] == 4
+    out = open_ngff(tmp_path / "out.zarr")
+    assert out.is_plate
+    assert sorted(out.positions()) == ["0/0/000", "0/1/000"]
+    vol = out.positions()["0/1/000"].volume(1, 0)
+    assert np.isfinite(vol).all() and vol.max() > 0
+
+
+def test_uint16_output(tmp_path, ls_fov):
+    settings = ReconstructSettings(deskew=DESKEW, output_dtype="uint16")
+    reconstruct_store(ls_fov, tmp_path / "out.zarr", settings)
+    out = open_ngff(tmp_path / "out.zarr").position()
+    assert out.dtype == np.uint16
