@@ -1,0 +1,13 @@
+.PHONY: test bench lint graft-check
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+graft-check:
+	python __graft_entry__.py
+
+lint:
+	python -m compileall -q shrimpy_tpu tests bench.py __graft_entry__.py

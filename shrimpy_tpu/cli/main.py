@@ -244,6 +244,90 @@ def replay(input, output_dir, name, plan_path):
 
 @cli.command()
 @click.argument("input", type=click.Path(exists=True))
+@click.option("-o", "--output", "psf_out", type=click.Path(), required=True,
+              help="Output PSF path (writes .npy + .json).")
+@click.option("--geometry", type=click.Choice(["epi", "lightsheet"]),
+              default="epi", show_default=True)
+@click.option("--ls-angle-deg", type=float, default=30.0, show_default=True)
+@click.option("--threshold-percentile", type=float, default=99.5, show_default=True)
+def measure_psf(input, psf_out, geometry, ls_angle_deg, threshold_percentile):
+    """Measure a PSF from a bead z-stack store (deskews light-sheet data)."""
+    from shrimpy_tpu.config import DeskewSettings
+    from shrimpy_tpu.io.ngff import open_ngff
+    from shrimpy_tpu.psf import measure_psf as _measure
+
+    deskew_settings = None
+    if geometry == "lightsheet":
+        pos = open_ngff(input).position()
+        sz, sy, _ = pos.zyx_scale
+        deskew_settings = DeskewSettings(
+            ls_angle_deg=ls_angle_deg, pixel_size_um=sy, scan_step_um=sz
+        )
+    report = _measure(
+        input, psf_out, geometry=geometry, deskew=deskew_settings,
+        threshold_percentile=threshold_percentile,
+    )
+    click.echo(json.dumps(report.as_dict(), indent=2))
+
+
+@cli.command()
+@click.argument("input", type=click.Path(exists=True))
+@click.option("--preview-dir", type=click.Path(), default=None,
+              help="Directory for preview PNGs (default: <input>/_preview).")
+@click.option("--interval", type=float, default=2.0, show_default=True,
+              help="Refresh period in seconds.")
+@click.option("--once", is_flag=True, help="Render one snapshot and exit.")
+def monitor(input, preview_dir, interval, once):
+    """Watch a (possibly growing) store: progress stats + preview PNGs.
+
+    The headless counterpart of the reference's live napari viewer
+    (reference ``shrimpy/viewer/_napari_process.py``).
+    """
+    import time as _time
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from shrimpy_tpu.io.ngff import open_ngff
+
+    out_dir = Path(preview_dir) if preview_dir else Path(input) / "_preview"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    while True:
+        store = open_ngff(input)
+        status = {}
+        for key, pos in store.positions().items():
+            data_t = None
+            t_size, c_size = pos.shape[0], pos.shape[1]
+            written = 0
+            for t in range(t_size - 1, -1, -1):
+                vol = pos.volume(t, 0)
+                if np.any(vol):
+                    written = t + 1
+                    data_t = (t, vol)
+                    break
+            status[key] = {"timepoints_written": written, "of": t_size}
+            if data_t is not None:
+                t, vol = data_t
+                mid = vol[vol.shape[0] // 2]
+                fig, ax = plt.subplots(figsize=(4, 4))
+                ax.imshow(mid, cmap="gray")
+                ax.set_title(f"{key} t={t} mid-z")
+                ax.axis("off")
+                fig.savefig(
+                    out_dir / f"{key.replace('/', '_')}.png",
+                    dpi=72, bbox_inches="tight",
+                )
+                plt.close(fig)
+        click.echo(json.dumps(status))
+        if once:
+            break
+        _time.sleep(interval)
+
+
+@cli.command()
+@click.argument("input", type=click.Path(exists=True))
 def info(input):
     """Describe an OME-Zarr store (layout, positions, shapes, scales)."""
     from shrimpy_tpu.io.ngff import open_ngff

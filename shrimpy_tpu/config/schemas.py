@@ -177,6 +177,9 @@ class RegistrationSettings(BaseModel):
     learning_rate: float = 0.05
     loss: Literal["mse", "ncc"] = "ncc"
     downsample_yx: int = 1  # refine on a downsampled grid for speed
+    # Apply-time transform source for the reconstruction pipeline: the
+    # JSON written by the `register` CLI verb ({"matrix_zyx", "offset_zyx"}).
+    transform_path: str | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -269,15 +272,22 @@ class DynaTrackConfig(BaseModel):
                 f"Unknown tracking_method={self.tracking_method!r}; "
                 f"use one of {TRACKING_METHODS}"
             )
-        # Reserved channel names rejected, as in the reference
-        # (tracking.py:180-190).
-        if self.tracking_channel in ("phase", "deskewed") or self.tracking_channel.startswith(
-            "vs_"
-        ):
+        # Channel-name rules (reference tracking.py:180-190): the
+        # intermediate products are not trackable by name; "vs_*" target
+        # channels are valid only when virtual staining is configured.
+        if self.tracking_channel in ("raw", "phase", "deskewed"):
             raise ValueError(
-                f"tracking_channel={self.tracking_channel!r} is reserved; name the "
-                "input channel or a virtual_staining target channel"
+                f"tracking_channel={self.tracking_channel!r} names an "
+                "intermediate product; use the input channel name or a "
+                "virtual_staining target channel"
             )
+        if self.tracking_channel.startswith("vs_"):
+            targets = (self.virtual_staining or {}).get("out_channels", [])
+            if self.tracking_channel not in targets:
+                raise ValueError(
+                    f"tracking_channel={self.tracking_channel!r} is not among "
+                    f"virtual_staining out_channels={targets}"
+                )
         if self.preprocessing:
             allowed = {"deskew", "phase", "vs"}
             unknown = set(self.preprocessing) - allowed

@@ -97,6 +97,32 @@ def _rl_sep_inline(vol, mats, deconv, pads):
     )
 
 
+def _register_fn(settings: ReconstructSettings):
+    """Affine-apply stage from a pre-estimated transform JSON.
+
+    The transform is estimated once via the ``register`` verb
+    (:func:`shrimpy_tpu.ops.register.estimate_registration`) and applied
+    per volume in the fused pipeline — the label-free <-> fluorescence
+    alignment step of BASELINE.json configs[2].
+    """
+    reg = settings.registration
+    if reg is None or reg.transform_path is None:
+        return None
+    import json
+
+    with open(reg.transform_path) as f:
+        transform = json.load(f)
+    matrix = jnp.asarray(np.asarray(transform["matrix_zyx"], np.float32))
+    offset = jnp.asarray(np.asarray(transform["offset_zyx"], np.float32))
+
+    from shrimpy_tpu.ops.register import _affine_apply_jit
+
+    def apply(vol):
+        return _affine_apply_jit(vol, matrix, offset, tuple(vol.shape))
+
+    return apply
+
+
 def _stage_fns(settings: ReconstructSettings, psf: np.ndarray | None):
     """(deskew_fn | None, fft_fn | None) traced per-volume stages.
 
@@ -120,9 +146,10 @@ def _stage_fns(settings: ReconstructSettings, psf: np.ndarray | None):
                 average_n_slices=desk.average_n_slices,
             )
 
+    reg_fn = _register_fn(settings)
     rl_fn = _deconv_fn(settings, psf)
     fft_fn = None
-    if phase is not None or rl_fn is not None:
+    if phase is not None or rl_fn is not None or reg_fn is not None:
 
         def fft_fn(vol, tf_ri):
             vol = vol.astype(jnp.float32)
@@ -133,6 +160,8 @@ def _stage_fns(settings: ReconstructSettings, psf: np.ndarray | None):
                     phase.transfer_function.z_padding,
                     phase.apply_inverse.regularization_strength,
                 )
+            if reg_fn is not None:
+                vol = reg_fn(vol)
             if rl_fn is not None:
                 vol = rl_fn(vol)
             return vol

@@ -1,0 +1,91 @@
+"""Tracking preprocessor: deskew -> phase -> virtual staining.
+
+The reference's ``_LabelfreePreprocessor`` builds a
+``(np.ndarray ZYX) -> dict[str, tensor]`` pipeline from the DynaTrack
+config (reference ``shrimpy/dynatrack/preprocessing.py:124-433``) with
+derived pixel sizes injected by the manager (``manager.py:242-262``).
+Same contract here over our first-party ops: the returned dict maps
+channel names (``"deskewed"``, ``"phase"``, ``"vs_<target>"``) to ZYX
+arrays, and the tracker consumes ``config.tracking_channel`` from it.
+The phase transfer function is computed once on host and cached
+(``preprocessing.py:188-218`` split).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from shrimpy_tpu.config.schemas import (
+    DeskewSettings,
+    DynaTrackConfig,
+    PhaseSettings,
+)
+from shrimpy_tpu.utils.timing import StageTimer
+
+logger = logging.getLogger(__name__)
+
+
+class Preprocessor:
+    """Configured deskew/phase/VS chain over raw ZYX stacks."""
+
+    def __init__(self, config: DynaTrackConfig):
+        self.config = config
+        self.steps = tuple(config.preprocessing or ())
+        self.deskew = config.deskew_settings() if "deskew" in self.steps else None
+        self.phase = config.phase_settings() if "phase" in self.steps else None
+        self.stainer = None
+        if "vs" in self.steps:
+            from shrimpy_tpu.models.vsunet import VirtualStainer, VSModelSettings
+
+            vs_cfg = VSModelSettings(**(config.virtual_staining or {}))
+            self.stainer = VirtualStainer(vs_cfg)
+        self.timer = StageTimer()
+
+    def __call__(self, raw_zyx: np.ndarray) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {"raw": np.asarray(raw_zyx, np.float32)}
+        vol = out["raw"]
+        if self.deskew is not None:
+            from shrimpy_tpu.ops.deskew import deskew_volume
+
+            with self.timer.stage("deskew"):
+                vol = np.asarray(deskew_volume(vol, self.deskew))
+            out["deskewed"] = vol
+        if self.phase is not None:
+            from shrimpy_tpu.ops.phase import reconstruct_phase
+
+            with self.timer.stage("phase"):
+                vol = np.asarray(reconstruct_phase(vol, self.phase))
+            out["phase"] = vol
+        if self.stainer is not None:
+            with self.timer.stage("vs"):
+                vol_c = _pad_for_unet(vol, self.stainer.settings.depth)
+                preds = self.stainer.predict(vol_c)
+            for name, pred in preds.items():
+                out[name] = np.asarray(pred)[..., : vol.shape[1], : vol.shape[2]]
+        return out
+
+    def tracking_stack(self, raw_zyx: np.ndarray) -> np.ndarray:
+        """The stack the tracker consumes (``config.tracking_channel``)."""
+        products = self(raw_zyx)
+        channel = self.config.tracking_channel
+        if channel in products:
+            return products[channel]
+        # The input channel name maps to the most-processed product
+        # before VS (reference channel resolution, manager.py:115-168).
+        for key in ("phase", "deskewed", "raw"):
+            if key in products:
+                return products[key]
+        raise KeyError(channel)
+
+
+def _pad_for_unet(vol: np.ndarray, depth: int) -> np.ndarray:
+    """Pad YX up to multiples of 2**depth (cropped back after)."""
+    m = 2**depth
+    ny, nx = vol.shape[1:]
+    py = (-ny) % m
+    px = (-nx) % m
+    if py or px:
+        vol = np.pad(vol, ((0, 0), (0, py), (0, px)), mode="reflect")
+    return vol

@@ -109,3 +109,62 @@ def test_register_verb(runner, tmp_path):
     np.testing.assert_allclose(
         transform["translation_seed_zyx"], [1.0, -2.0, 3.0], atol=0.5
     )
+
+
+def test_reconstruct_verb_with_repo_config(runner, tmp_path):
+    """The shipped demo config drives the reconstruct verb end-to-end."""
+    synthetic_ls_stack(tmp_path / "ls.zarr", raw_shape_szx=(40, 24, 32))
+    result = runner.invoke(
+        cli,
+        [
+            "reconstruct", str(tmp_path / "ls.zarr"),
+            "-o", str(tmp_path / "out.zarr"),
+            "-c", "configs/reconstruct_demo.yml",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    pos = open_ngff(tmp_path / "out.zarr").position()
+    assert np.isfinite(pos.volume(0, 0)).all()
+
+
+def test_shipped_configs_validate():
+    from shrimpy_tpu.config import DynaTrackConfig, ReconstructSettings
+    from shrimpy_tpu.config.schemas import load_yaml_config
+    from shrimpy_tpu.engine import AcquisitionPlan
+
+    load_yaml_config("configs/reconstruct_demo.yml", ReconstructSettings)
+    load_yaml_config("configs/dynatrack_demo.yml", DynaTrackConfig)
+    AcquisitionPlan.from_yaml("configs/plan_demo.yml")
+
+
+def test_monitor_once(runner, tmp_path):
+    synthetic_blob_fov(tmp_path / "tl.zarr", n_timepoints=2, shape_zyx=(4, 16, 16))
+    result = runner.invoke(
+        cli, ["monitor", str(tmp_path / "tl.zarr"), "--once"]
+    )
+    assert result.exit_code == 0, result.output
+    status = json.loads(result.output.strip().splitlines()[-1])
+    assert status["0"]["timepoints_written"] == 2
+    assert (tmp_path / "tl.zarr" / "_preview" / "0.png").exists()
+
+
+def test_measure_psf_verb(runner, tmp_path):
+    from shrimpy_tpu.io.ngff import create_fov
+    from shrimpy_tpu.io.synthetic import gaussian_blob
+
+    vol = np.zeros((32, 64, 64), np.float32)
+    for c in [(16, 20, 20), (16, 44, 40)]:
+        vol += gaussian_blob((32, 64, 64), c, (1.5, 2.0, 2.0), 1000.0)
+    pos = create_fov(tmp_path / "beads.zarr", shape=(1, 1, 32, 64, 64),
+                     dtype="float32", zyx_scale=(0.25, 0.1, 0.1))
+    pos.write((0, 0), vol)
+    result = runner.invoke(
+        cli,
+        ["measure-psf", str(tmp_path / "beads.zarr"), "-o",
+         str(tmp_path / "psf"), "--threshold-percentile", "99.0"],
+    )
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / "psf.npy").exists()
+    # Logging lines may precede the JSON payload in captured output.
+    report = json.loads(result.output[result.output.index("{"):])
+    assert report["n_beads"] >= 1

@@ -87,3 +87,32 @@ def test_uint16_output(tmp_path, ls_fov):
     reconstruct_store(ls_fov, tmp_path / "out.zarr", settings)
     out = open_ngff(tmp_path / "out.zarr").position()
     assert out.dtype == np.uint16
+
+
+def test_registration_apply_stage(tmp_path, rng):
+    """A transform JSON estimated offline is applied in the pipeline."""
+    import json as _json
+
+    from shrimpy_tpu.config import RegistrationSettings
+    from shrimpy_tpu.ops.register import affine_apply
+
+    vol = rng.random((1, 1, 8, 16, 16), dtype=np.float32) * 10
+    pos = create_fov(tmp_path / "in.zarr", shape=vol.shape, dtype="float32")
+    pos.write(Ellipsis, vol)
+
+    transform = {
+        "matrix_zyx": np.eye(3).tolist(),
+        "offset_zyx": [0.0, 2.0, -1.0],
+    }
+    tpath = tmp_path / "t.json"
+    tpath.write_text(_json.dumps(transform))
+
+    settings = ReconstructSettings(
+        registration=RegistrationSettings(transform_path=str(tpath))
+    )
+    reconstruct_store(tmp_path / "in.zarr", tmp_path / "out.zarr", settings)
+    out = open_ngff(tmp_path / "out.zarr").position().volume(0, 0)
+    expected = np.asarray(
+        affine_apply(vol[0, 0], np.eye(3), [0.0, 2.0, -1.0])
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
