@@ -166,6 +166,7 @@ class AcquisitionEngine:
             if self._tracking is not None and t > 0:
                 self._tracking.drain_pending()
             for p_idx, p_key in enumerate(positions):
+                t_pos_start = time.monotonic()
                 out_pos = out_positions[p_key]
                 offset = self._stage_offset_px(p_key)
                 if not autofocus.engage(t, p_idx):
@@ -193,6 +194,15 @@ class AcquisitionEngine:
                         and ci == self._track_channel_idx
                     ):
                         self._tracking.on_stack_complete(vol, t, p_key)
+                visit_s = time.monotonic() - t_pos_start
+                if visit_s > plan.watchdog_s:
+                    # Stall watchdog (archive acq_engine.py:1567-1616):
+                    # flag visits that blow the budget so the operator
+                    # can abort/retune instead of silently falling behind.
+                    logger.error(
+                        "watchdog: position %s at t=%d took %.1fs (> %.0fs)",
+                        p_key, t, visit_s, plan.watchdog_s,
+                    )
             if plan.time.interval_s > 0:
                 time.sleep(min(plan.time.interval_s, 0.01))  # demo pacing
 

@@ -65,6 +65,10 @@ class AcquisitionPlan(BaseModel):
     axis_order: str = "tpcz"
     autofocus: AutofocusPlan = Field(default_factory=AutofocusPlan)
     metadata: dict = Field(default_factory=dict)
+    # Stall watchdog: a (t, p) visit exceeding this wall time is logged
+    # as an error (the reference's 100 s sequence-stall watchdog,
+    # archive acq_engine.py:1567-1616).
+    watchdog_s: float = 100.0
 
     @model_validator(mode="after")
     def _check(self):

@@ -21,6 +21,26 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host initialization (DCN) for pod-scale plates.
+
+    Call once per host before :func:`make_mesh`; with no arguments JAX
+    auto-detects the cluster environment (TPU pod metadata). Positions
+    and timepoints then shard across all hosts' devices — the pod-scale
+    version of the reference's SLURM fan-out over positions
+    (reference ``docs/data_structure.md:63-66``).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     n_devices: int | None = None, *, space: int = 1, devices=None
 ) -> Mesh:
