@@ -152,6 +152,11 @@ class DeconvolveSettings(BaseModel):
     algorithm: Literal["auto", "fft", "separable"] = "auto"
     separable_tol: float = 1e-4  # PSF reconstruction rel error budget
     max_separable_terms: int = 6
+    # MXU matmul precision for the separable path. TPU default matmuls
+    # are bf16 (1e-2 error over 20 iterations — fails the 1e-3 parity
+    # budget); "high" (bf16x3) measures 6e-5 at ~3x default cost,
+    # "highest" 5e-7 at ~6x.
+    matmul_precision: Literal["default", "high", "highest"] = "high"
 
     @model_validator(mode="after")
     def _check(self) -> "DeconvolveSettings":

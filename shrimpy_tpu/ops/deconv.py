@@ -233,37 +233,61 @@ def _sep_matrices(
 
 _EINSUM_BY_AXIS = ("ab,byx->ayx", "ab,zbx->zax", "ab,zyb->zya")
 
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
-def _apply_axis(v, mat, axis: int):
+
+# Einsum strings for the banded block matmul per axis: blocks stay in
+# place (no transposes) — the conv axis is split as (nb, B) in situ.
+_BANDED_MID = ("ab,nbyx->nayx", "ab,znbx->znax", "ab,zynb->zyna")
+
+
+def _apply_axis(v, mat, axis: int, prec=jax.lax.Precision.HIGHEST, radius: int = 0):
     """Circular conv along ``axis``: dense circulant or banded stencil."""
-    prec = jax.lax.Precision.HIGHEST
     if mat.ndim == 2 and mat.shape[0] == mat.shape[1] and mat.shape[0] == v.shape[axis]:
         return jnp.einsum(_EINSUM_BY_AXIS[axis], mat, v, precision=prec)
-    # Banded: reshape the axis into (nb, B) blocks; out block i mixes
-    # input blocks i-1, i, i+1 (circular roll), one B x B matmul each.
+    # Block-banded: split the axis in place into (nb, B) blocks. The
+    # middle stencil is one batched B x B matmul; neighbor contributions
+    # only touch the band (radius rows), so they are tiny (B x r)
+    # matmuls over circularly-shifted block tails/heads — no transposes,
+    # no full-volume rolls.
     block = mat.shape[0]
-    moved = jnp.moveaxis(v, axis, 0)
-    n = moved.shape[0]
-    rest = moved.shape[1:]
-    blocks = moved.reshape(n // block, block, -1)
-    t_prev, t_mid, t_next = (
-        mat[:, :block],
-        mat[:, block : 2 * block],
-        mat[:, 2 * block :],
-    )
-    out = jnp.einsum("ab,nbm->nam", t_mid, blocks, precision=prec)
-    out = out + jnp.einsum(
-        "ab,nbm->nam", t_prev, jnp.roll(blocks, 1, axis=0), precision=prec
-    )
-    out = out + jnp.einsum(
-        "ab,nbm->nam", t_next, jnp.roll(blocks, -1, axis=0), precision=prec
-    )
-    return jnp.moveaxis(out.reshape(n, *rest), 0, axis)
+    r = radius or block  # radius 0 -> conservative full-block fallback
+    n = v.shape[axis]
+    nb = n // block
+    blocked_shape = v.shape[:axis] + (nb, block) + v.shape[axis + 1 :]
+    blocks = v.reshape(blocked_shape)
+    nb_axis = axis  # index of the nb dimension in `blocks`
+    b_axis = axis + 1
+
+    t_prev = mat[:, block - r : block]  # (B, r): prev block's last rows
+    t_mid = mat[:, block : 2 * block]
+    t_next = mat[:, 2 * block : 2 * block + r]  # (B, r): next block's head
+
+    mid_str = _BANDED_MID[axis]
+    out = jnp.einsum(mid_str, t_mid, blocks, precision=prec)
+
+    def slice_b(arr, start, size):
+        idx = [slice(None)] * arr.ndim
+        idx[b_axis] = slice(start, start + size)
+        return arr[tuple(idx)]
+
+    prev_tails = jnp.roll(slice_b(blocks, block - r, r), 1, axis=nb_axis)
+    next_heads = jnp.roll(slice_b(blocks, 0, r), -1, axis=nb_axis)
+    edge_str = mid_str.replace("b", "c")  # contract r-sized dim
+    out = out + jnp.einsum(edge_str, t_prev, prev_tails, precision=prec)
+    out = out + jnp.einsum(edge_str, t_next, next_heads, precision=prec)
+    return out.reshape(v.shape)
 
 
 @partial(
     jax.jit,
-    static_argnames=("iterations", "pads", "epsilon", "pad_mode"),
+    static_argnames=(
+        "iterations", "pads", "epsilon", "pad_mode", "precision", "radii",
+    ),
 )
 def _rl_sep_jit(
     image,
@@ -278,19 +302,22 @@ def _rl_sep_jit(
     pads: tuple[tuple[int, int], ...],
     epsilon: float,
     pad_mode: str,
+    precision: str = "high",
+    radii: tuple[int, int, int] = (0, 0, 0),
 ):
     image = image.astype(jnp.float32)
     padded = jnp.pad(image, pads, mode=pad_mode)
     data = jnp.maximum(padded, 0.0)
     est0 = jnp.maximum(padded, epsilon)
+    prec = _PRECISIONS[precision]
 
     def conv3(v, az, ay, ax_):
         k = az.shape[0]
         out = jnp.zeros_like(v)
         for i in range(k):
-            w = _apply_axis(v, az[i], 0)
-            w = _apply_axis(w, ay[i], 1)
-            out = out + _apply_axis(w, ax_[i], 2)
+            w = _apply_axis(v, az[i], 0, prec, radii[0])
+            w = _apply_axis(w, ay[i], 1, prec, radii[1])
+            out = out + _apply_axis(w, ax_[i], 2, prec, radii[2])
         return out
 
     def step(est, _):
@@ -368,6 +395,8 @@ def richardson_lucy(
             pads=pads,
             epsilon=settings.epsilon,
             pad_mode=settings.pad_mode,
+            precision=settings.matmul_precision,
+            radii=tuple(k // 2 for k in psf_np.shape),
         )
 
     grid, pads = _padded_grid_shape(tuple(image.shape), tuple(psf_np.shape))

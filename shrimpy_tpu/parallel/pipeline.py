@@ -65,7 +65,8 @@ def _deconv_fn(settings: ReconstructSettings, psf: np.ndarray | None):
             pads = _sep_pads(tuple(vol.shape), tuple(psf_np.shape))
             grid = tuple(n + lo + hi for n, (lo, hi) in zip(vol.shape, pads))
             mats = _sep_matrices(terms, grid)
-            return _rl_sep_inline(vol, mats, deconv, pads)
+            radii = tuple(k // 2 for k in psf_np.shape)
+            return _rl_sep_inline(vol, mats, deconv, pads, radii)
 
         return rl
 
@@ -84,7 +85,7 @@ def _deconv_fn(settings: ReconstructSettings, psf: np.ndarray | None):
     return rl
 
 
-def _rl_sep_inline(vol, mats, deconv, pads):
+def _rl_sep_inline(vol, mats, deconv, pads, radii):
     from shrimpy_tpu.ops.deconv import _rl_sep_jit
 
     return _rl_sep_jit(
@@ -94,6 +95,8 @@ def _rl_sep_inline(vol, mats, deconv, pads):
         pads=pads,
         epsilon=deconv.epsilon,
         pad_mode=deconv.pad_mode,
+        precision=deconv.matmul_precision,
+        radii=radii,
     )
 
 

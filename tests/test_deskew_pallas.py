@@ -1,0 +1,59 @@
+"""Pallas deskew kernel: parity vs the XLA path and the scipy oracle.
+
+Runs in Pallas interpreter mode on the CPU mesh (SURVEY.md §4 strategy).
+"""
+
+import numpy as np
+import pytest
+
+from shrimpy_tpu.config import DeskewSettings
+from shrimpy_tpu.io.synthetic import render_beads_skewed
+from shrimpy_tpu.ops.deskew import deskew_reference_scipy, deskew_volume
+from shrimpy_tpu.ops.deskew_pallas import deskew_volume_pallas
+
+
+@pytest.mark.parametrize("keep_overhang", [False, True])
+def test_pallas_matches_xla(rng, keep_overhang):
+    settings = DeskewSettings(
+        ls_angle_deg=30.0, px_to_scan_ratio=0.386, keep_overhang=keep_overhang
+    )
+    raw = rng.random((40, 32, 24), dtype=np.float32) * 100.0
+    ours = np.asarray(deskew_volume_pallas(raw, settings, interpret=True))
+    xla = np.asarray(deskew_volume(raw, settings))
+    assert ours.shape == xla.shape
+    np.testing.assert_allclose(ours, xla, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_matches_scipy_oracle(rng):
+    settings = DeskewSettings(ls_angle_deg=30.0, px_to_scan_ratio=0.386)
+    raw = rng.random((48, 24, 16), dtype=np.float32) * 50.0
+    ours = np.asarray(deskew_volume_pallas(raw, settings, interpret=True))
+    oracle = deskew_reference_scipy(raw, settings)
+    err = np.abs(ours - oracle).max() / np.abs(oracle).max()
+    assert err <= 1e-3, f"rel err {err:.2e}"
+
+
+def test_pallas_z_averaging(rng):
+    settings = DeskewSettings(
+        ls_angle_deg=30.0, px_to_scan_ratio=0.386, average_n_slices=3
+    )
+    raw = rng.random((40, 32, 16), dtype=np.float32)
+    ours = np.asarray(deskew_volume_pallas(raw, settings, interpret=True))
+    xla = np.asarray(deskew_volume(raw, settings))
+    np.testing.assert_allclose(ours, xla, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_beads_land_correctly():
+    """Geometric end-to-end: beads rendered in skewed space appear at
+    their lab positions (minus the fully-sampled-band y crop)."""
+    import math
+
+    settings = DeskewSettings(ls_angle_deg=30.0, px_to_scan_ratio=0.386)
+    beads = np.array([[6.0, 60.0, 12.0], [10.0, 80.0, 20.0]])
+    raw = render_beads_skewed((64, 48, 32), beads)
+    out = np.asarray(deskew_volume_pallas(raw, settings, interpret=True))
+    y_off = 47 * math.cos(math.radians(30.0))
+    for z, y, x in beads:
+        zi, yi, xi = int(round(z)), int(round(y - y_off)), int(round(x))
+        patch = out[zi - 2 : zi + 3, yi - 2 : yi + 3, xi - 2 : xi + 3]
+        assert patch.max() > 0.3 * out.max()
