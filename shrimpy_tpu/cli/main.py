@@ -53,17 +53,21 @@ def _inject_from_store(settings, input_path: Path) -> tuple:
     return store, pos
 
 
-def _run_reconstruct(input, output, settings, devices, space, batch, resume):
+def _run_reconstruct(
+    input, output, settings, devices, space, batch, resume, profile_dir=None
+):
     from shrimpy_tpu.parallel import make_mesh
     from shrimpy_tpu.runtime import reconstruct_store
+    from shrimpy_tpu.utils.timing import profiler_trace
 
     _inject_from_store(settings, Path(input))
     mesh = None
     if devices:
         mesh = make_mesh(devices, space=space)
-    summary = reconstruct_store(
-        input, output, settings, mesh=mesh, batch_size=batch, resume=resume
-    )
+    with profiler_trace(profile_dir):
+        summary = reconstruct_store(
+            input, output, settings, mesh=mesh, batch_size=batch, resume=resume
+        )
     click.echo(json.dumps(summary, indent=2))
 
 
@@ -74,6 +78,8 @@ _shared = [
     click.option("--space", type=int, default=1, help="X-axis sharding factor."),
     click.option("--batch", type=int, default=None, help="Volumes per step."),
     click.option("--resume", is_flag=True, help="Skip completed volumes."),
+    click.option("--profile", "profile_dir", type=click.Path(), default=None,
+                 help="Write a jax.profiler trace to this directory."),
 ]
 
 
@@ -90,7 +96,7 @@ def shared_options(f):
 @click.option("--keep-overhang", is_flag=True)
 @click.option("--average-n-slices", type=int, default=1, show_default=True)
 def deskew(
-    input, output, devices, space, batch, resume,
+    input, output, devices, space, batch, resume, profile_dir,
     ls_angle_deg, px_to_scan_ratio, keep_overhang, average_n_slices,
 ):
     """Deskew every volume of an OME-Zarr store."""
@@ -104,7 +110,7 @@ def deskew(
             average_n_slices=average_n_slices,
         )
     )
-    _run_reconstruct(input, output, settings, devices, space, batch, resume)
+    _run_reconstruct(input, output, settings, devices, space, batch, resume, profile_dir)
 
 
 @cli.command()
@@ -115,7 +121,8 @@ def deskew(
 @click.option("--algorithm", type=click.Choice(["auto", "fft", "separable"]),
               default="auto", show_default=True)
 def deconvolve(
-    input, output, devices, space, batch, resume, psf_path, iterations, algorithm
+    input, output, devices, space, batch, resume, profile_dir,
+    psf_path, iterations, algorithm,
 ):
     """Richardson-Lucy deconvolve every volume of an OME-Zarr store."""
     from shrimpy_tpu.config import DeconvolveSettings, ReconstructSettings
@@ -125,14 +132,14 @@ def deconvolve(
             psf_path=psf_path, iterations=iterations, algorithm=algorithm
         )
     )
-    _run_reconstruct(input, output, settings, devices, space, batch, resume)
+    _run_reconstruct(input, output, settings, devices, space, batch, resume, profile_dir)
 
 
 @cli.command()
 @shared_options
 @click.option("--config", "config_path", type=click.Path(exists=True), default=None,
               help="PhaseSettings YAML (transfer_function / apply_inverse).")
-def phase(input, output, devices, space, batch, resume, config_path):
+def phase(input, output, devices, space, batch, resume, profile_dir, config_path):
     """3-D phase reconstruction of brightfield defocus stacks."""
     from shrimpy_tpu.config import PhaseSettings, ReconstructSettings
     from shrimpy_tpu.config.schemas import load_yaml_config
@@ -141,20 +148,39 @@ def phase(input, output, devices, space, batch, resume, config_path):
         load_yaml_config(config_path, PhaseSettings) if config_path else PhaseSettings()
     )
     settings = ReconstructSettings(phase=phase_settings)
-    _run_reconstruct(input, output, settings, devices, space, batch, resume)
+    _run_reconstruct(input, output, settings, devices, space, batch, resume, profile_dir)
 
 
 @cli.command()
 @shared_options
 @click.option("-c", "--config", "config_path", type=click.Path(exists=True),
-              required=True, help="ReconstructSettings YAML.")
-def reconstruct(input, output, devices, space, batch, resume, config_path):
+              required=True,
+              help="ReconstructSettings YAML, or a multi-arm file with a "
+                   "top-level 'arms:' mapping (per-arm output stores).")
+def reconstruct(input, output, devices, space, batch, resume, profile_dir, config_path):
     """Run the full configured pipeline (deskew/phase/register/deconvolve)."""
-    from shrimpy_tpu.config import ReconstructSettings
-    from shrimpy_tpu.config.schemas import load_yaml_config
+    import yaml as _yaml
 
+    from shrimpy_tpu.config import ReconstructSettings
+    from shrimpy_tpu.config.schemas import ReconstructArms, load_yaml_config
+
+    with open(config_path) as f:
+        raw_cfg = _yaml.safe_load(f) or {}
+    if "arms" in raw_cfg:
+        # Dual-arm (label-free + light-sheet) layout: one store per arm,
+        # '<output-stem>_<arm>.zarr' siblings.
+        arms = ReconstructArms(**raw_cfg)
+        out = Path(output)
+        for arm_name, settings in arms.arms.items():
+            arm_out = out.with_name(f"{out.stem}_{arm_name}.zarr")
+            click.echo(f"== arm {arm_name} -> {arm_out}")
+            _run_reconstruct(
+                input, arm_out, settings, devices, space, batch, resume,
+                profile_dir,
+            )
+        return
     settings = load_yaml_config(config_path, ReconstructSettings)
-    _run_reconstruct(input, output, settings, devices, space, batch, resume)
+    _run_reconstruct(input, output, settings, devices, space, batch, resume, profile_dir)
 
 
 @cli.command()

@@ -343,6 +343,27 @@ class ReconstructSettings(BaseModel):
     output_dtype: Literal["float32", "uint16"] = "float32"
 
 
+class ReconstructArms(BaseModel):
+    """Multi-arm reconstruction: per-arm settings over channel subsets.
+
+    The mantis dual-arm layout (label-free + light-sheet, reference
+    archive ``acq_engine.py:98-1653``; on disk the reference keeps
+    ``*_labelfree.zarr`` / ``*_lightsheet.zarr`` siblings): each arm is
+    a full :class:`ReconstructSettings` whose ``channels`` field selects
+    the channels it processes; outputs land in per-arm stores.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    arms: dict[str, ReconstructSettings]
+
+    @model_validator(mode="after")
+    def _check(self) -> "ReconstructArms":
+        if not self.arms:
+            raise ValueError("arms must not be empty")
+        return self
+
+
 # ---------------------------------------------------------------------------
 # Derived-parameter injection + YAML loading
 # ---------------------------------------------------------------------------

@@ -94,8 +94,16 @@ class AcquisitionEngine:
                 f"acquired channels {channels}"
             )
         journal = ShiftJournal(out_dir / "dynatrack_log.csv")
+        debug_writer = None
+        if cfg.debug:
+            from shrimpy_tpu.tracking.debug import DebugWriter
+
+            debug_writer = DebugWriter(out_dir / "dynatrack_debug")
         self._tracker = Tracker(
-            cfg, scale_zyx_um=self.source.zyx_scale, journal=journal
+            cfg,
+            scale_zyx_um=self.source.zyx_scale,
+            journal=journal,
+            debug_writer=debug_writer,
         )
         self._track_channel_idx = channels.index(cfg.tracking_channel)
         store = PositionStore()
@@ -119,6 +127,15 @@ class AcquisitionEngine:
         output_dir.mkdir(parents=True, exist_ok=True)
         final_name = resolve_acquisition_name(output_dir, name)
         out_path = output_dir / f"{final_name}.zarr"
+
+        # Per-acquisition timestamped log file (reference _logging.py:44-59).
+        from shrimpy_tpu.utils.logging import configure_logging
+
+        log_file = configure_logging(
+            log_dir=output_dir, acquisition_name=final_name
+        )
+        if log_file:
+            logger.info("acquisition log: %s", log_file)
 
         positions = plan.positions or self.source.position_keys
         channels = (

@@ -402,6 +402,71 @@ def _init_position(
     return NgffPosition(path, version, attrs)
 
 
+def _mean_pool_zyx(vol: np.ndarray, factors: tuple[int, int, int]) -> np.ndarray:
+    """Mean-pool a ZYX volume by integer factors (trailing partials dropped)."""
+    fz, fy, fx = factors
+    z, y, x = (n - n % f for n, f in zip(vol.shape, factors))
+    v = vol[:z, :y, :x].reshape(
+        z // fz, fz, y // fy, fy, x // fx, fx
+    )
+    return v.mean(axis=(1, 3, 5)).astype(vol.dtype)
+
+
+def add_pyramid_levels(
+    pos: NgffPosition,
+    n_levels: int = 2,
+    *,
+    factors_zyx: tuple[int, int, int] = (1, 2, 2),
+) -> None:
+    """Append mean-pooled resolution levels to a position.
+
+    Writes arrays ``"1" .. "<n>"`` (each level pooled by ``factors_zyx``
+    from the previous) and extends the multiscales ``datasets`` metadata
+    with the scaled coordinate transforms — the NGFF pyramid the
+    reference's viewers consume for coarse browsing.
+    """
+    base = pos.array("0")
+    t_size, c_size = base.shape[0], base.shape[1]
+    ms = pos.attrs["multiscales"][0]
+    scale0 = list(pos.scale)
+
+    prev_name = "0"
+    for level in range(1, n_levels + 1):
+        prev = pos.array(prev_name)
+        shape_zyx = tuple(prev.shape[2:])
+        new_zyx = tuple(
+            max(1, n // f) for n, f in zip(shape_zyx, factors_zyx)
+        )
+        name = str(level)
+        pos.create_array(
+            (t_size, c_size, *new_zyx), dtype=str(pos.dtype), name=name
+        )
+        for t in range(t_size):
+            for c in range(c_size):
+                vol = np.asarray(prev[t, c].read().result())
+                pos.array(name)[t, c].write(
+                    _mean_pool_zyx(vol, factors_zyx)[: new_zyx[0], : new_zyx[1], : new_zyx[2]]
+                ).result()
+        level_scale = [
+            scale0[0],
+            scale0[1],
+            *(
+                s * (f**level)
+                for s, f in zip(scale0[2:], factors_zyx)
+            ),
+        ]
+        ms["datasets"].append(
+            {
+                "path": name,
+                "coordinateTransformations": [
+                    {"type": "scale", "scale": [float(v) for v in level_scale]}
+                ],
+            }
+        )
+        prev_name = name
+    _write_group(pos.path, pos.attrs, pos.version)
+
+
 # ---------------------------------------------------------------------------
 # Public constructors
 # ---------------------------------------------------------------------------

@@ -212,6 +212,7 @@ class Tracker:
     config: DynaTrackConfig
     scale_zyx_um: tuple[float, float, float] = (1.0, 1.0, 1.0)
     journal: ShiftJournal | None = None
+    debug_writer: object | None = None  # tracking.debug.DebugWriter
     _references: dict = field(default_factory=dict)  # per-position stacks
 
     def update(self, stack_zyx: np.ndarray, t: int, p: int | str = 0) -> TrackerResult:
@@ -238,6 +239,11 @@ class Tracker:
                 shift_um_zyx=shift_um,
                 stage_shift_xyz=stage_xyz,
                 reanchored=reanchored,
+            )
+        if self.debug_writer is not None and cfg.debug:
+            # Debug artifacts (reference tracking.py:1315-1474).
+            self.debug_writer.record(
+                stack, t, str(p), shift_px_zyx=shift_px
             )
         return TrackerResult(shift_px, shift_um, stage_xyz, reanchored)
 

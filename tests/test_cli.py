@@ -168,3 +168,40 @@ def test_measure_psf_verb(runner, tmp_path):
     # Logging lines may precede the JSON payload in captured output.
     report = json.loads(result.output[result.output.index("{"):])
     assert report["n_beads"] >= 1
+
+
+def test_dual_arm_reconstruct(runner, tmp_path):
+    """A top-level 'arms:' config fans out into per-arm output stores
+    (the mantis labelfree/lightsheet split)."""
+    from shrimpy_tpu.io.ngff import create_fov
+
+    rng = np.random.default_rng(0)
+    pos = create_fov(
+        tmp_path / "dual.zarr", shape=(1, 2, 24, 24, 16), dtype="float32",
+        channel_names=["BF", "GFP"], zyx_scale=(0.3, 0.116, 0.116),
+    )
+    pos.write(Ellipsis, rng.random((1, 2, 24, 24, 16), dtype=np.float32) * 50)
+
+    cfg = tmp_path / "arms.yml"
+    cfg.write_text(
+        "arms:\n"
+        "  labelfree:\n"
+        "    channels: [BF]\n"
+        "    phase:\n"
+        "      transfer_function: {z_padding: 0}\n"
+        "  lightsheet:\n"
+        "    channels: [GFP]\n"
+        "    deskew: {ls_angle_deg: 30.0}\n"
+    )
+    result = runner.invoke(
+        cli,
+        ["reconstruct", str(tmp_path / "dual.zarr"),
+         "-o", str(tmp_path / "recon.zarr"), "-c", str(cfg)],
+    )
+    assert result.exit_code == 0, result.output
+    lf = open_ngff(tmp_path / "recon_labelfree.zarr").position()
+    ls = open_ngff(tmp_path / "recon_lightsheet.zarr").position()
+    assert lf.shape[2:] == (24, 24, 16)      # phase preserves shape
+    assert ls.shape[2:] != (24, 24, 16)      # deskew reshapes
+    assert np.isfinite(lf.volume(0, 0)).all()
+    assert np.isfinite(ls.volume(0, 0)).all()

@@ -97,8 +97,8 @@ def test_banded_path_matches_dense(rng, monkeypatch):
     settings = DeconvolveSettings(algorithm="separable", iterations=5)
     dense = np.asarray(richardson_lucy(blurred, psf, settings))
 
-    monkeypatch.setattr(dc, "_DENSE_MAX", 24)
     monkeypatch.setattr(dc, "_BLOCK", 16)
+    monkeypatch.setattr(dc, "_DENSE_MAX", 24)  # force banded everywhere
     banded = np.asarray(richardson_lucy(blurred, psf, settings))
     # Grids differ (block rounding adds pad), so compare via the fp64
     # oracle of the banded grid instead of bitwise vs dense.

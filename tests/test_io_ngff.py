@@ -109,3 +109,34 @@ def test_synthetic_ls_stack_writes_scale(tmp_path):
     z_scale, y_scale, x_scale = store.position().zyx_scale
     assert y_scale == x_scale == 0.116
     assert z_scale == pytest.approx(0.116 / 0.386, rel=1e-6)
+
+
+def test_pyramid_levels(tmp_path):
+    import numpy as np
+
+    from shrimpy_tpu.io.ngff import add_pyramid_levels, create_fov, open_ngff
+
+    pos = create_fov(
+        tmp_path / "pyr.zarr", shape=(1, 1, 4, 16, 16), dtype="float32"
+    )
+    data = np.arange(4 * 16 * 16, dtype=np.float32).reshape(4, 16, 16)
+    pos.write((0, 0), data)
+    add_pyramid_levels(pos, n_levels=2)
+
+    back = open_ngff(tmp_path / "pyr.zarr").position()
+    assert len(back.multiscales[0]["datasets"]) == 3
+    lvl1 = np.asarray(back.array("1")[0, 0].read().result())
+    assert lvl1.shape == (4, 8, 8)
+    # level 1 is the 2x2 YX mean of level 0
+    np.testing.assert_allclose(
+        lvl1[0, 0, 0], data[0, :2, :2].mean(), rtol=1e-6
+    )
+    lvl2 = np.asarray(back.array("2")[0, 0].read().result())
+    assert lvl2.shape == (4, 4, 4)
+    # scale metadata doubles per level on YX
+    scales = [
+        d["coordinateTransformations"][0]["scale"]
+        for d in back.multiscales[0]["datasets"]
+    ]
+    assert scales[1][-1] == 2 * scales[0][-1]
+    assert scales[2][-1] == 4 * scales[0][-1]

@@ -172,3 +172,20 @@ def test_config_rejects_unknown_keys():
 def test_config_rejects_unknown_method():
     with pytest.raises(ValueError, match="tracking_method"):
         _config(tracking_method="nope")
+
+
+def test_debug_artifacts(tmp_path):
+    from shrimpy_tpu.io.ngff import open_ngff
+    from shrimpy_tpu.tracking.debug import DebugWriter
+
+    cfg = _config(tracking_method="pcc", debug=True)
+    tracker = Tracker(cfg, debug_writer=DebugWriter(tmp_path / "dbg"))
+    tracker.update(_blob_stack((8.0, 16.0, 16.0)), t=0)
+    tracker.update(_blob_stack((10.0, 13.0, 20.0)), t=1)
+
+    store = open_ngff(tmp_path / "dbg" / "dynatrack_debug.zarr")
+    pos = store.position()
+    data0 = pos.volume(0, 0)
+    assert data0.max() > 0
+    pngs = sorted((tmp_path / "dbg").glob("debug_t*.png"))
+    assert len(pngs) == 2
