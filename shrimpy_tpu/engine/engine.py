@@ -77,6 +77,11 @@ class AcquisitionEngine:
         self._tracking: PositionUpdateManager | None = None
         self._tracker: Tracker | None = None
         self._track_channel_idx: int | None = None
+        # Per-position accumulated remote-refocus z offset (slices).
+        self._refocus_z: dict[str, int] = {}
+        self._refocus_events: list[tuple[int, str, int]] = []
+        # Per-position (exposure_ms, laser_power) from autoexposure.
+        self._exposures: dict[str, tuple[float, float]] = {}
 
     # -- setup ---------------------------------------------------------------
     def _setup_tracking(
@@ -196,6 +201,10 @@ class AcquisitionEngine:
                             out_pos.write((t, ci), zeros)
                         skipped.append((t, p_key))
                         continue
+                if t == 0 and plan.autoexposure.enabled:
+                    # Per-well exposure selection on the first visit
+                    # (archive acq_engine.py:1414-1441).
+                    self._run_autoexposure(plan, p_key, chan_idx, channels)
                 if self._tracking is not None:
                     self._tracking.record_acquisition(t, p_key)
                 for ci, c_src in enumerate(chan_idx):
@@ -211,6 +220,13 @@ class AcquisitionEngine:
                         and ci == self._track_channel_idx
                     ):
                         self._tracking.on_stack_complete(vol, t, p_key)
+                # Periodic remote-refocus (archive acq_engine.py:892-1151):
+                # re-center z on the in-focus slice of the acquired stack.
+                if (
+                    plan.refocus.enabled
+                    and t % plan.refocus.interval_timepoints == 0
+                ):
+                    self._run_refocus(plan, vol, t, p_key, channels)
                 visit_s = time.monotonic() - t_pos_start
                 if visit_s > plan.watchdog_s:
                     # Stall watchdog (archive acq_engine.py:1567-1616):
@@ -234,6 +250,10 @@ class AcquisitionEngine:
             "channels": channels,
             "shape_tczyx": list(shape),
             "skipped_autofocus": [[t, p] for t, p in skipped],
+            "refocus_events": [[t, p, d] for t, p, d in self._refocus_events],
+            "exposures": {
+                p: [e, pw] for p, (e, pw) in self._exposures.items()
+            },
             "volumes_acquired": n_volumes,
             "wall_time_s": round(time.monotonic() - t_start, 3),
         }
@@ -248,17 +268,96 @@ class AcquisitionEngine:
         return out_path
 
     # -- helpers -------------------------------------------------------------
+    def _run_autoexposure(self, plan, p_key: str, chan_idx, channels) -> None:
+        from shrimpy_tpu.engine.autoexposure import (
+            ALGORITHMS,
+            AutoexposureSettings,
+            autoexpose_with_escalation,
+            load_manual_exposures,
+        )
+
+        ae = plan.autoexposure
+        if ae.algorithm == "manual":
+            if not ae.manual_csv:
+                raise ValueError("autoexposure algorithm 'manual' needs manual_csv")
+            table = load_manual_exposures(ae.manual_csv)
+            well = p_key.rsplit("/", 1)[0].replace("/", "") or p_key
+            if well in table or p_key in table:
+                self._exposures[p_key] = table.get(p_key, table.get(well))
+            return
+        if ae.algorithm not in ALGORITHMS:
+            raise ValueError(f"unknown autoexposure algorithm {ae.algorithm!r}")
+        settings = AutoexposureSettings(**ae.settings)
+        c = (
+            self.source.channel_index(ae.channel)
+            if ae.channel is not None
+            else chan_idx[0]
+        )
+        base = self.source.volume(p_key, 0, c)
+        mid = base[base.shape[0] // 2].astype(np.float64)
+        nominal_power = 10.0
+
+        def acquire(exposure_ms, laser_power):
+            # Replay emulation: brightness scales with exposure x power.
+            scale = (exposure_ms / settings.default_exposure_ms) * (
+                laser_power / nominal_power
+            )
+            return mid * scale
+
+        exposure, power, converged = autoexpose_with_escalation(
+            acquire, settings, algorithm=ae.algorithm, laser_power=nominal_power
+        )
+        self._exposures[p_key] = (exposure, power)
+        logger.info(
+            "autoexposure %s: exposure=%.2f ms power=%.1f converged=%s",
+            p_key, exposure, power, converged,
+        )
+
+    def _run_refocus(self, plan, last_vol, t: int, p_key: str, channels) -> None:
+        from shrimpy_tpu.engine.autofocus import focus_from_transverse_band
+
+        rf = plan.refocus
+        vol = last_vol
+        if rf.channel is not None and rf.channel in channels:
+            # last_vol is the last channel acquired; re-read if another
+            # channel drives the focus metric.
+            c = self.source.channel_index(rf.channel)
+            vol = self.source.volume(
+                p_key, t, c, offset_px_zyx=self._stage_offset_px(p_key)
+            )
+        idx = focus_from_transverse_band(
+            vol,
+            pixel_size_um=self.source.zyx_scale[1],
+            wavelength_um=rf.wavelength_um,
+            na_det=rf.na_det,
+            threshold=rf.threshold,
+        )
+        if idx is None:
+            logger.warning("refocus: no prominent focus at t=%d p=%s", t, p_key)
+            return
+        delta = idx - vol.shape[0] // 2
+        if delta:
+            self._refocus_z[p_key] = self._refocus_z.get(p_key, 0) + int(delta)
+            self._refocus_events.append((t, p_key, int(delta)))
+            logger.info(
+                "refocus: t=%d p=%s in-focus slice %d -> z offset %+d "
+                "(total %+d)",
+                t, p_key, idx, delta, self._refocus_z[p_key],
+            )
+
     def _stage_offset_px(self, p_key: str) -> tuple[int, int, int]:
-        """Current corrected stage position -> pixel offset (ZYX)."""
+        """Current corrected stage position -> pixel offset (ZYX),
+        including accumulated remote-refocus z."""
+        z_extra = self._refocus_z.get(p_key, 0)
         if self._tracking is None:
-            return (0, 0, 0)
+            return (z_extra, 0, 0)
         pos = self._tracking.store.get(p_key)
         if pos is None:
             self._tracking.store.set(p_key, 0.0, 0.0, 0.0)
-            return (0, 0, 0)
+            return (z_extra, 0, 0)
         sz, sy, sx = self.source.zyx_scale
         return (
-            int(round(pos.z / sz)),
+            int(round(pos.z / sz)) + z_extra,
             int(round(pos.y / sy)),
             int(round(pos.x / sx)),
         )

@@ -55,6 +55,37 @@ class AutofocusPlan(BaseModel):
     seed: int = 0
 
 
+class RefocusPlan(BaseModel):
+    """Periodic remote-refocus (the archived O3 routine, reference
+    archive ``acq_engine.py:892-1151``): every ``interval_timepoints``,
+    find the in-focus slice of the acquired stack by the midband
+    spectral metric and re-center the z offset on it."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    enabled: bool = False
+    interval_timepoints: int = 1
+    channel: str | None = None  # None = the first acquired channel
+    wavelength_um: float = 0.55
+    na_det: float = 1.35
+    threshold: float = 0.0  # metric prominence gate (0 = always accept)
+
+
+class AutoexposurePlan(BaseModel):
+    """Per-well autoexposure (archived production parity, reference
+    archive ``autoexposure.py:22-285`` + per-well bookkeeping
+    ``acq_engine.py:713-720``)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    enabled: bool = False
+    algorithm: str = "intensity_percentile"  # or mean_intensity /
+    # masked_mean_intensity / manual
+    channel: str | None = None  # None = first acquired channel
+    manual_csv: str | None = None  # well -> (exposure, power) table
+    settings: dict = Field(default_factory=dict)  # AutoexposureSettings kw
+
+
 class AcquisitionPlan(BaseModel):
     model_config = ConfigDict(extra="forbid")
 
@@ -64,6 +95,8 @@ class AcquisitionPlan(BaseModel):
     positions: list[str] | None = None  # None = all source positions
     axis_order: str = "tpcz"
     autofocus: AutofocusPlan = Field(default_factory=AutofocusPlan)
+    refocus: RefocusPlan = Field(default_factory=RefocusPlan)
+    autoexposure: AutoexposurePlan = Field(default_factory=AutoexposurePlan)
     metadata: dict = Field(default_factory=dict)
     # Stall watchdog: a (t, p) visit exceeding this wall time is logged
     # as an error (the reference's 100 s sequence-stall watchdog,

@@ -78,18 +78,60 @@ def _pcc_jit(ref, mov, fft_shape: tuple[int, ...], subpixel: bool):
     return jnp.stack(refined)
 
 
+@partial(jax.jit, static_argnames=("fft_shape", "factor", "halfwidth"))
+def _dft_refine_jit(ref, mov, coarse_shift, fft_shape, factor: int, halfwidth: int):
+    """Local matrix-DFT upsampling around the coarse peak.
+
+    The Guizar-Sicairos single-step DFT refinement: evaluate the
+    cross-correlation on a ``(2*halfwidth*factor)``-point grid of
+    1/factor-pixel spacing centered on the integer shift, via small
+    matrix DFT products per axis (no large inverse FFT).
+    """
+    ref = match_shape(ref.astype(jnp.float32) - jnp.mean(ref), fft_shape, mode="constant")
+    mov = match_shape(mov.astype(jnp.float32) - jnp.mean(mov), fft_shape, mode="constant")
+    cross = jnp.fft.fftn(ref) * jnp.conj(jnp.fft.fftn(mov))
+
+    n_pts = 2 * halfwidth * factor + 1
+    # Correlation value at displacement d: sum_k cross[k] exp(-2i pi k.d/N)
+    # (cross carries e^{+2i pi k d0/N} for a true shift d0, so the
+    # negative kernel peaks at d = +d0 — our sign convention).
+    mats = []
+    for ax, n in enumerate(fft_shape):
+        freqs = jnp.fft.fftfreq(n)  # cycles/sample
+        offs = coarse_shift[ax] + (
+            jnp.arange(n_pts, dtype=jnp.float32) - halfwidth * factor
+        ) / factor
+        mats.append(jnp.exp(-2j * jnp.pi * offs[:, None] * freqs[None, :]))
+
+    out = cross
+    for ax, m in enumerate(mats):
+        out = jnp.tensordot(m, out, axes=([1], [ax]))
+        out = jnp.moveaxis(out, 0, ax)
+    surface = jnp.abs(out)
+    peak = jnp.unravel_index(jnp.argmax(surface), surface.shape)
+    deltas = jnp.stack(
+        [(p.astype(jnp.float32) - halfwidth * factor) / factor for p in peak]
+    )
+    return coarse_shift.astype(jnp.float32) + deltas
+
+
 def phase_cross_correlation(
     ref,
     mov,
     maximum_shift: float = 1.0,
     *,
     upsample: str | None = None,
+    upsample_factor: int = 10,
 ) -> np.ndarray:
     """Pixel shift of ``mov`` relative to ``ref`` (axis order preserved).
 
     Parameters mirror the reference's ``_phase_cross_corr``
-    (``tracking.py:309-330``). Returns a float numpy vector (integers
-    unless ``upsample='parabolic'``).
+    (``tracking.py:309-330``). ``upsample``:
+
+    * None — integer shift (the reference's behavior);
+    * ``'parabolic'`` — 3-point parabolic refinement per axis;
+    * ``'dft'`` — local matrix-DFT upsampling to ``1/upsample_factor``
+      px (Guizar-Sicairos), the registration-grade estimator.
     """
     ref = jnp.asarray(ref)
     mov = jnp.asarray(mov)
@@ -98,4 +140,8 @@ def phase_cross_correlation(
         tuple(max(a, b) for a, b in zip(ref.shape, mov.shape)), maximum_shift
     )
     shift = _pcc_jit(ref, mov, fft_shape, upsample == "parabolic")
+    if upsample == "dft":
+        shift = _dft_refine_jit(
+            ref, mov, jnp.asarray(shift), fft_shape, int(upsample_factor), 1
+        )
     return np.asarray(shift)

@@ -218,7 +218,11 @@ def estimate_registration(
     assert fixed.ndim == moving.ndim == 3
 
     shift = phase_cross_correlation(
-        fixed, moving, maximum_shift=settings.maximum_shift, upsample="parabolic"
+        fixed,
+        moving,
+        maximum_shift=settings.maximum_shift,
+        upsample="dft",
+        upsample_factor=20,
     )
     # PCC: positive shift = moving displaced positively relative to fixed,
     # so the inverse map offset is +shift... the moving-frame coordinate of

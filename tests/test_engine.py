@@ -161,3 +161,76 @@ def test_tracking_recenters_drifting_blob(tmp_path):
     uncorrected_err = np.linalg.norm([0, 3 * 4.0, 3 * -6.0])
     corrected_err = np.linalg.norm(np.array(peak) - center)
     assert corrected_err < uncorrected_err, (peak, uncorrected_err)
+
+
+def test_periodic_refocus_recenters_z(tmp_path):
+    """A defocused sample: the refocus routine shifts z so later
+    timepoints are served re-centered (O3 remote-refocus parity)."""
+    from scipy import ndimage
+
+    from shrimpy_tpu.io.ngff import create_fov
+
+    rng2 = np.random.default_rng(1)
+    nz, ny, nx = 15, 48, 48
+    sharp = rng2.random((ny, nx)).astype(np.float32)
+    in_focus = 11  # off-center by +4 from nz//2=7
+    stack = np.stack([
+        ndimage.gaussian_filter(sharp, abs(z - in_focus) * 0.9 + 0.01)
+        for z in range(nz)
+    ])
+    pos = create_fov(tmp_path / "src.zarr", shape=(2, 1, nz, ny, nx),
+                     dtype="float32", channel_names=["BF"],
+                     zyx_scale=(0.25, 0.116, 0.116))
+    for t in range(2):
+        pos.write((t, 0), stack)
+
+    source = ReplaySource(tmp_path / "src.zarr")
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 2},
+        refocus={"enabled": True, "interval_timepoints": 1},
+    )
+    engine = AcquisitionEngine(source)
+    out = engine.acquire(tmp_path / "out", "rf", plan)
+
+    summary = json.loads((tmp_path / "out" / "rf_summary_metadata.json").read_text())
+    events = summary["refocus_events"]
+    assert events and events[0][2] == in_focus - nz // 2  # +4 detected at t=0
+
+    # t=1 was acquired with the corrected z offset: its in-focus plane
+    # sits at (in_focus - offset) = center.
+    data = open_ngff(out).position().read()
+    from shrimpy_tpu.engine.autofocus import focus_from_transverse_band
+    idx1 = focus_from_transverse_band(data[1, 0], pixel_size_um=0.116)
+    assert abs(idx1 - nz // 2) <= 1
+
+
+def test_engine_autoexposure_records_per_position(tmp_path, fov_source):
+    plan = AcquisitionPlan(
+        autoexposure={
+            "enabled": True,
+            "algorithm": "mean_intensity",
+            "settings": {"min_intensity": 100.0, "max_intensity": 60000.0,
+                          "target_intensity": 1000.0,
+                          "default_exposure_ms": 10.0,
+                          "max_exposure_ms": 100.0},
+        }
+    )
+    eng = AcquisitionEngine(fov_source)
+    eng.acquire(tmp_path / "out", "ae", plan)
+    summary = json.loads((tmp_path / "out" / "ae_summary_metadata.json").read_text())
+    assert "0" in summary["exposures"]
+    exposure, power = summary["exposures"]["0"]
+    assert exposure > 0 and power > 0
+
+
+def test_engine_autoexposure_manual_csv(tmp_path, fov_source):
+    csv = tmp_path / "illum.csv"
+    csv.write_text("well,exposure_ms,laser_power\n0,12.5,30\n")
+    plan = AcquisitionPlan(
+        autoexposure={"enabled": True, "algorithm": "manual",
+                       "manual_csv": str(csv)}
+    )
+    eng = AcquisitionEngine(fov_source)
+    eng.acquire(tmp_path / "out", "ae", plan)
+    summary = json.loads((tmp_path / "out" / "ae_summary_metadata.json").read_text())
+    assert summary["exposures"]["0"] == [12.5, 30.0]

@@ -68,3 +68,19 @@ def test_pcc_maximum_shift_pads_fft():
     mov = gaussian_blob((1, *shape), (0.0, 26.0, 13.0), (1.0, 4.0, 4.0))[0]
     est = phase_cross_correlation(ref, mov, maximum_shift=2.0)
     np.testing.assert_array_equal(est, [6.0, -7.0])
+
+
+def test_pcc_dft_subpixel():
+    """Matrix-DFT upsampling resolves sub-pixel shifts to ~1/10 px."""
+    shape = (32, 96, 96)
+    ref = gaussian_blob(shape, (16.0, 48.0, 48.0), (3.0, 6.0, 6.0))
+    mov = gaussian_blob(shape, (16.4, 45.7, 50.3), (3.0, 6.0, 6.0))
+    est = phase_cross_correlation(ref, mov, upsample="dft", upsample_factor=20)
+    np.testing.assert_allclose(est, [0.4, -2.3, 2.3], atol=0.08)
+
+
+def test_pcc_dft_integer_shift_stays_exact(rng):
+    ref = rng.random((48, 64), dtype=np.float32)
+    mov = _roll(ref, (3, -5))
+    est = phase_cross_correlation(ref, mov, upsample="dft", upsample_factor=10)
+    np.testing.assert_allclose(est, [3.0, -5.0], atol=0.05)
