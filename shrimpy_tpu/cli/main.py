@@ -253,7 +253,12 @@ def track(input, config_path, output):
 @click.option("-n", "--name", default="replay", show_default=True)
 @click.option("--plan", "plan_path", type=click.Path(exists=True), default=None,
               help="AcquisitionPlan YAML; default replays the full source.")
-def replay(input, output_dir, name, plan_path):
+@click.option("--viewer/--no-viewer", default=False,
+              help="Stream frames to the live monitor subprocess "
+                   "(PNG previews under <output>/preview).")
+@click.option("--viewer-cache-mb", type=float, default=512.0, show_default=True,
+              help="Shared-memory ring budget for the viewer.")
+def replay(input, output_dir, name, plan_path, viewer, viewer_cache_mb):
     """Replay a pre-acquired dataset through the acquisition engine
     (hardware-free demo mode, the reference's ReplayCamera role)."""
     from shrimpy_tpu.engine import AcquisitionEngine, AcquisitionPlan, ReplaySource
@@ -264,7 +269,26 @@ def replay(input, output_dir, name, plan_path):
         if plan_path
         else AcquisitionPlan(time={"n_timepoints": source.n_timepoints})
     )
-    out = AcquisitionEngine(source).acquire(output_dir, name, plan)
+    feeder = None
+    hooks = []
+    if viewer:
+        from shrimpy_tpu.viewer import ViewerFeeder
+
+        ny, nx = source.shape_tczyx[3:]
+        feeder = ViewerFeeder(
+            frame_shape=(ny, nx),
+            cache_mb=viewer_cache_mb,
+            preview_dir=Path(output_dir) / "preview",
+        )
+        feeder.start()
+        hooks.append(feeder.on_volume)
+    try:
+        out = AcquisitionEngine(source, viewer_hooks=hooks).acquire(
+            output_dir, name, plan
+        )
+    finally:
+        if feeder is not None:
+            feeder.stop()
     click.echo(str(out))
 
 

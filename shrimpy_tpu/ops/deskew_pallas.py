@@ -51,7 +51,9 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
 
     ny_pad = _round_up(ny, BLOCK_Y)
     nyb = ny_pad // BLOCK_Y
-    span = int(math.ceil(r * (BLOCK_Y - 1))) + 3
+    # +8: DMA starts are quantized down to sublane multiples (Mosaic
+    # requires provably 8-divisible dynamic slice starts).
+    span = int(math.ceil(r * (BLOCK_Y - 1))) + 3 + 8
     span = _round_up(span, 8)
     ns_eff = max(ns, span)  # raw is zero-padded in scan if shorter
 
@@ -74,9 +76,11 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
     s0 = np.floor(s).astype(np.int64)
     ws = (s - s0).astype(np.float64)
 
-    # Per-(z, y-block) DMA start: the band's first needed row, clamped.
+    # Per-(z, y-block) DMA start: the band's first needed row, clamped
+    # and quantized down to a sublane (8) multiple.
     s_first = s0[:, ::BLOCK_Y]  # (nz, nyb) — min s0 within each block
-    s_lo = np.clip(s_first, 0, max(ns_eff - span, 0)).astype(np.int32)
+    s_lo = np.clip(s_first, 0, max(ns_eff - span, 0)).astype(np.int64)
+    s_lo = ((s_lo // 8) * 8).astype(np.int32)
 
     # Interpolation weights with validity masks (zero outside the raw
     # scan extent or outside the DMA'd band — matches the XLA/scipy
@@ -98,6 +102,19 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
     s0_local = np.clip(local, 0, span - 1).astype(np.int32)
     s1_local = np.clip(local + 1, 0, span - 1).astype(np.int32)
 
+    # Pack the per-(z, y) metadata into one (nz, nyb, 8, BLOCK_Y) f32
+    # tensor so its VMEM block is (1, 1, 8, 128) — the TPU lowering
+    # requires the last two block dims to be (8, 128)-aligned. Rows:
+    # 0 = w00, 1 = w01, 2 = s0_local, 3 = s1_local (exact small ints in
+    # f32), 4 = wt0 (broadcast), 5 = wt1 (broadcast), 6-7 unused.
+    meta = np.zeros((nz, nyb, 8, BLOCK_Y), np.float32)
+    meta[:, :, 0, :] = w00.reshape(nz, nyb, BLOCK_Y)
+    meta[:, :, 1, :] = w01.reshape(nz, nyb, BLOCK_Y)
+    meta[:, :, 2, :] = s0_local.reshape(nz, nyb, BLOCK_Y)
+    meta[:, :, 3, :] = s1_local.reshape(nz, nyb, BLOCK_Y)
+    meta[:, :, 4, :] = wt[:, 0][:, None, None]
+    meta[:, :, 5, :] = wt[:, 1][:, None, None]
+
     return {
         "nz": nz,
         "ny": ny,
@@ -108,11 +125,7 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
         "nx": nx,
         "s_lo": s_lo,
         "t_idx": t_idx,
-        "wt": wt,
-        "w00": w00,
-        "w01": w01,
-        "s0_local": s0_local,
-        "s1_local": s1_local,
+        "meta": meta,
     }
 
 
@@ -120,11 +133,7 @@ def _kernel(
     s_lo_ref,  # (nz, nyb) int32, scalar-prefetch
     t_idx_ref,  # (nz, 2) int32, scalar-prefetch
     raw_ref,  # (T, S_eff, Xp) f32, HBM
-    w00_ref,  # (1, BLOCK_Y) f32
-    w01_ref,  # (1, BLOCK_Y) f32
-    s0l_ref,  # (1, BLOCK_Y) int32
-    s1l_ref,  # (1, BLOCK_Y) int32
-    wt_ref,  # (1, 2) f32, SMEM
+    meta_ref,  # (1, 1, 8, BLOCK_Y) f32: w00/w01/s0/s1/wt0/wt1 rows
     out_ref,  # (1, BLOCK_Y, Xp) f32
     vm0,
     vm1,
@@ -133,7 +142,7 @@ def _kernel(
 ):
     z = pl.program_id(0)
     yb = pl.program_id(1)
-    s_lo = s_lo_ref[z, yb]
+    s_lo = pl.multiple_of(s_lo_ref[z, yb], 8)
     span = vm0.shape[0]
 
     dma0 = pltpu.make_async_copy(
@@ -145,12 +154,13 @@ def _kernel(
     dma0.start()
     dma1.start()
 
+    meta = meta_ref[0, 0]  # (8, BLOCK_Y)
+    s0 = meta[2, :].astype(jnp.int32)
+    s1 = meta[3, :].astype(jnp.int32)
     # Banded interpolation matrix: two non-zeros per output row.
     cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Y, span), 1)
-    sel0 = cols == s0l_ref[0, :][:, None]
-    sel1 = cols == s1l_ref[0, :][:, None]
-    gmat = jnp.where(sel0, w00_ref[0, :][:, None], 0.0) + jnp.where(
-        sel1, w01_ref[0, :][:, None], 0.0
+    gmat = jnp.where(cols == s0[:, None], meta[0, :][:, None], 0.0) + jnp.where(
+        cols == s1[:, None], meta[1, :][:, None], 0.0
     )
 
     dma0.wait()
@@ -163,7 +173,7 @@ def _kernel(
         gmat, vm1[:, :], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    out_ref[0] = wt_ref[0, 0] * r0 + wt_ref[0, 1] * r1
+    out_ref[0] = meta[4, 0] * r0 + meta[5, 0] * r1
 
 
 @partial(
@@ -207,18 +217,10 @@ def _deskew_pallas_jit(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # raw, DMA'd manually
             pl.BlockSpec(
-                (1, BLOCK_Y), lambda z, yb, *_: (z, yb), memory_space=pltpu.VMEM
+                (1, 1, 8, BLOCK_Y),
+                lambda z, yb, *_: (z, yb, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, BLOCK_Y), lambda z, yb, *_: (z, yb), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, BLOCK_Y), lambda z, yb, *_: (z, yb), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, BLOCK_Y), lambda z, yb, *_: (z, yb), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, 2), lambda z, yb, *_: (z, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, BLOCK_Y, xp), lambda z, yb, *_: (z, yb, 0), memory_space=pltpu.VMEM
@@ -240,11 +242,7 @@ def _deskew_pallas_jit(
         jnp.asarray(plan["s_lo"]),
         jnp.asarray(plan["t_idx"]),
         raw_t,
-        jnp.asarray(plan["w00"]),
-        jnp.asarray(plan["w01"]),
-        jnp.asarray(plan["s0_local"]),
-        jnp.asarray(plan["s1_local"]),
-        jnp.asarray(plan["wt"]),
+        jnp.asarray(plan["meta"]),
     )
     out = out[:, : plan["ny"], :nx]
     return _average_z_groups(out, average_n_slices)

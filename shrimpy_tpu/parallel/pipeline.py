@@ -126,7 +126,9 @@ def _register_fn(settings: ReconstructSettings):
     return apply
 
 
-def _stage_fns(settings: ReconstructSettings, psf: np.ndarray | None):
+def _stage_fns(
+    settings: ReconstructSettings, psf: np.ndarray | None, mesh: Mesh | None = None
+):
     """(deskew_fn | None, fft_fn | None) traced per-volume stages.
 
     The pipeline is split at the deskew boundary so the sharded build
@@ -139,8 +141,25 @@ def _stage_fns(settings: ReconstructSettings, psf: np.ndarray | None):
 
     deskew_fn = None
     if desk is not None:
+        # The manual-DMA Pallas kernel runs per volume (lax.map path);
+        # the vmapped mesh path keeps the XLA gather implementation.
+        use_pallas = mesh is None and (
+            desk.backend == "pallas"
+            or (desk.backend == "auto" and jax.default_backend() == "tpu")
+        )
 
         def deskew_fn(raw):
+            if use_pallas:
+                from shrimpy_tpu.ops.deskew_pallas import _deskew_pallas_jit
+
+                return _deskew_pallas_jit(
+                    raw.astype(jnp.float32),
+                    ls_angle_deg=desk.ls_angle_deg,
+                    px_to_scan_ratio=desk.require_ratio(),
+                    keep_overhang=desk.keep_overhang,
+                    average_n_slices=desk.average_n_slices,
+                    interpret=jax.default_backend() != "tpu",
+                )
             return _deskew_xla(
                 raw.astype(jnp.float32),
                 ls_angle_deg=desk.ls_angle_deg,
@@ -194,7 +213,7 @@ def build_reconstruct_step(
     else ``P('batch')``): per-volume FFT/matmul stages never span
     chips, the reshard is one all-to-all over ICI.
     """
-    deskew_fn, fft_fn = _stage_fns(settings, psf)
+    deskew_fn, fft_fn = _stage_fns(settings, psf, mesh)
 
     def batched(raw, tf):
         vol = raw

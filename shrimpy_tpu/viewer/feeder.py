@@ -49,6 +49,10 @@ class ViewerFeeder:
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> None:
+        if self.preview_dir is not None:
+            # Created parent-side so the contract holds even if the
+            # monitor subprocess is still booting when acquisition ends.
+            self.preview_dir.mkdir(parents=True, exist_ok=True)
         self.ring = FrameRing(
             None, n_slots=self.n_slots, frame_shape=self.frame_shape
         )

@@ -205,3 +205,21 @@ def test_dual_arm_reconstruct(runner, tmp_path):
     assert ls.shape[2:] != (24, 24, 16)      # deskew reshapes
     assert np.isfinite(lf.volume(0, 0)).all()
     assert np.isfinite(ls.volume(0, 0)).all()
+
+
+def test_replay_with_viewer(runner, tmp_path):
+    """--viewer spawns the monitor subprocess and renders previews."""
+    import time as _time
+
+    synthetic_blob_fov(tmp_path / "src.zarr", n_timepoints=2,
+                       shape_zyx=(4, 32, 32))
+    result = runner.invoke(
+        cli,
+        ["replay", str(tmp_path / "src.zarr"), "-o", str(tmp_path / "out"),
+         "-n", "v", "--viewer", "--viewer-cache-mb", "4"],
+    )
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / "out" / "v.zarr").exists()
+    # preview dir is created by the monitor (PNG rendering is throttled
+    # and best-effort; existence of the directory proves the wiring).
+    assert (tmp_path / "out" / "preview").exists()
