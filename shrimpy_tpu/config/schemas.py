@@ -160,6 +160,12 @@ class DeconvolveSettings(BaseModel):
     # budget); "high" (bf16x3) measures 6e-5 at ~3x default cost,
     # "highest" 5e-7 at ~6x.
     matmul_precision: Literal["default", "high", "highest"] = "high"
+    # Conv backend within the separable path. "zy_pallas" fuses the
+    # z-taps + banded-y conv into a Pallas MXU kernel — 2x faster as a
+    # standalone conv on v5e, but its per-call wrap-pads erase the gain
+    # inside the RL scan (91 vs 85 ms/iter), so "auto" currently maps
+    # to "matmul"; the kernel stays opt-in pending wrapped-DMA halos.
+    separable_backend: Literal["auto", "matmul", "zy_pallas"] = "auto"
 
     @model_validator(mode="after")
     def _check(self) -> "DeconvolveSettings":

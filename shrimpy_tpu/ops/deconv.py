@@ -337,6 +337,90 @@ def _rl_sep_jit(
     return est[crop]
 
 
+# -- z+y fused Pallas conv backend -----------------------------------------
+
+_RL_ZY_CACHE: dict = {}
+
+
+def _rl_sep_zy(image, psf_np, terms, settings, iterations):
+    """RL with the fused z+y Pallas kernel + dense-x XLA einsum.
+
+    Grid = image + 2*half exactly (the kernel handles circular halos by
+    wrap-padding internally; no block alignment needed). Semantics match
+    the circulant oracle on this grid.
+    """
+    import jax as _jax
+
+    from shrimpy_tpu.ops.conv3_pallas import _convzy_pallas_jit, _y_stencil
+
+    pads = tuple((k // 2, k // 2) for k in psf_np.shape)
+    grid = tuple(n + lo + hi for n, (lo, hi) in zip(image.shape, pads))
+    key = (
+        tuple(image.shape),
+        psf_np.tobytes(),
+        iterations,
+        settings.epsilon,
+        settings.pad_mode,
+        settings.matmul_precision,
+    )
+    if key not in _RL_ZY_CACHE:
+        interpret = _jax.default_backend() != "tpu"
+        prec = _PRECISIONS[settings.matmul_precision]
+        rz, ry, rx = (k // 2 for k in psf_np.shape)
+        term_meta = []
+        cxs, cxs_f = [], []
+        for wz, wy, wx in terms:
+            term_meta.append(
+                {
+                    "kz": tuple(float(v) for v in wz),
+                    "kz_f": tuple(float(v) for v in wz[::-1]),
+                    "gy": jnp.asarray(_y_stencil(wy, 128, len(wy) // 2)),
+                    "gy_f": jnp.asarray(_y_stencil(wy[::-1], 128, len(wy) // 2)),
+                    "radii": (len(wz) // 2, len(wy) // 2),
+                }
+            )
+            cxs.append(_circulant(grid[2], wx))
+            cxs_f.append(_circulant(grid[2], wx[::-1]))
+        cxs = jnp.asarray(np.stack(cxs))
+        cxs_f = jnp.asarray(np.stack(cxs_f))
+        epsilon = settings.epsilon
+        pad_mode = settings.pad_mode
+
+        def conv3(v, flip):
+            out = jnp.zeros_like(v)
+            for k, tm in enumerate(term_meta):
+                h = _convzy_pallas_jit(
+                    v,
+                    tm["gy_f"] if flip else tm["gy"],
+                    kz_key=tm["kz_f"] if flip else tm["kz"],
+                    radii=tm["radii"],
+                    interpret=interpret,
+                )
+                cx = (cxs_f if flip else cxs)[k]
+                out = out + jnp.einsum("ab,zyb->zya", cx, h, precision=prec)
+            return out
+
+        @_jax.jit
+        def run(img):
+            padded = jnp.pad(img.astype(jnp.float32), pads, mode=pad_mode)
+            data = jnp.maximum(padded, 0.0)
+            est0 = jnp.maximum(padded, epsilon)
+
+            def step(est, _):
+                conv = conv3(est, False)
+                ratio = data / jnp.maximum(conv, epsilon)
+                return est * conv3(ratio, True), None
+
+            est, _ = _jax.lax.scan(step, est0, None, length=iterations)
+            crop = tuple(
+                slice(lo, lo + n) for (lo, _), n in zip(pads, img.shape)
+            )
+            return est[crop]
+
+        _RL_ZY_CACHE[key] = run
+    return _RL_ZY_CACHE[key](image)
+
+
 def _sep_pads(
     image_shape: tuple[int, ...], psf_shape: tuple[int, ...]
 ) -> tuple[tuple[int, int], ...]:
@@ -391,6 +475,10 @@ def richardson_lucy(
             )
 
     if terms is not None:
+        # "auto" maps to matmul: the zy kernel's per-call wrap-pads cost
+        # more than it saves inside the scan (see DeconvolveSettings).
+        if settings.separable_backend == "zy_pallas":
+            return _rl_sep_zy(image, psf_np, terms, settings, iters)
         pads = _sep_pads(tuple(image.shape), tuple(psf_np.shape))
         grid = tuple(n + lo + hi for n, (lo, hi) in zip(image.shape, pads))
         radii = tuple(k // 2 for k in psf_np.shape)
@@ -427,13 +515,19 @@ def richardson_lucy_reference_separable(
     pad_mode: str = "reflect",
     tol: float = 1e-4,
     max_terms: int = 6,
+    pads: tuple[tuple[int, int], ...] | None = None,
 ) -> np.ndarray:
-    """Trusted fp64 oracle of the separable circulant-matmul path."""
+    """Trusted fp64 oracle of the separable circulant-matmul path.
+
+    ``pads`` overrides the grid (the zy_pallas backend uses exact
+    half-PSF pads without block rounding).
+    """
     image = np.asarray(image, dtype=np.float64)
     psf_unit = np.asarray(psf, np.float64) / np.asarray(psf, np.float64).sum()
     terms = separable_decompose(psf_unit, tol=tol, max_terms=max_terms)
     assert terms is not None, "PSF not separable within tol"
-    pads = _sep_pads(tuple(image.shape), tuple(psf.shape))
+    if pads is None:
+        pads = _sep_pads(tuple(image.shape), tuple(psf.shape))
     grid = tuple(n + lo + hi for n, (lo, hi) in zip(image.shape, pads))
     # Always-dense fp64 circulants (the banded stencil is an exact
     # block decomposition of these, so one oracle covers both paths).

@@ -35,7 +35,11 @@ from shrimpy_tpu.ops.deskew import _deskew_xla, get_deskewed_shape
 from shrimpy_tpu.ops.phase import _apply_inverse_jit, compute_transfer_function
 
 
-def _deconv_fn(settings: ReconstructSettings, psf: np.ndarray | None):
+def _deconv_fn(
+    settings: ReconstructSettings,
+    psf: np.ndarray | None,
+    mesh: Mesh | None = None,
+):
     """Per-volume RL stage with the PSF baked at build time.
 
     The separable fast path turns the PSF into circulant matrices —
@@ -60,6 +64,14 @@ def _deconv_fn(settings: ReconstructSettings, psf: np.ndarray | None):
             raise ValueError("PSF not separable within separable_tol")
 
     if terms is not None:
+        use_zy = mesh is None and deconv.separable_backend == "zy_pallas"
+        if use_zy:
+            from shrimpy_tpu.ops.deconv import _rl_sep_zy
+
+            def rl(vol):
+                return _rl_sep_zy(vol, psf_np, terms, deconv, deconv.iterations)
+
+            return rl
 
         def rl(vol):
             pads = _sep_pads(tuple(vol.shape), tuple(psf_np.shape))
@@ -169,7 +181,7 @@ def _stage_fns(
             )
 
     reg_fn = _register_fn(settings)
-    rl_fn = _deconv_fn(settings, psf)
+    rl_fn = _deconv_fn(settings, psf, mesh)
     fft_fn = None
     if phase is not None or rl_fn is not None or reg_fn is not None:
 
