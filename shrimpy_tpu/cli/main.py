@@ -235,11 +235,24 @@ def track(input, config_path, output):
     pos = store.position()
     sz, sy, _ = pos.zyx_scale
     inject_derived_parameters(cfg, pixel_size_um=sy, z_step_um=sz)
-    c = pos.channel_names.index(cfg.tracking_channel)
+    # With a preprocessing chain, the tracker consumes the processed
+    # product of the INPUT channel; otherwise the tracking channel is
+    # read directly from the store.
+    preprocessor = None
+    if cfg.preprocessing:
+        from shrimpy_tpu.tracking.preprocess import Preprocessor
+
+        preprocessor = Preprocessor(cfg)
+        c = pos.channel_names.index(cfg.input_channel)
+    else:
+        c = pos.channel_names.index(cfg.tracking_channel)
     tracker = Tracker(cfg, scale_zyx_um=pos.zyx_scale, journal=ShiftJournal(output))
     for key, p in store.positions().items():
         for t in range(p.shape[0]):
-            r = tracker.update(p.volume(t, c), t=t, p=key)
+            stack = p.volume(t, c)
+            if preprocessor is not None:
+                stack = preprocessor.tracking_stack(stack)
+            r = tracker.update(stack, t=t, p=key)
             click.echo(
                 f"t={t} p={key} shift_px={np.round(r.shift_px_zyx, 2).tolist()} "
                 f"stage_um={np.round(r.stage_shift_xyz, 3).tolist()}"

@@ -93,9 +93,17 @@ class AcquisitionEngine:
         cfg = DynaTrackConfig(**meta)
         if not cfg.enabled:
             return
-        if cfg.tracking_channel not in channels:
+        preprocessor = None
+        if cfg.preprocessing:
+            from shrimpy_tpu.tracking.preprocess import Preprocessor
+
+            preprocessor = Preprocessor(cfg)
+            track_source_channel = cfg.input_channel
+        else:
+            track_source_channel = cfg.tracking_channel
+        if track_source_channel not in channels:
             raise ValueError(
-                f"dynatrack tracking_channel={cfg.tracking_channel!r} not in "
+                f"dynatrack channel {track_source_channel!r} not in "
                 f"acquired channels {channels}"
             )
         journal = ShiftJournal(out_dir / "dynatrack_log.csv")
@@ -110,10 +118,12 @@ class AcquisitionEngine:
             journal=journal,
             debug_writer=debug_writer,
         )
-        self._track_channel_idx = channels.index(cfg.tracking_channel)
+        self._track_channel_idx = channels.index(track_source_channel)
         store = PositionStore()
 
         def updater(stack: np.ndarray, t: int, p: str) -> np.ndarray:
+            if preprocessor is not None:
+                stack = preprocessor.tracking_stack(stack)
             result = self._tracker.update(stack, t, p)
             return result.stage_shift_xyz
 

@@ -234,3 +234,41 @@ def test_engine_autoexposure_manual_csv(tmp_path, fov_source):
     eng.acquire(tmp_path / "out", "ae", plan)
     summary = json.loads((tmp_path / "out" / "ae_summary_metadata.json").read_text())
     assert summary["exposures"]["0"] == [12.5, 30.0]
+
+
+def test_tracking_with_deskew_preprocessing(tmp_path):
+    """The engine's tracker consumes the preprocessed (deskewed) product
+    when a preprocessing chain is configured."""
+    from shrimpy_tpu.io.ngff import create_fov
+    from shrimpy_tpu.io.synthetic import render_beads_skewed
+
+    raw0 = render_beads_skewed((48, 24, 24), np.array([[5.0, 40.0, 12.0]]))
+    raw1 = render_beads_skewed((48, 24, 24), np.array([[5.0, 44.0, 10.0]]))
+    pos = create_fov(tmp_path / "src.zarr", shape=(2, 1, 48, 24, 24),
+                     dtype="float32", channel_names=["LS"],
+                     zyx_scale=(0.3, 0.116, 0.116))
+    pos.write((0, 0), raw0)
+    pos.write((1, 0), raw1)
+
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 2},
+        metadata={
+            "dynatrack": {
+                "input_channel": "LS",
+                "tracking_channel": "LS",
+                "tracking_method": "pcc",
+                "preprocessing": ["deskew"],
+                "deskew": {"ls_angle_deg": 30.0, "px_to_scan_ratio": 0.386},
+            }
+        },
+    )
+    engine = AcquisitionEngine(ReplaySource(tmp_path / "src.zarr"))
+    engine.acquire(tmp_path / "out", "pre", plan)
+    journal = (tmp_path / "out" / "dynatrack_log.csv").read_text().splitlines()
+    assert len(journal) == 3  # header + 2
+    # t=1 shift reflects the LAB-frame bead motion (+4 y, -2 x), not the
+    # skewed-frame motion — proof the deskew ran before tracking.
+    import csv as _csv
+    row = list(_csv.DictReader(journal.__iter__()))[1]
+    assert abs(float(row["shift_y_px"]) - 4.0) <= 1.0
+    assert abs(float(row["shift_x_px"]) + 2.0) <= 1.0
