@@ -256,6 +256,27 @@ def reconstruct_store(
     pending_writes: list = []
     read_futures = start_reads(batches[0]) if batches else []
     n_done = 0
+    inflight: tuple | None = None  # (batch, device output) awaiting D2H
+
+    def retire(entry) -> None:
+        """Materialize a finished batch's output and issue its writes."""
+        nonlocal pending_writes, n_done
+        batch_done, out_dev = entry
+        with timer.stage("d2h"):
+            out_host = np.asarray(out_dev)[: len(batch_done)]
+        with timer.stage("write"):
+            for fut in pending_writes:
+                fut.result()
+            pending_writes = []
+            out_cast = _as_output_dtype(out_host, settings.output_dtype)
+            for it, vol in zip(batch_done, out_cast):
+                pending_writes.append(
+                    positions_out[it.position].write_async((it.t, it.c), vol)
+                )
+        progress.mark(batch_done)
+        n_done += len(batch_done)
+        logger.info("reconstructed %d/%d volumes", n_done, len(todo))
+
     for bi, batch in enumerate(batches):
         with timer.stage("read"):
             vols = [np.asarray(f.result(), dtype=np.float32) for f in read_futures]
@@ -272,24 +293,19 @@ def reconstruct_store(
                 else jnp.asarray(stacked)
             )
         with timer.stage("compute"):
+            # Dispatch is async; the previous batch's D2H + writes
+            # overlap this batch's device execution (double buffering).
             out = step(device_batch, tf_arr)
-            out_host = np.asarray(out)[: len(vols)]
+            try:
+                out.copy_to_host_async()
+            except AttributeError:  # backend without async host copy
+                pass
+        if inflight is not None:
+            retire(inflight)
+        inflight = (batch, out)
 
-        with timer.stage("write"):
-            # Await the previous batch's writes before issuing new ones
-            # (bounded in-flight, one batch deep).
-            for fut in pending_writes:
-                fut.result()
-            pending_writes = []
-            out_cast = _as_output_dtype(out_host, settings.output_dtype)
-            for it, vol in zip(batch, out_cast):
-                pending_writes.append(
-                    positions_out[it.position].write_async((it.t, it.c), vol)
-                )
-        progress.mark(batch)
-        n_done += len(batch)
-        logger.info("reconstructed %d/%d volumes", n_done, len(todo))
-
+    if inflight is not None:
+        retire(inflight)
     for fut in pending_writes:
         fut.result()
 
