@@ -166,6 +166,12 @@ class AcquisitionEngine:
         shape = (n_t, len(channels), nz, ny, nx)
 
         self._setup_tracking(plan, channels, output_dir)
+        if plan.refocus.enabled:
+            # Chunk resume: carry the accumulated remote-refocus offsets
+            # over from the previous acquisition chunk of the same name
+            # (the reference regex-recovers the O3 position from the
+            # previous chunk's log, archive acq_engine.py:802-838).
+            self._restore_refocus_from_previous(output_dir, name, final_name)
         autofocus = DemoAutofocus(plan.autofocus, len(positions))
 
         # Output store mirrors the source layout.
@@ -278,6 +284,32 @@ class AcquisitionEngine:
         return out_path
 
     # -- helpers -------------------------------------------------------------
+    def _restore_refocus_from_previous(
+        self, output_dir: Path, base_name: str, final_name: str
+    ) -> None:
+        """Seed refocus offsets from the latest earlier chunk's summary."""
+        candidates = []
+        for f in output_dir.glob(f"{base_name}*_summary_metadata.json"):
+            stem = f.name.replace("_summary_metadata.json", "")
+            if stem != final_name and (
+                stem == base_name or stem.startswith(f"{base_name}_")
+            ):
+                candidates.append(f)
+        if not candidates:
+            return
+        latest = max(candidates, key=lambda f: f.stat().st_mtime)
+        try:
+            summary = json.loads(latest.read_text())
+        except (OSError, json.JSONDecodeError):
+            logger.warning("could not read previous chunk summary %s", latest)
+            return
+        for t, p, delta in summary.get("refocus_events", []):
+            self._refocus_z[p] = self._refocus_z.get(p, 0) + int(delta)
+        if self._refocus_z:
+            logger.info(
+                "restored refocus offsets from %s: %s", latest.name, self._refocus_z
+            )
+
     def _run_autoexposure(self, plan, p_key: str, chan_idx, channels) -> None:
         from shrimpy_tpu.engine.autoexposure import (
             ALGORITHMS,

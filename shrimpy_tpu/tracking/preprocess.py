@@ -17,11 +17,7 @@ import logging
 
 import numpy as np
 
-from shrimpy_tpu.config.schemas import (
-    DeskewSettings,
-    DynaTrackConfig,
-    PhaseSettings,
-)
+from shrimpy_tpu.config.schemas import DynaTrackConfig
 from shrimpy_tpu.utils.timing import StageTimer
 
 logger = logging.getLogger(__name__)

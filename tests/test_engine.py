@@ -272,3 +272,38 @@ def test_tracking_with_deskew_preprocessing(tmp_path):
     row = list(_csv.DictReader(journal.__iter__()))[1]
     assert abs(float(row["shift_y_px"]) - 4.0) <= 1.0
     assert abs(float(row["shift_x_px"]) + 2.0) <= 1.0
+
+
+def test_refocus_offsets_survive_chunked_acquisitions(tmp_path):
+    """Chunk resume: the second acquisition of the same name starts from
+    the previous chunk's accumulated refocus offsets."""
+    from scipy import ndimage
+
+    from shrimpy_tpu.io.ngff import create_fov
+
+    rng2 = np.random.default_rng(2)
+    nz, ny, nx = 15, 48, 48
+    sharp = rng2.random((ny, nx)).astype(np.float32)
+    in_focus = 10  # +3 from center
+    stack = np.stack([
+        ndimage.gaussian_filter(sharp, abs(z - in_focus) * 0.9 + 0.01)
+        for z in range(nz)
+    ])
+    pos = create_fov(tmp_path / "src.zarr", shape=(1, 1, nz, ny, nx),
+                     dtype="float32", channel_names=["BF"],
+                     zyx_scale=(0.25, 0.116, 0.116))
+    pos.write((0, 0), stack)
+
+    plan = AcquisitionPlan(refocus={"enabled": True, "interval_timepoints": 1})
+    source = ReplaySource(tmp_path / "src.zarr")
+    AcquisitionEngine(source).acquire(tmp_path / "out", "chunked", plan)
+
+    # Chunk 2 (auto-incremented name): starts with the +3 offset restored,
+    # so its stack is already centered and no further event fires.
+    eng2 = AcquisitionEngine(ReplaySource(tmp_path / "src.zarr"))
+    eng2.acquire(tmp_path / "out", "chunked", plan)
+    assert eng2._refocus_z.get("0", 0) == in_focus - nz // 2
+    summary2 = json.loads(
+        (tmp_path / "out" / "chunked_1_summary_metadata.json").read_text()
+    )
+    assert summary2["refocus_events"] == []
