@@ -1,15 +1,23 @@
-"""Richardson-Lucy deconvolution with measured PSFs (FFT-based, XLA).
+"""Richardson-Lucy deconvolution with measured PSFs (TPU-native).
 
 The reference delegates deconvolution to the external biahub library
 (reference ``README.md:126-128``; the measured-PSF source pipeline is
 ``scripts/measure_psf.py:20-288``). Here RL is a first-party TPU
-implementation: the multiplicative update runs as a ``jax.lax.scan``
-over iterations, with each iteration two rFFT convolutions fused by XLA
-into one compiled program (BASELINE.json configs[1]: 20 iterations,
-measured PSF).
+implementation with three backends, all running the multiplicative
+update as a ``jax.lax.scan`` (BASELINE.json configs[1]: 20 iterations,
+measured PSF):
 
-Algorithm
----------
+* **separable / matmul** (default for rank-decomposable PSFs): each
+  circular convolution is a chain of per-axis circulant matmuls on the
+  MXU — ~25x the FFT path on v5e, where XLA's FFT is far from the
+  roofline; long axes switch to block-banded stencils.
+* **separable / zy_pallas** (opt-in): fused z+y Pallas kernel + dense-x
+  einsum (see ops/conv3_pallas.py for status).
+* **fft** (fallback for non-separable PSFs): rFFT convolution on a
+  5-smooth padded grid.
+
+FFT algorithm
+-------------
 Classic Richardson-Lucy with a linear-convolution-correct padded grid:
 
 1. the image is padded by the PSF half-width with ``pad_mode``

@@ -116,3 +116,30 @@ def test_registration_apply_stage(tmp_path, rng):
         affine_apply(vol[0, 0], np.eye(3), [0.0, 2.0, -1.0])
     )
     np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_channel_filter_selects_subset(tmp_path, rng):
+    shape = (1, 3, 12, 16, 16)
+    pos = create_fov(tmp_path / "in.zarr", shape=shape, dtype="float32",
+                     channel_names=["BF", "GFP", "RFP"])
+    pos.write(Ellipsis, rng.random(shape, dtype=np.float32))
+    settings = ReconstructSettings(deskew=DESKEW, channels=["GFP"])
+    summary = reconstruct_store(tmp_path / "in.zarr", tmp_path / "out.zarr", settings)
+    assert summary["volumes"] == 1
+
+
+def test_empty_selection_raises(tmp_path, ls_fov):
+    settings = ReconstructSettings(deskew=DESKEW, channels=["nope"])
+    with pytest.raises(ValueError, match="no work"):
+        reconstruct_store(ls_fov, tmp_path / "out.zarr", settings)
+
+
+def test_ngff_04_input_store(tmp_path, rng):
+    """zarr v2 / NGFF 0.4 stores reconstruct identically."""
+    path = tmp_path / "v2.zarr"
+    synthetic_ls_stack(path, raw_shape_szx=(32, 24, 16), version="0.4")
+    settings = ReconstructSettings(deskew=DESKEW)
+    summary = reconstruct_store(path, tmp_path / "out.zarr", settings)
+    assert summary["volumes"] == 1
+    out = open_ngff(tmp_path / "out.zarr").position()
+    assert np.isfinite(out.volume(0, 0)).all()
