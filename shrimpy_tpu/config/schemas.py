@@ -160,12 +160,19 @@ class DeconvolveSettings(BaseModel):
     # budget); "high" (bf16x3) measures 6e-5 at ~3x default cost,
     # "highest" 5e-7 at ~6x.
     matmul_precision: Literal["default", "high", "highest"] = "high"
-    # Conv backend within the separable path. "zy_pallas" fuses the
-    # z-taps + banded-y conv into a Pallas MXU kernel — 2x faster as a
-    # standalone conv on v5e, but its per-call wrap-pads erase the gain
-    # inside the RL scan (91 vs 85 ms/iter), so "auto" currently maps
-    # to "matmul"; the kernel stays opt-in pending wrapped-DMA halos.
-    separable_backend: Literal["auto", "matmul", "zy_pallas"] = "auto"
+    # Conv backend within the separable path:
+    # * "matmul": per-axis circulant/banded matmuls, all-XLA (circular
+    #   boundary on the padded grid);
+    # * "zy_pallas": fused z+y Pallas kernel with per-call wrap-pads —
+    #   2x as a standalone conv but the pads erase the gain in the scan
+    #   (91 vs 85 ms/iter on v5e); kept opt-in;
+    # * "linear_pallas": zero-boundary RL on a permanently padded carry
+    #   (zeros are absorbing under the multiplicative update), z+y
+    #   kernel + banded-Toeplitz x — no in-loop padding at all.
+    # "auto" picks linear_pallas on TPU, matmul elsewhere.
+    separable_backend: Literal[
+        "auto", "matmul", "zy_pallas", "linear_pallas"
+    ] = "auto"
 
     @model_validator(mode="after")
     def _check(self) -> "DeconvolveSettings":

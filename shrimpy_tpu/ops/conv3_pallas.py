@@ -258,6 +258,146 @@ def convzy_circular_pallas(
     )
 
 
+# ---------------------------------------------------------------------------
+# Zero-boundary z+y kernel over a permanently-padded carry (RL fast path)
+# ---------------------------------------------------------------------------
+#
+# Richardson-Lucy's update is multiplicative, so zeros are absorbing:
+# a carry stored on a zero-padded grid keeps its pads zero through every
+# iteration for free. That removes ALL in-loop padding — this kernel
+# reads the padded carry directly with aligned DMAs (pad_top_z = bz,
+# pad_top_y = by so tile starts stay tiling-aligned; the constant
+# sub-8 y misalignment of the halo start is folded into the stencil).
+
+_LP_BZ, _LP_BY, _LP_BX = 8, 128, 512
+
+
+def lp_layout(
+    g_shape: tuple[int, int, int], rz: int, ry: int
+) -> dict:
+    """Padded-carry layout for the linear (zero-boundary) RL backend."""
+    gz, gy, gx = g_shape
+    bz, by, bx = _LP_BZ, _LP_BY, _LP_BX
+    nz_p = _round_up(gz, bz)
+    ny_p = _round_up(gy, by)
+    nx_p = _round_up(gx, bx)
+    # y halo DMA: src start (by + y0 - ry) quantized down to 8; the
+    # constant shift folds into the stencil columns.
+    y_shift = (by - ry) % 8
+    sy = _round_up(by + 2 * ry + y_shift, 8)
+    shape = (bz + nz_p + bz, by + ny_p + by, nx_p)
+    return {
+        "bz": bz, "by": by, "bx": bx,
+        "nz_p": nz_p, "ny_p": ny_p, "nx_p": nx_p,
+        "sy": sy, "y_shift": y_shift,
+        "shape": shape,
+        "dims": (nz_p, ny_p, nx_p, sy, y_shift),
+        "interior": (
+            slice(bz, bz + gz), slice(by, by + gy), slice(0, gx)
+        ),
+    }
+
+
+def lp_pad(vol_g, layout) -> jnp.ndarray:
+    """Embed a G-shaped volume into the padded carry layout (zeros)."""
+    gz, gy, gx = vol_g.shape
+    out = jnp.zeros(layout["shape"], jnp.float32)
+    return out.at[layout["interior"]].set(vol_g.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("kz_key", "radii", "dims", "interpret"))
+def _convzy_linear_jit(carry, gy_mat, *, kz_key, radii, dims, interpret):
+    """Zero-boundary z+y conv: padded carry in -> padded layout out.
+
+    Edge tiles (whose outputs are entirely pad rows) read clamped slabs
+    with shifted alignment — harmless, because every consumer re-zeros
+    the pads (data/est multiplications by stored zeros).
+    """
+    kz = np.asarray(kz_key, np.float32)
+    rz, ry = radii
+    nz_p, ny_p, nx_p, sy, y_shift = dims
+    bz, by, bx = _LP_BZ, _LP_BY, _LP_BX
+    shape = (bz + nz_p + bz, by + ny_p + by, nx_p)
+    nzb = shape[0] // bz
+    nyb = shape[1] // by
+    nxb = nx_p // bx
+    z_max = shape[0] - (bz + 2 * rz)
+    y_max = shape[1] - sy
+
+    def kernel(in_ref, gy_ref, out_ref, vm, sem):
+        zi = pl.program_id(0)
+        yi = pl.program_id(1)
+        xi = pl.program_id(2)
+        z0 = jnp.clip(zi * bz - rz, 0, z_max)
+        y0 = pl.multiple_of(
+            jnp.clip(yi * by - ry - y_shift, 0, y_max), 8
+        )
+        dma = pltpu.make_async_copy(
+            in_ref.at[
+                pl.ds(z0, bz + 2 * rz),
+                pl.ds(y0, sy),
+                pl.ds(xi * bx, bx),
+            ],
+            vm,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+        # Slab row d maps to input row (out_row - rz + d): weight with
+        # kz[2rz - d] so the sum is a CONVOLUTION (circulant convention),
+        # not a correlation.
+        tz = sum(
+            float(kz[2 * rz - d]) * vm[d : d + bz, :, :]
+            for d in range(2 * rz + 1)
+        )
+        g = gy_ref[...]
+        for z in range(bz):
+            out_ref[z] = jax.lax.dot_general(
+                g,
+                tz[z, :, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nzb, nyb, nxb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((by, sy), lambda z, y, x: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bz, by, bx), lambda z, y, x: (z, y, x), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bz + 2 * rz, sy, bx), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(carry, gy_mat)
+
+
+def lp_y_stencil(taps: np.ndarray, layout) -> np.ndarray:
+    """(by, sy) stencil for the padded-carry layout.
+
+    For an out row a (tile-local), the window row for tap i sits at
+    local column a + (2ry - i) + y_shift... shifted by the quantized
+    halo start. Edge clamping at the array top moves the start by up to
+    (ry + y_shift); those rows are always zero pads so the mismatch
+    contributes nothing.
+    """
+    by, sy = layout["by"], layout["sy"]
+    ry = (len(taps)) // 2
+    shift = layout["y_shift"]
+    g = np.zeros((by, sy), np.float32)
+    rows = np.arange(by)
+    for i, v in enumerate(np.asarray(taps, np.float32)):
+        g[rows, rows + (2 * ry - i) + shift] += v
+    return g
+
+
 def conv3_circular_pallas(
     vol,
     terms: list[tuple[np.ndarray, np.ndarray, np.ndarray]],

@@ -345,6 +345,118 @@ def _rl_sep_jit(
     return est[crop]
 
 
+def _toeplitz_banded(n: int, taps: np.ndarray) -> np.ndarray:
+    """N x N banded Toeplitz: centered LINEAR (zero-boundary) conv."""
+    k = len(taps)
+    r = k // 2
+    mat = np.zeros((n, n), np.float32)
+    rows = np.arange(n)
+    for i in range(k):
+        cols = rows - (i - r)
+        ok = (cols >= 0) & (cols < n)
+        mat[rows[ok], cols[ok]] += taps[i]
+    return mat
+
+
+# -- zero-boundary fused-kernel RL backend ----------------------------------
+
+_RL_LINEAR_CACHE: dict = {}
+
+
+def _rl_sep_linear(image, psf_np, terms, settings, iterations):
+    """RL on a permanently zero-padded carry (no in-loop padding).
+
+    Zero-boundary (linear) convolution semantics: the multiplicative RL
+    update keeps the pad region exactly zero through every iteration
+    (zeros are absorbing; data pads are zero so ratios re-zero too), so
+    the z+y Pallas kernel reads the padded carry directly — no wrap or
+    alignment pads inside the scan. x runs as a banded-Toeplitz einsum.
+    """
+    import jax as _jax
+
+    from shrimpy_tpu.ops.conv3_pallas import (
+        _convzy_linear_jit,
+        lp_layout,
+        lp_pad,
+        lp_y_stencil,
+    )
+
+    pads = tuple((k // 2, k // 2) for k in psf_np.shape)
+    g_shape = tuple(n + lo + hi for n, (lo, hi) in zip(image.shape, pads))
+    key = (
+        tuple(image.shape),
+        psf_np.tobytes(),
+        iterations,
+        settings.epsilon,
+        settings.pad_mode,
+        settings.matmul_precision,
+        "linear",
+    )
+    if key not in _RL_LINEAR_CACHE:
+        interpret = _jax.default_backend() != "tpu"
+        prec = _PRECISIONS[settings.matmul_precision]
+        rz, ry, rx = (k // 2 for k in psf_np.shape)
+        layout = lp_layout(g_shape, rz, ry)
+        dims = layout["dims"]
+        interior = layout["interior"]
+        nx_p = layout["nx_p"]
+
+        term_meta = []
+        txs, txs_f = [], []
+        for wz, wy, wx in terms:
+            term_meta.append(
+                {
+                    "kz": tuple(float(v) for v in wz),
+                    "kz_f": tuple(float(v) for v in wz[::-1]),
+                    "gy": jnp.asarray(lp_y_stencil(wy, layout)),
+                    "gy_f": jnp.asarray(lp_y_stencil(wy[::-1], layout)),
+                    "radii": (len(wz) // 2, len(wy) // 2),
+                }
+            )
+            txs.append(_toeplitz_banded(nx_p, wx))
+            txs_f.append(_toeplitz_banded(nx_p, wx[::-1]))
+        txs = jnp.asarray(np.stack(txs))
+        txs_f = jnp.asarray(np.stack(txs_f))
+        epsilon = settings.epsilon
+        pad_mode = settings.pad_mode
+
+        def conv3(v, flip):
+            out = jnp.zeros_like(v)
+            for k, tm in enumerate(term_meta):
+                h = _convzy_linear_jit(
+                    v,
+                    tm["gy_f"] if flip else tm["gy"],
+                    kz_key=tm["kz_f"] if flip else tm["kz"],
+                    radii=tm["radii"],
+                    dims=dims,
+                    interpret=interpret,
+                )
+                tx = (txs_f if flip else txs)[k]
+                out = out + jnp.einsum("ab,zyb->zya", tx, h, precision=prec)
+            return out
+
+        @_jax.jit
+        def run(img):
+            g_vol = jnp.pad(img.astype(jnp.float32), pads, mode=pad_mode)
+            data = lp_pad(jnp.maximum(g_vol, 0.0), layout)
+            est0 = lp_pad(jnp.maximum(g_vol, epsilon), layout)
+
+            def step(est, _):
+                conv = conv3(est, False)
+                ratio = data / jnp.maximum(conv, epsilon)
+                return est * conv3(ratio, True), None
+
+            est, _ = _jax.lax.scan(step, est0, None, length=iterations)
+            g_out = est[interior]
+            crop = tuple(
+                slice(lo, lo + n) for (lo, _), n in zip(pads, img.shape)
+            )
+            return g_out[crop]
+
+        _RL_LINEAR_CACHE[key] = run
+    return _RL_LINEAR_CACHE[key](image)
+
+
 # -- z+y fused Pallas conv backend -----------------------------------------
 
 _RL_ZY_CACHE: dict = {}
@@ -483,9 +595,14 @@ def richardson_lucy(
             )
 
     if terms is not None:
-        # "auto" maps to matmul: the zy kernel's per-call wrap-pads cost
-        # more than it saves inside the scan (see DeconvolveSettings).
-        if settings.separable_backend == "zy_pallas":
+        backend = settings.separable_backend
+        if backend == "auto":
+            backend = (
+                "linear_pallas" if jax.default_backend() == "tpu" else "matmul"
+            )
+        if backend == "linear_pallas":
+            return _rl_sep_linear(image, psf_np, terms, settings, iters)
+        if backend == "zy_pallas":
             return _rl_sep_zy(image, psf_np, terms, settings, iters)
         pads = _sep_pads(tuple(image.shape), tuple(psf_np.shape))
         grid = tuple(n + lo + hi for n, (lo, hi) in zip(image.shape, pads))
@@ -524,11 +641,14 @@ def richardson_lucy_reference_separable(
     tol: float = 1e-4,
     max_terms: int = 6,
     pads: tuple[tuple[int, int], ...] | None = None,
+    boundary: str = "circular",
 ) -> np.ndarray:
-    """Trusted fp64 oracle of the separable circulant-matmul path.
+    """Trusted fp64 oracle of the separable matmul paths.
 
-    ``pads`` overrides the grid (the zy_pallas backend uses exact
-    half-PSF pads without block rounding).
+    ``pads`` overrides the grid (the pallas backends use exact half-PSF
+    pads without block rounding). ``boundary``: "circular" (circulant
+    matrices — the matmul/zy backends) or "zero" (banded Toeplitz — the
+    linear_pallas backend).
     """
     image = np.asarray(image, dtype=np.float64)
     psf_unit = np.asarray(psf, np.float64) / np.asarray(psf, np.float64).sum()
@@ -537,15 +657,16 @@ def richardson_lucy_reference_separable(
     if pads is None:
         pads = _sep_pads(tuple(image.shape), tuple(psf.shape))
     grid = tuple(n + lo + hi for n, (lo, hi) in zip(image.shape, pads))
-    # Always-dense fp64 circulants (the banded stencil is an exact
-    # block decomposition of these, so one oracle covers both paths).
+    build = _circulant if boundary == "circular" else _toeplitz_banded
+    # Always-dense fp64 matrices (the banded/kernel forms are exact
+    # block decompositions of these, so one oracle covers all paths).
     mats = []
     for which in (1, -1):
         for axis in range(3):
             mats.append(
                 np.stack(
                     [
-                        _circulant(grid[axis], t[axis][::which]).astype(np.float64)
+                        build(grid[axis], t[axis][::which]).astype(np.float64)
                         for t in terms
                     ]
                 )

@@ -62,8 +62,23 @@ def _deconv_fn(
             raise ValueError("PSF not separable within separable_tol")
 
     if terms is not None:
-        use_zy = mesh is None and deconv.separable_backend == "zy_pallas"
-        if use_zy:
+        backend = deconv.separable_backend
+        if backend == "auto":
+            backend = (
+                "linear_pallas"
+                if (mesh is None and jax.default_backend() == "tpu")
+                else "matmul"
+            )
+        if mesh is not None:
+            backend = "matmul"  # pallas kernels don't vmap over the mesh
+        if backend == "linear_pallas":
+            from shrimpy_tpu.ops.deconv import _rl_sep_linear
+
+            def rl(vol):
+                return _rl_sep_linear(vol, psf_np, terms, deconv, deconv.iterations)
+
+            return rl
+        if backend == "zy_pallas":
             from shrimpy_tpu.ops.deconv import _rl_sep_zy
 
             def rl(vol):

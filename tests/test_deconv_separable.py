@@ -141,3 +141,38 @@ def test_zy_pallas_agrees_with_matmul_backend(rng):
     ))
     # Same grid here (no block rounding at this size) -> near-identical.
     assert np.abs(zy - mm).max() / np.abs(mm).max() <= 1e-4
+
+
+def test_linear_pallas_backend_matches_zero_boundary_oracle(rng):
+    """Zero-boundary RL on the permanently-padded carry (no in-loop
+    pads) matches its fp64 banded-Toeplitz oracle."""
+    truth, psf, blurred = _scene(rng, shape=(10, 32, 32))
+    settings = DeconvolveSettings(
+        algorithm="separable", separable_backend="linear_pallas", iterations=5
+    )
+    ours = np.asarray(richardson_lucy(blurred, psf, settings))
+    pads = tuple((k // 2, k // 2) for k in psf.shape)
+    oracle = richardson_lucy_reference_separable(
+        blurred, psf, iterations=5, pads=pads, boundary="zero"
+    )
+    err = np.abs(ours - oracle).max() / np.abs(oracle).max()
+    assert err <= 1e-3, f"rel err {err:.2e}"
+
+
+def test_linear_pallas_interior_agrees_with_matmul(rng):
+    """Boundary semantics differ (zero vs circular on the padded rim),
+    but interiors agree."""
+    truth, psf, blurred = _scene(rng, shape=(10, 32, 32))
+    lin = np.asarray(richardson_lucy(
+        blurred, psf,
+        DeconvolveSettings(algorithm="separable",
+                           separable_backend="linear_pallas", iterations=5),
+    ))
+    mm = np.asarray(richardson_lucy(
+        blurred, psf,
+        DeconvolveSettings(algorithm="separable",
+                           separable_backend="matmul", iterations=5),
+    ))
+    interior = (slice(3, -3),) * 3
+    err = np.abs(lin[interior] - mm[interior]).max() / np.abs(mm).max()
+    assert err <= 5e-3, f"interior disagreement {err:.2e}"
