@@ -277,10 +277,22 @@ def lp_layout(
 ) -> dict:
     """Padded-carry layout for the linear (zero-boundary) RL backend."""
     gz, gy, gx = g_shape
-    bz, by, bx = _LP_BZ, _LP_BY, _LP_BX
+    bz, by = _LP_BZ, _LP_BY
     nz_p = _round_up(gz, bz)
     ny_p = _round_up(gy, by)
-    nx_p = _round_up(gx, bx)
+    # x has no halo in the z+y kernel, so pad only to the 128-lane
+    # multiple and pick the largest tile that divides it while keeping
+    # the DMA slab within VMEM comfort (~6 MB). (Padding to a fixed 512
+    # multiple inflated small volumes by up to 2x.)
+    nx_p = _round_up(gx, 128)
+    sy_probe = _round_up(by + 2 * ry + 8, 8)
+    slab_rows = (bz + 2 * rz) * sy_probe * 4
+    bx_cap = max(128, (6 * 2**20 // slab_rows) // 128 * 128)
+    bx = next(
+        b
+        for b in range(min(nx_p, min(bx_cap, _LP_BX * 2)), 0, -128)
+        if nx_p % b == 0
+    )
     # y halo DMA: src start (by + y0 - ry) quantized down to 8; the
     # constant shift folds into the stencil columns.
     y_shift = (by - ry) % 8
@@ -291,7 +303,7 @@ def lp_layout(
         "nz_p": nz_p, "ny_p": ny_p, "nx_p": nx_p,
         "sy": sy, "y_shift": y_shift,
         "shape": shape,
-        "dims": (nz_p, ny_p, nx_p, sy, y_shift),
+        "dims": (nz_p, ny_p, nx_p, sy, y_shift, bx),
         "interior": (
             slice(bz, bz + gz), slice(by, by + gy), slice(0, gx)
         ),
@@ -315,8 +327,8 @@ def _convzy_linear_jit(carry, gy_mat, *, kz_key, radii, dims, interpret):
     """
     kz = np.asarray(kz_key, np.float32)
     rz, ry = radii
-    nz_p, ny_p, nx_p, sy, y_shift = dims
-    bz, by, bx = _LP_BZ, _LP_BY, _LP_BX
+    nz_p, ny_p, nx_p, sy, y_shift, bx = dims
+    bz, by = _LP_BZ, _LP_BY
     shape = (bz + nz_p + bz, by + ny_p + by, nx_p)
     nzb = shape[0] // bz
     nyb = shape[1] // by
@@ -375,6 +387,9 @@ def _convzy_linear_jit(carry, gy_mat, *, kz_key, radii, dims, interpret):
             pltpu.VMEM((bz + 2 * rz, sy, bx), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20
+        ),
         interpret=interpret,
     )(carry, gy_mat)
 

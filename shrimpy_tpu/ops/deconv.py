@@ -358,6 +358,23 @@ def _toeplitz_banded(n: int, taps: np.ndarray) -> np.ndarray:
     return mat
 
 
+# Grid-y extent above which the zero-boundary kernel backend beats the
+# circulant matmuls on TPU (measured v5e: wins 28% at y=2908, loses at
+# y<=1371 where its layout inflation dominates).
+_LINEAR_MIN_Y = 2000
+
+
+def _resolve_separable_backend(
+    backend: str, image_shape: tuple[int, ...], psf_shape: tuple[int, ...]
+) -> str:
+    if backend != "auto":
+        return backend
+    if jax.default_backend() != "tpu":
+        return "matmul"
+    g_y = image_shape[1] + 2 * (psf_shape[1] // 2)
+    return "linear_pallas" if g_y >= _LINEAR_MIN_Y else "matmul"
+
+
 # -- zero-boundary fused-kernel RL backend ----------------------------------
 
 _RL_LINEAR_CACHE: dict = {}
@@ -595,11 +612,9 @@ def richardson_lucy(
             )
 
     if terms is not None:
-        backend = settings.separable_backend
-        if backend == "auto":
-            backend = (
-                "linear_pallas" if jax.default_backend() == "tpu" else "matmul"
-            )
+        backend = _resolve_separable_backend(
+            settings.separable_backend, tuple(image.shape), tuple(psf_np.shape)
+        )
         if backend == "linear_pallas":
             return _rl_sep_linear(image, psf_np, terms, settings, iters)
         if backend == "zy_pallas":

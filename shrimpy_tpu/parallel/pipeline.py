@@ -62,31 +62,25 @@ def _deconv_fn(
             raise ValueError("PSF not separable within separable_tol")
 
     if terms is not None:
-        backend = deconv.separable_backend
-        if backend == "auto":
-            backend = (
-                "linear_pallas"
-                if (mesh is None and jax.default_backend() == "tpu")
-                else "matmul"
-            )
-        if mesh is not None:
-            backend = "matmul"  # pallas kernels don't vmap over the mesh
-        if backend == "linear_pallas":
-            from shrimpy_tpu.ops.deconv import _rl_sep_linear
-
-            def rl(vol):
-                return _rl_sep_linear(vol, psf_np, terms, deconv, deconv.iterations)
-
-            return rl
-        if backend == "zy_pallas":
-            from shrimpy_tpu.ops.deconv import _rl_sep_zy
-
-            def rl(vol):
-                return _rl_sep_zy(vol, psf_np, terms, deconv, deconv.iterations)
-
-            return rl
 
         def rl(vol):
+            backend = deconv.separable_backend
+            if mesh is not None:
+                backend = "matmul"  # pallas kernels don't vmap over the mesh
+            else:
+                from shrimpy_tpu.ops.deconv import _resolve_separable_backend
+
+                backend = _resolve_separable_backend(
+                    backend, tuple(vol.shape), tuple(psf_np.shape)
+                )
+            if backend == "linear_pallas":
+                from shrimpy_tpu.ops.deconv import _rl_sep_linear
+
+                return _rl_sep_linear(vol, psf_np, terms, deconv, deconv.iterations)
+            if backend == "zy_pallas":
+                from shrimpy_tpu.ops.deconv import _rl_sep_zy
+
+                return _rl_sep_zy(vol, psf_np, terms, deconv, deconv.iterations)
             pads = _sep_pads(tuple(vol.shape), tuple(psf_np.shape))
             grid = tuple(n + lo + hi for n, (lo, hi) in zip(vol.shape, pads))
             radii = tuple(k // 2 for k in psf_np.shape)
