@@ -372,7 +372,18 @@ def _resolve_separable_backend(
     if jax.default_backend() != "tpu":
         return "matmul"
     g_y = image_shape[1] + 2 * (psf_shape[1] // 2)
-    return "linear_pallas" if g_y >= _LINEAR_MIN_Y else "matmul"
+    if g_y < _LINEAR_MIN_Y:
+        return "matmul"
+    # HBM guard: the padded-carry layout holds ~6 live volume-sized
+    # buffers; past ~12 GB the tighter matmul grid is the one that fits.
+    from shrimpy_tpu.ops.conv3_pallas import lp_layout
+
+    radii = tuple(k // 2 for k in psf_shape)
+    g_shape = tuple(n + 2 * r for n, r in zip(image_shape, radii))
+    layout = lp_layout(g_shape, radii[0], radii[1])
+    if 6 * int(np.prod(layout["shape"])) * 4 > 12e9:
+        return "matmul"
+    return "linear_pallas"
 
 
 # -- zero-boundary fused-kernel RL backend ----------------------------------
