@@ -176,3 +176,32 @@ def test_linear_pallas_interior_agrees_with_matmul(rng):
     interior = (slice(3, -3),) * 3
     err = np.abs(lin[interior] - mm[interior]).max() / np.abs(mm).max()
     assert err <= 5e-3, f"interior disagreement {err:.2e}"
+
+
+@pytest.mark.parametrize("shape", [(7, 19, 23), (9, 33, 17), (12, 40, 40)])
+@pytest.mark.parametrize("backend", ["matmul", "zy_pallas", "linear_pallas"])
+def test_all_backends_odd_shapes(rng, shape, backend):
+    """Odd/prime extents survive every separable backend (tile padding,
+    stencil shifts, banded decisions) and track their own oracles."""
+    psf = gaussian_psf((5, 7, 7), (1.0, 1.2, 1.2))
+    vol = (rng.random(shape, dtype=np.float32) * 50 + 1.0).astype(np.float32)
+    settings = DeconvolveSettings(
+        algorithm="separable", separable_backend=backend, iterations=3
+    )
+    ours = np.asarray(richardson_lucy(vol, psf, settings))
+    assert ours.shape == shape
+    assert np.isfinite(ours).all() and (ours >= 0).all()
+    if backend == "linear_pallas":
+        pads = tuple((k // 2, k // 2) for k in psf.shape)
+        oracle = richardson_lucy_reference_separable(
+            vol, psf, iterations=3, pads=pads, boundary="zero"
+        )
+    elif backend == "zy_pallas":
+        pads = tuple((k // 2, k // 2) for k in psf.shape)
+        oracle = richardson_lucy_reference_separable(
+            vol, psf, iterations=3, pads=pads
+        )
+    else:
+        oracle = richardson_lucy_reference_separable(vol, psf, iterations=3)
+    err = np.abs(ours - oracle).max() / np.abs(oracle).max()
+    assert err <= 1e-3, f"{backend} {shape}: rel err {err:.2e}"
