@@ -186,21 +186,40 @@ def reconstruct(input, output, devices, space, batch, resume, profile_dir, confi
 @click.argument("input", type=click.Path(exists=True))
 @click.option("--fixed-channel", required=True)
 @click.option("--moving-channel", required=True)
+@click.option("--moving-input", type=click.Path(exists=True), default=None,
+              help="Store holding the moving channel (defaults to INPUT) — "
+                   "the dual-arm case registers the lightsheet store "
+                   "against the labelfree store.")
 @click.option("-o", "--output", type=click.Path(), required=True,
               help="Output JSON transform file.")
 @click.option("--timepoint", type=int, default=0, show_default=True)
 @click.option("--method", type=click.Choice(["pcc", "pcc+refine"]),
               default="pcc+refine", show_default=True)
-def register(input, fixed_channel, moving_channel, output, timepoint, method):
-    """Estimate the affine transform between two channels of one position."""
+def register(
+    input, fixed_channel, moving_channel, moving_input, output, timepoint, method
+):
+    """Estimate the affine transform aligning a moving channel onto a
+    fixed channel (same store or a sibling arm store)."""
     from shrimpy_tpu.config import RegistrationSettings
     from shrimpy_tpu.io.ngff import open_ngff
     from shrimpy_tpu.ops.register import estimate_registration
 
     pos = open_ngff(input).position()
+    mov_pos = open_ngff(moving_input).position() if moving_input else pos
     names = pos.channel_names
+    mov_names = mov_pos.channel_names
     fixed = pos.volume(timepoint, names.index(fixed_channel))
-    moving = pos.volume(timepoint, names.index(moving_channel))
+    moving = mov_pos.volume(timepoint, mov_names.index(moving_channel))
+    if moving.shape != fixed.shape:
+        from shrimpy_tpu.utils.fft import match_shape
+
+        # Cross-arm volumes may differ in extent; match on the fixed
+        # grid (zero-pad / center-crop) before estimating.
+        import jax.numpy as jnp
+
+        moving = np.asarray(
+            match_shape(jnp.asarray(moving), fixed.shape, mode="constant")
+        )
     result = estimate_registration(
         fixed, moving, RegistrationSettings(method=method)
     )

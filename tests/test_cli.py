@@ -223,3 +223,36 @@ def test_replay_with_viewer(runner, tmp_path):
     # preview dir is created by the monitor (PNG rendering is throttled
     # and best-effort; existence of the directory proves the wiring).
     assert (tmp_path / "out" / "preview").exists()
+
+
+def test_register_across_stores(runner, tmp_path):
+    """Dual-arm registration: the moving channel lives in a sibling
+    store with a different extent."""
+    from shrimpy_tpu.io.ngff import create_fov
+    from shrimpy_tpu.io.synthetic import gaussian_blob
+
+    fixed = gaussian_blob((12, 32, 32), (6.0, 16.0, 16.0), (2.0, 3.0, 3.0))
+    moving = gaussian_blob((12, 40, 28), (7.0, 18.0, 17.0), (2.0, 3.0, 3.0))
+    fpos = create_fov(tmp_path / "lf.zarr", shape=(1, 1, 12, 32, 32),
+                      dtype="float32", channel_names=["phase"])
+    fpos.write((0, 0), fixed)
+    mpos = create_fov(tmp_path / "ls.zarr", shape=(1, 1, 12, 40, 28),
+                      dtype="float32", channel_names=["gfp"])
+    mpos.write((0, 0), moving)
+
+    out = tmp_path / "t.json"
+    result = runner.invoke(
+        cli,
+        ["register", str(tmp_path / "lf.zarr"),
+         "--fixed-channel", "phase", "--moving-channel", "gfp",
+         "--moving-input", str(tmp_path / "ls.zarr"),
+         "--method", "pcc", "-o", str(out)],
+    )
+    assert result.exit_code == 0, result.output
+    transform = json.loads(out.read_text())
+    # moving blob at (7,18,17) in a (12,40,28) grid center-matched onto
+    # (12,32,32): after matching, its center sits at (7, 14, 19); the
+    # fixed blob is at (6,16,16) -> displacement (+1, -2, +3).
+    np.testing.assert_allclose(
+        transform["translation_seed_zyx"], [1.0, -2.0, 3.0], atol=0.5
+    )
