@@ -409,6 +409,40 @@ def monitor(input, preview_dir, interval, once):
 
 @cli.command()
 @click.argument("input", type=click.Path(exists=True))
+@click.option("--input-channel", required=True)
+@click.option("--target-channels", required=True,
+              help="Comma-separated fluorescence target channel names.")
+@click.option("-o", "--output", "ckpt_out", type=click.Path(), required=True,
+              help="Checkpoint directory (consumed by virtual_staining.ckpt_path).")
+@click.option("--steps", type=int, default=500, show_default=True)
+@click.option("--batch", type=int, default=4, show_default=True)
+@click.option("--patch", type=int, default=128, show_default=True)
+@click.option("--learning-rate", type=float, default=1e-3, show_default=True)
+def train_vs(input, input_channel, target_channels, ckpt_out, steps, batch,
+             patch, learning_rate):
+    """Train the virtual-staining UNet on paired channels of a store."""
+    from shrimpy_tpu.models.train import train_vsunet
+
+    targets = [c.strip() for c in target_channels.split(",") if c.strip()]
+    _, report = train_vsunet(
+        input,
+        input_channel=input_channel,
+        target_channels=targets,
+        steps=steps,
+        batch=batch,
+        patch=patch,
+        learning_rate=learning_rate,
+        ckpt_path=ckpt_out,
+    )
+    click.echo(json.dumps({
+        "steps": report.steps,
+        "final_loss": report.final_loss,
+        "ckpt": str(ckpt_out),
+    }))
+
+
+@cli.command()
+@click.argument("input", type=click.Path(exists=True))
 def info(input):
     """Describe an OME-Zarr store (layout, positions, shapes, scales)."""
     from shrimpy_tpu.io.ngff import open_ngff

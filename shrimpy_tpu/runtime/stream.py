@@ -185,6 +185,16 @@ def reconstruct_store(
     first_pos = in_store.positions()[items[0].position]
     raw_zyx = tuple(first_pos.shape[2:])
     raw_scale = first_pos.zyx_scale
+    for it in items:
+        shape = tuple(in_store.positions()[it.position].shape[2:])
+        if shape != raw_zyx:
+            # One compiled program per run: mixed extents need separate
+            # runs (select positions via settings.positions).
+            raise ValueError(
+                f"position {it.position!r} has volume shape {shape} != "
+                f"{raw_zyx}; reconstruct heterogeneous stores in "
+                "per-shape runs using settings.positions"
+            )
 
     out_zyx = output_shape(raw_zyx, settings)
     if settings.deskew is not None:

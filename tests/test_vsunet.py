@@ -84,3 +84,46 @@ def test_preprocessor_requires_phase_before_vs():
             tracking_channel="BF",
             preprocessing=["vs"],
         )
+
+
+def test_train_vsunet_learns_identityish(tmp_path, rng):
+    """A tiny training run on a learnable mapping (target = input) must
+    reduce the loss and produce a checkpoint usable for inference."""
+    from shrimpy_tpu.io.ngff import create_fov
+    from shrimpy_tpu.models.train import train_vsunet
+
+    shape = (2, 2, 8, 64, 64)
+    pos = create_fov(tmp_path / "pairs.zarr", shape=shape, dtype="float32",
+                     channel_names=["phase", "nuclei"])
+    data = rng.random(shape, dtype=np.float32)
+    data[:, 1] = data[:, 0]  # target == input: learnable
+    pos.write(Ellipsis, data)
+
+    settings = _small_settings(out_channels=["nuclei"])
+    stainer, report = train_vsunet(
+        tmp_path / "pairs.zarr",
+        input_channel="phase",
+        target_channels=["nuclei"],
+        settings=settings,
+        steps=30,
+        batch=2,
+        patch=32,
+        learning_rate=3e-3,
+        ckpt_path=tmp_path / "ckpt",
+    )
+    early = np.mean(report.losses[:5])
+    late = np.mean(report.losses[-5:])
+    assert late < early, (early, late)
+
+    # The checkpoint round-trips into inference.
+    from shrimpy_tpu.models import VirtualStainer
+
+    loaded = VirtualStainer(
+        _small_settings(out_channels=["nuclei"], ckpt_path=str(tmp_path / "ckpt"))
+    )
+    vol = rng.random((4, 32, 32), dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(loaded.predict(vol)["nuclei"]),
+        np.asarray(stainer.predict(vol)["nuclei"]),
+        atol=1e-6,
+    )
