@@ -1,27 +1,25 @@
-"""Fused separable 3-D circular convolution as a Pallas VPU kernel.
+"""Pallas kernels for the separable Richardson-Lucy convolutions.
 
-The Richardson-Lucy hot loop applies two separable 3-axis convolutions
-per iteration. The XLA circulant-matmul path (ops/deconv) pays bf16x3
-matmul passes for float32 accuracy plus layout transitions between the
-per-axis einsums. This kernel fuses all three axes into one pass over
-the volume on the VPU — which is **natively float32**, so full accuracy
-costs nothing extra:
+Three kernels, in increasing production relevance:
 
-* the caller wrap-pads the volume by the tap radii (circular semantics
-  identical to the circulant matrices / FFT grid);
-* the grid tiles (z, y, x); each tile DMAs its halo'd block HBM->VMEM;
-* per tile, the x/y/z taps apply as statically-unrolled shifted
-  fused-multiply-adds over the halo'd block (21+21+9 taps ~ 102 VPU
-  flops/voxel — far below the memory roofline).
+1. :func:`conv3_circular_pallas` — all three axes as shifted VPU FMAs
+   over wrap-padded tiles. Exact f32 but slower than the XLA matmul
+   chain on v5e (~98 vs ~55 ms/conv3: lane-offset slices lower to
+   vector rotates and the tap chains serialize). Kept as the exact-f32
+   reference backend.
+2. :func:`convzy_circular_pallas` — z taps (free leading-dim slices) +
+   banded-y MXU matmul, circular via per-call wrap pads; 2x as a
+   standalone conv but the pads erase the win inside the RL scan.
+3. ``_convzy_linear_jit`` + the ``lp_*`` layout helpers — the
+   PRODUCTION backend for large grids (``separable_backend
+   'linear_pallas'``): zero-boundary conv over a permanently padded
+   carry. RL's multiplicative update makes zeros absorbing, so the
+   carry's pads stay exactly zero across iterations and NO in-loop
+   padding exists; tile DMAs are tiling-aligned by construction.
+   Measured RL-20 at (128, 2888, 800): 1.30 s vs 1.80 s matmul.
 
-Supports rank-K separable PSFs by summing K tap-triples in one pass.
-
-Status (v5e, 136x2944x820 grid, 9/21/21 taps): ~98 ms/conv3 vs ~55 ms
-for the circulant-matmul XLA path — lane-offset slices lower to vector
-rotates and the tap chains serialize, so this kernel is currently the
-slower backend and is NOT wired into the RL default. It is kept as the
-exact-f32 alternative (no bf16x3 passes) and the base for a future
-DMA-pipelined revision (see CLAUDE.md perf notes).
+All parity-tested against fp64 circulant/Toeplitz oracles
+(tests/test_conv3_pallas.py, tests/test_deconv_separable.py).
 """
 
 from __future__ import annotations
