@@ -256,3 +256,40 @@ def test_register_across_stores(runner, tmp_path):
     np.testing.assert_allclose(
         transform["translation_seed_zyx"], [1.0, -2.0, 3.0], atol=0.5
     )
+
+
+def test_phase_verb_end_to_end(runner, tmp_path):
+    """Brightfield defocus stack through the phase verb: recovers the
+    simulated weak phase object."""
+    from shrimpy_tpu.config import PhaseTransferFunctionSettings
+    from shrimpy_tpu.io.ngff import create_fov
+    from shrimpy_tpu.io.synthetic import gaussian_blob
+    from shrimpy_tpu.ops.phase import compute_transfer_function, simulate_defocus_stack
+
+    shape = (12, 32, 32)
+    tfs = PhaseTransferFunctionSettings(
+        yx_pixel_size=0.116, z_pixel_size=0.25, z_padding=0
+    )
+    tf = compute_transfer_function(shape, tfs)
+    phi = gaussian_blob(shape, (6.0, 16.0, 16.0), (2.0, 3.0, 3.0), amplitude=0.1)
+    phi -= phi.mean()
+    stack = simulate_defocus_stack(phi, tf, background=1.0)
+
+    pos = create_fov(tmp_path / "bf.zarr", shape=(1, 1, *shape), dtype="float32",
+                     channel_names=["BF"], zyx_scale=(0.25, 0.116, 0.116))
+    pos.write((0, 0), stack)
+
+    cfg = tmp_path / "phase.yml"
+    cfg.write_text(
+        "transfer_function:\n  z_padding: 0\n"
+        "apply_inverse:\n  regularization_strength: 1.0e-4\n"
+    )
+    result = runner.invoke(
+        cli,
+        ["phase", str(tmp_path / "bf.zarr"), "-o", str(tmp_path / "out.zarr"),
+         "--config", str(cfg)],
+    )
+    assert result.exit_code == 0, result.output
+    recon = open_ngff(tmp_path / "out.zarr").position().volume(0, 0)
+    corr = np.corrcoef(np.asarray(recon).ravel(), phi.ravel())[0, 1]
+    assert corr > 0.8, corr
