@@ -152,7 +152,7 @@ class AcquisitionEngine:
         if log_file:
             logger.info("acquisition log: %s", log_file)
 
-        positions = plan.positions or self.source.position_keys
+        positions = plan.resolve_positions(self.source.position_keys)
         channels = (
             [c.name for c in plan.channels]
             if plan.channels

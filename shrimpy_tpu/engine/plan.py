@@ -93,6 +93,9 @@ class AcquisitionPlan(BaseModel):
     channels: list[ChannelPlan] | None = None  # None = all source channels
     z: ZPlan = Field(default_factory=ZPlan)
     positions: list[str] | None = None  # None = all source positions
+    # Alternatively, a position-list CSV (io/platemap schema): HCS rows
+    # select positions by their "row/col/fov" key.
+    positions_csv: str | None = None
     axis_order: str = "tpcz"
     autofocus: AutofocusPlan = Field(default_factory=AutofocusPlan)
     refocus: RefocusPlan = Field(default_factory=RefocusPlan)
@@ -107,7 +110,28 @@ class AcquisitionPlan(BaseModel):
     def _check(self):
         if self.axis_order != "tpcz":
             raise ValueError("only axis_order='tpcz' is supported")
+        if self.positions is not None and self.positions_csv is not None:
+            raise ValueError("set positions or positions_csv, not both")
         return self
+
+    def resolve_positions(self, available: list[str]) -> list[str]:
+        """Position keys to acquire: explicit list, CSV, or all."""
+        if self.positions is not None:
+            return self.positions
+        if self.positions_csv is not None:
+            from shrimpy_tpu.io.platemap import PositionList
+
+            keys = []
+            for entry in PositionList.read(self.positions_csv):
+                key = entry.hcs_key or entry.name
+                if key not in available:
+                    raise ValueError(
+                        f"position {key!r} from {self.positions_csv} not in "
+                        f"the source store (has {available})"
+                    )
+                keys.append(key)
+            return keys
+        return available
 
     @classmethod
     def from_yaml(cls, path: str | Path) -> "AcquisitionPlan":

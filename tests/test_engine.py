@@ -307,3 +307,38 @@ def test_refocus_offsets_survive_chunked_acquisitions(tmp_path):
         (tmp_path / "out" / "chunked_1_summary_metadata.json").read_text()
     )
     assert summary2["refocus_events"] == []
+
+
+def test_positions_from_platemap_csv(tmp_path):
+    """A position-list CSV selects the acquired subset of an HCS plate."""
+    from shrimpy_tpu.io.platemap import PositionEntry, PositionList
+
+    coordinate_encoded_plate(
+        tmp_path / "plate.zarr", n_positions=2, shape_tczyx=(1, 1, 3, 8, 8)
+    )
+    PositionList(
+        [PositionEntry("B-000", row="0", col="1", fov="001")]
+    ).write(tmp_path / "positions.csv")
+
+    plan = AcquisitionPlan(positions_csv=str(tmp_path / "positions.csv"))
+    out = AcquisitionEngine(ReplaySource(tmp_path / "plate.zarr")).acquire(
+        tmp_path / "out", "subset", plan
+    )
+    store = open_ngff(out)
+    assert sorted(store.positions()) == ["0/1/001"]
+
+
+def test_positions_csv_unknown_key_raises(tmp_path):
+    from shrimpy_tpu.io.platemap import PositionEntry, PositionList
+
+    coordinate_encoded_plate(
+        tmp_path / "plate.zarr", n_positions=1, shape_tczyx=(1, 1, 2, 8, 8)
+    )
+    PositionList([PositionEntry("X", row="9", col="9", fov="999")]).write(
+        tmp_path / "bad.csv"
+    )
+    plan = AcquisitionPlan(positions_csv=str(tmp_path / "bad.csv"))
+    with pytest.raises(ValueError, match="not in"):
+        AcquisitionEngine(ReplaySource(tmp_path / "plate.zarr")).acquire(
+            tmp_path / "out", "x", plan
+        )
