@@ -111,18 +111,3 @@ def fast_fft_shape(
         else:
             out.append(next_fast_len(n))
     return tuple(out)
-
-
-def five_smooth(n: int) -> bool:
-    """True if ``n``'s prime factors are only 2, 3, 5."""
-    if n < 1:
-        return False
-    for p in (2, 3, 5):
-        while n % p == 0:
-            n //= p
-    return n == 1
-
-
-def as_numpy(x) -> np.ndarray:
-    """Device array -> host numpy (blocking)."""
-    return np.asarray(x)
