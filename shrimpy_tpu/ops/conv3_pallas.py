@@ -74,19 +74,25 @@ def _make_kernel(taps, radii, tiles, slab):
         # In-place scratch accumulation keeps the live set to
         # vm + t1 + t2 + out (an unrolled expression DAG blew VMEM).
         out_ref[...] = jnp.zeros((bz, by, bx), jnp.float32)
+        # Shifted-FMA indexing: slab offset d maps to input index
+        # (out - r + d), so tap index 2r-d makes each axis a CONVOLUTION
+        # (circulant convention; plain k[d] would compute the adjoint
+        # for asymmetric taps).
         for kz, ky, kx in taps:
             # x taps: shifted FMA over the lane dimension. (Slab rows
             # beyond by+2ry are padding junk, never consumed below.)
-            t1[...] = float(kx[0]) * vm[:, :, 0:bx]
+            t1[...] = float(kx[2 * rx]) * vm[:, :, 0:bx]
             for dx in range(1, 2 * rx + 1):
-                t1[...] = t1[...] + float(kx[dx]) * vm[:, :, dx : dx + bx]
+                t1[...] = t1[...] + float(kx[2 * rx - dx]) * vm[:, :, dx : dx + bx]
             # y taps: shifted FMA over sublanes.
-            t2[...] = float(ky[0]) * t1[:, 0:by, :]
+            t2[...] = float(ky[2 * ry]) * t1[:, 0:by, :]
             for dy in range(1, 2 * ry + 1):
-                t2[...] = t2[...] + float(ky[dy]) * t1[:, dy : dy + by, :]
+                t2[...] = t2[...] + float(ky[2 * ry - dy]) * t1[:, dy : dy + by, :]
             # z taps accumulate straight into the output tile.
             for dz in range(2 * rz + 1):
-                out_ref[...] = out_ref[...] + float(kz[dz]) * t2[dz : dz + bz, :, :]
+                out_ref[...] = (
+                    out_ref[...] + float(kz[2 * rz - dz]) * t2[dz : dz + bz, :, :]
+                )
 
     return kernel
 
@@ -186,8 +192,13 @@ def _convzy_pallas_jit(vol, gy, *, kz_key, radii, interpret):
         dma.start()
         dma.wait()
         # z taps: leading-dim slices are free (no lane/sublane movement).
+        # Slab row d maps to input row (out_row - rz + d): weight with
+        # kz[2rz - d] so the sum is a CONVOLUTION, matching the
+        # circulant/_convzy_linear_jit convention (asymmetric PSFs flip
+        # otherwise).
         tz = sum(
-            float(kz[d]) * vm[d : d + bz, :, :] for d in range(2 * rz + 1)
+            float(kz[2 * rz - d]) * vm[d : d + bz, :, :]
+            for d in range(2 * rz + 1)
         )
         g = gy_ref[...]
         for z in range(bz):

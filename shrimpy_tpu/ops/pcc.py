@@ -1,13 +1,19 @@
 """FFT phase cross-correlation (PCC) under jit.
 
 Re-implements the reference's shift estimator
-(``shrimpy/dynatrack/tracking.py:309-378``) with identical conventions:
+(``shrimpy/dynatrack/tracking.py:309-378``) with matching FFT-grid and
+peak conventions, and ONE deliberate divergence in padding:
 
 * operands cast to float32; FFT shape per axis =
   5-smooth ``next_fast_len(max(ref, mov) * maximum_shift)``
   (``tracking.py:336-339``);
-* operands reflect-padded / center-cropped to that shape
-  (``tracking.py:349-350``);
+* operands are mean-subtracted and ZERO-padded (mode='constant') to
+  that shape — the reference reflect-pads (``tracking.py:349-350``).
+  Reflect padding plants mirror copies of the scene in the enlarged
+  search grid, creating spurious correlation peaks when
+  ``maximum_shift > 1``; zero padding keeps the correlation linear.
+  Integer-shift results can therefore differ from the reference on
+  boundary-heavy scenes with ``maximum_shift > 1`` (see PARITY.md);
 * correlation surface ``fftshift(|irfftn(rfftn(ref) * conj(rfftn(mov)))|)``;
 * peak-to-shift convention ``shift = shape//2 - argmax`` per axis
   (``tracking.py:373-374``) — positive shift means the moving image is

@@ -263,29 +263,44 @@ def reconstruct_store(
             in_positions[it.position].read_async((it.t, it.c)) for it in batch
         ]
 
-    pending_writes: list = []
+    # (items, write futures) for the batch whose writes are in flight.
+    # A batch is journaled as done ONLY after its own writes resolve —
+    # marking at issue time would let a crash leave journaled-but-never-
+    # committed holes that resume=True silently skips.
+    pending: tuple[list[WorkItem], list] | None = None
     read_futures = start_reads(batches[0]) if batches else []
     n_done = 0
     inflight: tuple | None = None  # (batch, device output) awaiting D2H
 
+    def flush_writes() -> None:
+        """Await the in-flight batch's writes, then journal it."""
+        nonlocal pending, n_done
+        if pending is None:
+            return
+        batch_written, futs = pending
+        for fut in futs:
+            fut.result()
+        pending = None
+        progress.mark(batch_written)
+        n_done += len(batch_written)
+        logger.info("reconstructed %d/%d volumes", n_done, len(todo))
+
     def retire(entry) -> None:
         """Materialize a finished batch's output and issue its writes."""
-        nonlocal pending_writes, n_done
+        nonlocal pending
         batch_done, out_dev = entry
         with timer.stage("d2h"):
             out_host = np.asarray(out_dev)[: len(batch_done)]
         with timer.stage("write"):
-            for fut in pending_writes:
-                fut.result()
-            pending_writes = []
+            flush_writes()
             out_cast = _as_output_dtype(out_host, settings.output_dtype)
-            for it, vol in zip(batch_done, out_cast):
-                pending_writes.append(
+            pending = (
+                batch_done,
+                [
                     positions_out[it.position].write_async((it.t, it.c), vol)
-                )
-        progress.mark(batch_done)
-        n_done += len(batch_done)
-        logger.info("reconstructed %d/%d volumes", n_done, len(todo))
+                    for it, vol in zip(batch_done, out_cast)
+                ],
+            )
 
     for bi, batch in enumerate(batches):
         with timer.stage("read"):
@@ -316,8 +331,7 @@ def reconstruct_store(
 
     if inflight is not None:
         retire(inflight)
-    for fut in pending_writes:
-        fut.result()
+    flush_writes()
 
     summary = {
         "input": str(input_path),

@@ -23,6 +23,23 @@ def _scene(rng, shape=(20, 40, 40)):
     return truth, psf, blurred
 
 
+def asymmetric_psf(shape=(7, 11, 11)):
+    """Rank-1 separable PSF with ASYMMETRIC taps on every axis.
+
+    Measured bead PSFs are axially asymmetric; a backend that silently
+    flips taps (correlation instead of convolution) passes symmetric-
+    Gaussian parity tests but deconvolves real PSFs with a mirrored
+    kernel. This fixture is the regression guard for that class of bug
+    (round-1 advisor finding on the zy_pallas/conv3 kernels)."""
+    axes = []
+    for n, sigma, skew in zip(shape, (1.2, 1.8, 1.8), (0.55, 0.35, -0.45)):
+        u = np.arange(n, dtype=np.float64) - n // 2
+        t = np.exp(-0.5 * (u / sigma) ** 2) * (1.0 + skew * np.tanh(u / sigma))
+        axes.append(t)
+    psf = np.einsum("z,y,x->zyx", *axes)
+    return (psf / psf.sum()).astype(np.float32)
+
+
 def test_gaussian_psf_is_rank_one():
     psf = gaussian_psf((7, 13, 13), (1.2, 2.0, 2.0))
     terms = separable_decompose(psf, tol=1e-4, max_terms=6)
@@ -176,6 +193,36 @@ def test_linear_pallas_interior_agrees_with_matmul(rng):
     interior = (slice(3, -3),) * 3
     err = np.abs(lin[interior] - mm[interior]).max() / np.abs(mm).max()
     assert err <= 5e-3, f"interior disagreement {err:.2e}"
+
+
+@pytest.mark.parametrize("backend", ["matmul", "zy_pallas", "linear_pallas"])
+def test_asymmetric_psf_matches_oracle(rng, backend):
+    """RL with an axially-asymmetric separable PSF tracks the fp64
+    oracle on every backend — catches conv/correlation tap flips that
+    symmetric Gaussians cannot see."""
+    psf = asymmetric_psf()
+    truth = gaussian_blob(
+        (12, 36, 36), (6.0, 16.0, 20.0), (1.2, 1.8, 1.8), amplitude=400.0
+    )
+    blurred = np.clip(
+        fftconvolve(truth, psf, mode="same") + rng.normal(0, 0.2, truth.shape),
+        0,
+        None,
+    ).astype(np.float32)
+    settings = DeconvolveSettings(
+        algorithm="separable", separable_backend=backend, iterations=5
+    )
+    ours = np.asarray(richardson_lucy(blurred, psf, settings))
+    if backend == "matmul":
+        oracle = richardson_lucy_reference_separable(blurred, psf, iterations=5)
+    else:
+        pads = tuple((k // 2, k // 2) for k in psf.shape)
+        boundary = "zero" if backend == "linear_pallas" else "circular"
+        oracle = richardson_lucy_reference_separable(
+            blurred, psf, iterations=5, pads=pads, boundary=boundary
+        )
+    err = np.abs(ours - oracle).max() / np.abs(oracle).max()
+    assert err <= 1e-3, f"{backend}: rel err {err:.2e}"
 
 
 @pytest.mark.parametrize("shape", [(7, 19, 23), (9, 33, 17), (12, 40, 40)])
