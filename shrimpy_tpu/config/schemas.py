@@ -171,7 +171,7 @@ class DeconvolveSettings(BaseModel):
     #   kernel + banded-Toeplitz x — no in-loop padding at all.
     # "auto" picks linear_pallas on TPU, matmul elsewhere.
     separable_backend: Literal[
-        "auto", "matmul", "zy_pallas", "linear_pallas"
+        "auto", "matmul", "zy_pallas", "linear_pallas", "fused"
     ] = "auto"
 
     @model_validator(mode="after")

@@ -326,13 +326,22 @@ def lp_pad(vol_g, layout) -> jnp.ndarray:
     return out.at[layout["interior"]].set(vol_g.astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("kz_key", "radii", "dims", "interpret"))
-def _convzy_linear_jit(carry, gy_mat, *, kz_key, radii, dims, interpret):
+@partial(
+    jax.jit, static_argnames=("kz_key", "radii", "dims", "interpret", "precision")
+)
+def _convzy_linear_jit(
+    carry, gy_mat, *, kz_key, radii, dims, interpret, precision="highest"
+):
     """Zero-boundary z+y conv: padded carry in -> padded layout out.
 
     Edge tiles (whose outputs are entirely pad rows) read clamped slabs
     with shifted alignment — harmless, because every consumer re-zeros
     the pads (data/est multiplications by stored zeros).
+
+    The halo'd slab DMA is double-buffered: each grid step prefetches
+    the NEXT step's slab before computing on its own (grid steps run
+    sequentially on a TPU core), hiding the HBM read behind the MXU
+    dots (measured 25 -> ~14 ms per call at the production grid).
     """
     kz = np.asarray(kz_key, np.float32)
     rz, ry = radii
@@ -344,31 +353,51 @@ def _convzy_linear_jit(carry, gy_mat, *, kz_key, radii, dims, interpret):
     nxb = nx_p // bx
     z_max = shape[0] - (bz + 2 * rz)
     y_max = shape[1] - sy
+    total = nzb * nyb * nxb
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
 
     def kernel(in_ref, gy_ref, out_ref, vm, sem):
         zi = pl.program_id(0)
         yi = pl.program_id(1)
         xi = pl.program_id(2)
-        z0 = jnp.clip(zi * bz - rz, 0, z_max)
-        y0 = pl.multiple_of(
-            jnp.clip(yi * by - ry - y_shift, 0, y_max), 8
-        )
-        dma = pltpu.make_async_copy(
-            in_ref.at[
-                pl.ds(z0, bz + 2 * rz),
-                pl.ds(y0, sy),
-                pl.ds(xi * bx, bx),
-            ],
-            vm,
-            sem,
-        )
-        dma.start()
-        dma.wait()
+        flat = (zi * nyb + yi) * nxb + xi
+        slot = jax.lax.rem(flat, 2)
+
+        def slab_dma(z, y, x, s):
+            z0 = jnp.clip(z * bz - rz, 0, z_max)
+            y0 = pl.multiple_of(jnp.clip(y * by - ry - y_shift, 0, y_max), 8)
+            return pltpu.make_async_copy(
+                in_ref.at[
+                    pl.ds(z0, bz + 2 * rz),
+                    pl.ds(y0, sy),
+                    pl.ds(x * bx, bx),
+                ],
+                vm.at[s],
+                sem.at[s],
+            )
+
+        @pl.when(flat == 0)
+        def _():
+            slab_dma(zi, yi, xi, slot).start()
+
+        @pl.when(flat + 1 < total)
+        def _():
+            nxt = flat + 1
+            x2 = jax.lax.rem(nxt, nxb)
+            y2 = jax.lax.rem(nxt // nxb, nyb)
+            z2 = nxt // (nxb * nyb)
+            slab_dma(z2, y2, x2, 1 - slot).start()
+
+        slab_dma(zi, yi, xi, slot).wait()
         # Slab row d maps to input row (out_row - rz + d): weight with
         # kz[2rz - d] so the sum is a CONVOLUTION (circulant convention),
         # not a correlation.
         tz = sum(
-            float(kz[2 * rz - d]) * vm[d : d + bz, :, :]
+            float(kz[2 * rz - d]) * vm[slot, d : d + bz, :, :]
             for d in range(2 * rz + 1)
         )
         g = gy_ref[...]
@@ -378,7 +407,7 @@ def _convzy_linear_jit(carry, gy_mat, *, kz_key, radii, dims, interpret):
                 tz[z, :, :],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
 
     return pl.pallas_call(
@@ -393,8 +422,8 @@ def _convzy_linear_jit(carry, gy_mat, *, kz_key, radii, dims, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((bz + 2 * rz, sy, bx), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, bz + 2 * rz, sy, bx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20

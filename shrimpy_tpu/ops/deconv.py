@@ -371,6 +371,19 @@ def _resolve_separable_backend(
         return backend
     if jax.default_backend() != "tpu":
         return "matmul"
+    radii = tuple(k // 2 for k in psf_shape)
+    g_shape = tuple(n + 2 * r for n, r in zip(image_shape, radii))
+    # The fully fused RL kernel is the fast path whenever the geometry
+    # satisfies its constraints (radii fit the block scheme, the y/x
+    # extents cover one slab) and ~4 carry-sized buffers fit HBM.
+    from shrimpy_tpu.ops.rl_fused import fused_layout
+
+    layout_f = fused_layout(g_shape, radii)
+    if (
+        layout_f is not None
+        and 3 * int(np.prod(layout_f["shape"])) * 4 <= 11e9
+    ):
+        return "fused"
     g_y = image_shape[1] + 2 * (psf_shape[1] // 2)
     if g_y < _LINEAR_MIN_Y:
         return "matmul"
@@ -378,8 +391,6 @@ def _resolve_separable_backend(
     # buffers; past ~12 GB the tighter matmul grid is the one that fits.
     from shrimpy_tpu.ops.conv3_pallas import lp_layout
 
-    radii = tuple(k // 2 for k in psf_shape)
-    g_shape = tuple(n + 2 * r for n, r in zip(image_shape, radii))
     layout = lp_layout(g_shape, radii[0], radii[1])
     if 6 * int(np.prod(layout["shape"])) * 4 > 12e9:
         return "matmul"
@@ -626,6 +637,16 @@ def richardson_lucy(
         backend = _resolve_separable_backend(
             settings.separable_backend, tuple(image.shape), tuple(psf_np.shape)
         )
+        if backend == "fused":
+            from shrimpy_tpu.ops.rl_fused import rl_fused, rl_fused_supported
+
+            if not rl_fused_supported(tuple(image.shape), tuple(psf_np.shape)):
+                raise ValueError(
+                    "geometry/PSF outside the fused kernel's constraints "
+                    f"(image {tuple(image.shape)}, psf {tuple(psf_np.shape)}); "
+                    "use separable_backend='linear_pallas' or 'matmul'"
+                )
+            return rl_fused(image, psf_np, terms, settings, iters)
         if backend == "linear_pallas":
             return _rl_sep_linear(image, psf_np, terms, settings, iters)
         if backend == "zy_pallas":

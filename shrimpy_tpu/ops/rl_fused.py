@@ -1,0 +1,491 @@
+"""Fully fused Richardson-Lucy iteration kernel (TPU Pallas).
+
+One pallas_call computes an ENTIRE RL half-step on the zero-boundary
+padded carry: z-taps (VPU) -> banded-y MXU dot -> block-tridiagonal-x
+MXU dots -> elementwise epilogue (ratio or multiplicative update), so a
+full RL iteration is exactly two kernel launches and zero XLA
+elementwise passes. This replaces the round-1 ``linear_pallas`` backend
+(z+y kernel + dense nx x nx Toeplitz einsum + XLA elementwise), whose
+dense x-matmul alone cost ~19 ms per conv at the production grid.
+
+Design points (all measured/probed on v5e, see scripts/probe_mosaic.py
+and scripts/bench_rl.py):
+
+* **Rolling-z ring DMA**: the grid is (y, x, z) with z innermost; each
+  step DMAs only its own (bz, sy, sx) chunk (NO z halo) into a 4-slot
+  VMEM ring and reads the z window from the neighbors' slots — the
+  2x z-halo re-read of the round-1 kernel is gone, and the chunk DMA
+  is prefetched two steps ahead (double-buffering measured 25 -> 17 ms
+  on the old kernel; the ring removes another ~35% of read traffic).
+* **Manual 3-pass bf16 dots** (hi/lo split, f32 accumulation): Mosaic
+  supports only DEFAULT/HIGHEST dot precision in-kernel; the explicit
+  split reproduces ``Precision.HIGH`` (bf16x3, rel err ~5e-6 per dot)
+  at half the MXU passes of HIGHEST.
+* **Zero-boundary edges via stencil variants, not pad blocks**: the
+  carry has NO dedicated halo pads — out-of-range taps are dropped by
+  edge-variant y stencils / zero-weighted x pieces / zero-weighted z
+  chunk terms, which IS the zero-boundary convolution. Only tile
+  rounding pads remain (e.g. production grid wastes 1.39x instead of
+  the round-1 layout's 1.9x).
+* **x as block-tridiagonal 128x128 MXU dots**: out block j consumes
+  slab blocks j-1, j, j+1 through three static stencil pieces; slab
+  block positions shift by one at the first/last x tile (DMA clamp),
+  handled by a dynamic 128-aligned lane slice (probed OK on Mosaic).
+
+RL's multiplicative update keeps the carry's rounding pads exactly
+zero (zeros are absorbing; the ratio/mult epilogues re-zero any conv
+spill because ``data``/``est`` are zero there), so no in-loop padding
+or masking exists anywhere.
+
+Reference parity: this implements the same zero-boundary RL update as
+``richardson_lucy_reference_separable(boundary="zero")`` (fp64 oracle);
+the deconvolution semantics mirror the reference pipeline's biahub RL
+role (reference ``shrimpy/dynatrack/preprocessing.py:100-102``,
+``scripts/measure_psf.py:20-288`` for the measured-PSF source).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BZ = 8
+_BY = 128
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def fused_layout(
+    g_shape: tuple[int, int, int], radii: tuple[int, int, int]
+) -> dict | None:
+    """Carry layout for the fused kernel, or None when the geometry
+    does not satisfy the kernel's constraints (caller falls back)."""
+    gz, gy, gx = g_shape
+    rz, ry, rx = radii
+    if rz > _BZ or ry > 120 or rx > 128:
+        return None
+    y_shift = (-ry) % 8
+    sy = _round_up(_BY + 2 * ry + y_shift, 16)
+    zp = _round_up(gz, _BZ)
+    yp = _round_up(gy, _BY)
+    nx_p = _round_up(gx, 128)
+    if yp < sy:
+        return None  # slab taller than the array: tiny-y volume
+    # Pick the largest x tile whose rounding waste is small; the slab
+    # is bx + 256 wide (one 128 block of halo each side).
+    bx = None
+    for cand in (512, 384, 256, 128):
+        xa = _round_up(nx_p, cand)
+        if xa >= cand + 256 and (xa - nx_p) <= max(cand, nx_p // 4):
+            bx = cand
+            break
+    if bx is None:
+        return None
+    xa = _round_up(nx_p, bx)
+    sx = bx + 256
+    return {
+        "bz": _BZ, "by": _BY, "bx": bx,
+        "sy": sy, "sx": sx, "y_shift": y_shift,
+        "shape": (zp, yp, xa),
+        "interior": (slice(0, gz), slice(0, gy), slice(0, gx)),
+        "dims": (zp, yp, xa, sy, y_shift, bx),
+    }
+
+
+def fused_pad(vol_g: jnp.ndarray, layout: dict) -> jnp.ndarray:
+    """Embed a G-shaped volume into the zero carry layout."""
+    out = jnp.zeros(layout["shape"], jnp.float32)
+    return out.at[layout["interior"]].set(vol_g.astype(jnp.float32))
+
+
+def _split_hi_lo(mat: np.ndarray) -> np.ndarray:
+    """(2, ...) bf16 stack: hi = bf16(x), lo = bf16(x - f32(hi))."""
+    m32 = np.asarray(mat, np.float32)
+    hi = m32.astype(jnp.bfloat16)
+    lo = (m32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+    return np.stack([np.asarray(hi), np.asarray(lo)])
+
+
+def y_stencil_variants(taps: np.ndarray, layout: dict) -> np.ndarray:
+    """(3, 2, by, sy) bf16: (first, mid, last) y-tile stencils, hi/lo.
+
+    Convolution convention: ``out[n] = sum_i k[i] * in[n + ry - i]``.
+    Out-of-range input rows are dropped — zero-boundary semantics.
+    """
+    taps = np.asarray(taps, np.float64)
+    ry = len(taps) // 2
+    by, sy, shift = layout["by"], layout["sy"], layout["y_shift"]
+    yp = layout["shape"][1]
+    nyb = yp // by
+    # Slab start offsets relative to the tile's first out row:
+    #   mid:   start = yi*by - ry - shift       -> col = a + ry + (ry+shift) - i
+    #   first: start clamped to 0 (yi = 0)      -> col = a + ry - i
+    #   last:  start = yp - sy                  -> col = a + ry - i + (sy - by)
+    offs = {
+        0: 0,                      # first
+        1: ry + shift,             # mid
+        2: sy - by if nyb > 1 else 0,  # last (== first when single tile)
+    }
+    out = np.zeros((3, by, sy), np.float64)
+    rows = np.arange(by)
+    for v, off in offs.items():
+        for i, k in enumerate(taps):
+            cols = rows + ry - i + off
+            ok = (cols >= 0) & (cols < sy)
+            out[v, rows[ok], cols[ok]] += k
+    return np.stack([_split_hi_lo(out[v]) for v in range(3)])
+
+
+def x_stencil_pieces(taps: np.ndarray, rx: int) -> np.ndarray:
+    """(3, 2, 128, 128) bf16: block-tridiagonal x pieces, hi/lo.
+
+    Out block j of a tile consumes slab blocks j-1 (P0), j (P1),
+    j+1 (P2):  P_m[r, c] = k[i]  at  r = c + rx - i + (1 - m) * 128.
+    """
+    taps = np.asarray(taps, np.float64)
+    assert len(taps) == 2 * rx + 1
+    pieces = np.zeros((3, 128, 128), np.float64)
+    for m in range(3):
+        for c in range(128):
+            for i, k in enumerate(taps):
+                r = c + rx - i + (1 - m) * 128
+                if 0 <= r < 128:
+                    pieces[m, r, c] += k
+    return np.stack([_split_hi_lo(pieces[m]) for m in range(3)])
+
+
+def _dot3(a32, b_hi, b_lo, acc=None):
+    """3-pass bf16 dot == Precision.HIGH: a @ b with f32 accumulation.
+
+    ``a32`` is split in-kernel; ``b_hi/b_lo`` are pre-split host-side.
+    """
+    a_hi = a32.astype(jnp.bfloat16)
+    a_lo = (a32 - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    dot = partial(
+        jax.lax.dot_general,
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    out = dot(a_hi, b_hi) + dot(a_lo, b_hi) + dot(a_hi, b_lo)
+    return out if acc is None else acc + out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kz_key", "radii", "dims", "mode", "eps", "interpret"),
+)
+def _rl_fused_pass(
+    carry,
+    aux,
+    gy_all,
+    gx_all,
+    *,
+    kz_key: tuple,   # per-term z taps (already convolution-ordered)
+    radii: tuple,    # (rz, ry, rx)
+    dims: tuple,
+    mode: str,       # "ratio" | "mult" | "plain"
+    eps: float,
+    interpret: bool,
+):
+    """One fused conv3 + epilogue pass over the padded carry.
+
+    mode="ratio": out = aux / max(conv(carry), eps)   (aux = data)
+    mode="mult":  out = aux * conv(carry)             (aux = est)
+    mode="plain": out = conv(carry)                   (aux ignored)
+    """
+    rz, ry, rx = radii
+    zp, yp, xa, sy, y_shift, bx = dims
+    bz, by = _BZ, _BY
+    sx = bx + 256
+    nzb, nyb, nxb = zp // bz, yp // by, xa // bx
+    n_terms = len(kz_key)
+    total = nyb * nxb * nzb
+    jblocks = bx // 128
+
+    def kernel(in_ref, aux_ref, gy_ref, gx_ref, out_ref, ring, yz_scr, sems):
+        yi = pl.program_id(0)
+        xi = pl.program_id(1)
+        k = pl.program_id(2)
+        s = (yi * nxb + xi) * nzb + k
+
+        def chunk_dma(j):
+            """DMA for global chunk-sequence index j into ring slot j%4."""
+            col = j // nzb
+            y2 = col // nxb
+            x2 = jax.lax.rem(col, nxb)
+            k2 = jax.lax.rem(j, nzb)
+            y0 = pl.multiple_of(
+                jnp.clip(y2 * by - ry - y_shift, 0, yp - sy), 8
+            )
+            x0 = pl.multiple_of(jnp.clip(x2 * bx - 128, 0, xa - sx), 128)
+            return pltpu.make_async_copy(
+                in_ref.at[
+                    pl.ds(k2 * bz, bz), pl.ds(y0, sy), pl.ds(x0, sx)
+                ],
+                ring.at[jax.lax.rem(j, 4)],
+                sems.at[jax.lax.rem(j, 4)],
+            )
+
+        @pl.when(s == 0)
+        def _():
+            chunk_dma(0).start()
+            if total > 1:
+                chunk_dma(1).start()
+            chunk_dma(0).wait()
+
+        @pl.when(s + 2 < total)
+        def _():
+            chunk_dma(s + 2).start()
+
+        @pl.when(s + 1 < total)
+        def _():
+            chunk_dma(s + 1).wait()
+
+        slot_p = jax.lax.rem(s + 3, 4)  # (s-1) mod 4
+        slot_c = jax.lax.rem(s, 4)
+        slot_n = jax.lax.rem(s + 1, 4)
+        # Beyond-array z windows contribute zero (zero boundary). These
+        # gate via jnp.where, NOT multiplication: the gated slot can
+        # hold never-DMA'd scratch whose garbage bits may be NaN, and
+        # NaN * 0 == NaN.
+        is_prev_ok = k > 0
+        is_next_ok = k < nzb - 1
+        ysel = jnp.where(yi == 0, 0, jnp.where(yi == nyb - 1, 2, 1))
+        # Slab-block shift at the clamped first/last x tiles.
+        delta = jnp.where(xi == 0, -1, jnp.where(xi == nxb - 1, 1, 0))
+        first_x = xi > 0
+        last_x = xi < nxb - 1
+
+        for z in range(bz):
+            # --- z taps from the ring window (convolution order) ----
+            for t in range(n_terms):
+                kz = np.asarray(kz_key[t], np.float32)
+                tz = None
+                for d in range(2 * rz + 1):
+                    src = z - rz + d
+                    co = (src + bz) // bz - 1  # chunk offset (static)
+                    lr = (src + bz) % bz
+                    slot = (slot_p, slot_c, slot_n)[co + 1]
+                    gate = (is_prev_ok, None, is_next_ok)[co + 1]
+                    tap = float(kz[2 * rz - d])
+                    term = ring[slot, lr, :, :] * tap
+                    if gate is not None:
+                        term = jnp.where(gate, term, 0.0)
+                    tz = term if tz is None else tz + term
+                # --- banded y dot (3-pass bf16) ----------------------
+                gy_hi = gy_ref[ysel, 2 * t, :, :]
+                gy_lo = gy_ref[ysel, 2 * t + 1, :, :]
+                # (by, sy) @ (sy, sx): split the data side in-kernel.
+                tz_hi = tz.astype(jnp.bfloat16)
+                tz_lo = (tz - tz_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                dims_ = (((1,), (0,)), ((), ()))
+                dot = partial(
+                    jax.lax.dot_general,
+                    dimension_numbers=dims_,
+                    preferred_element_type=jnp.float32,
+                )
+                yz = (
+                    dot(gy_hi, tz_hi)
+                    + dot(gy_lo, tz_hi)
+                    + dot(gy_hi, tz_lo)
+                )
+                yz_hi = yz.astype(jnp.bfloat16)
+                yz_lo = (yz - yz_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                # Stage hi/lo in VMEM: Mosaic supports dynamic lane
+                # slicing only through refs, and the x dots below read
+                # 128-blocks at a tile-dependent offset.
+                yz_scr[t, 0, :, :] = yz_hi
+                yz_scr[t, 1, :, :] = yz_lo
+
+            # --- block-tridiagonal x dots + epilogue ----------------
+            for j in range(jblocks):
+                acc = jnp.zeros((by, 128), jnp.float32)
+                for m in range(3):
+                    start = pl.multiple_of(
+                        jnp.clip((j + m + delta) * 128, 0, sx - 128), 128
+                    )
+                    # Zero-gate the beyond-array pieces at the clamped
+                    # edge tiles (zero-boundary x).
+                    gate = None
+                    if j == 0 and m == 0:
+                        gate = first_x
+                    if j == jblocks - 1 and m == 2:
+                        gate = last_x
+                    for t in range(n_terms):
+                        bh = yz_scr[t, 0, :, pl.ds(start, 128)]
+                        bl = yz_scr[t, 1, :, pl.ds(start, 128)]
+                        if gate is not None:
+                            zero = jnp.zeros((), jnp.bfloat16)
+                            bh = jnp.where(gate, bh, zero)
+                            bl = jnp.where(gate, bl, zero)
+                        px_hi = gx_ref[t, m, 0, :, :]
+                        px_lo = gx_ref[t, m, 1, :, :]
+                        dims_ = (((1,), (0,)), ((), ()))
+                        dot = partial(
+                            jax.lax.dot_general,
+                            dimension_numbers=dims_,
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = (
+                            acc
+                            + dot(bh, px_hi)
+                            + dot(bl, px_hi)
+                            + dot(bh, px_lo)
+                        )
+                sl = slice(j * 128, (j + 1) * 128)
+                if mode == "ratio":
+                    out_ref[z, :, sl] = aux_ref[z, :, sl] / jnp.maximum(
+                        acc, eps
+                    )
+                elif mode == "mult":
+                    out_ref[z, :, sl] = aux_ref[z, :, sl] * acc
+                else:
+                    out_ref[z, :, sl] = acc
+
+    # The mult pass updates est in place: aux (est) tiles are read in
+    # the same grid order the out tiles are written, so block reads and
+    # writes never touch the same memory in the wrong order. This caps
+    # peak HBM at 3 carry-sized buffers per RL iteration (data + est +
+    # ratio) — the production carry is 3.3 GB, and a 4th copy OOMs.
+    aliases = {1: 0} if mode == "mult" else {}
+    return pl.pallas_call(
+        kernel,
+        grid=(nyb, nxb, nzb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (bz, by, bx), lambda y, x, z: (z, y, x), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bz, by, bx), lambda y, x, z: (z, y, x), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((zp, yp, xa), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, bz, sy, sx), jnp.float32),
+            pltpu.VMEM((n_terms, 2, by, sx), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(carry, aux, gy_all, gx_all)
+
+
+def conv3_fused(carry, aux, terms, layout, *, flip=False, mode="plain",
+                eps=1e-6, interpret=None):
+    """Zero-boundary separable conv3 (+ optional epilogue) on a padded
+    carry. ``terms`` are (wz, wy, wx) tap triples; ``flip=True``
+    applies the adjoint (taps reversed)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rz = len(terms[0][0]) // 2
+    ry = len(terms[0][1]) // 2
+    rx = len(terms[0][2]) // 2
+    kz_key, gys, gxs = [], [], []
+    for wz, wy, wx in terms:
+        wz, wy, wx = (np.asarray(w)[::-1] if flip else np.asarray(w)
+                      for w in (wz, wy, wx))
+        kz_key.append(tuple(float(v) for v in wz))
+        gys.append(y_stencil_variants(wy, layout))
+        gxs.append(x_stencil_pieces(wx, rx))
+    # gy_all: (3, 2*T, by, sy); gx_all: (T, 3, 2, 128, 128)
+    gy_all = jnp.asarray(
+        np.concatenate(gys, axis=1), dtype=jnp.bfloat16
+    )
+    gx_all = jnp.asarray(np.stack(gxs), dtype=jnp.bfloat16)
+    return _rl_fused_pass(
+        carry, aux, gy_all, gx_all,
+        kz_key=tuple(kz_key), radii=(rz, ry, rx), dims=layout["dims"],
+        mode=mode, eps=eps, interpret=interpret,
+    )
+
+
+_RL_FUSED_CACHE: dict = {}
+
+
+def rl_fused_supported(image_shape, psf_shape) -> bool:
+    radii = tuple(k // 2 for k in psf_shape)
+    g_shape = tuple(n + 2 * r for n, r in zip(image_shape, radii))
+    return fused_layout(g_shape, radii) is not None
+
+
+def rl_fused(image, psf_np, terms, settings, iterations):
+    """Richardson-Lucy on the fused-kernel padded carry.
+
+    Semantics identical to the ``linear_pallas`` backend (zero-boundary
+    conv on the half-PSF padded G grid): the fp64 oracle is
+    ``richardson_lucy_reference_separable(boundary="zero")``.
+    """
+    interpret = jax.default_backend() != "tpu"
+    radii = tuple(k // 2 for k in psf_np.shape)
+    pads = tuple((r, r) for r in radii)
+    g_shape = tuple(n + 2 * r for n, r in zip(image.shape, radii))
+    layout = fused_layout(g_shape, radii)
+    assert layout is not None, "caller must check rl_fused_supported"
+
+    key = (
+        tuple(image.shape), psf_np.tobytes(), iterations,
+        settings.epsilon, settings.pad_mode, "fused",
+    )
+    if key not in _RL_FUSED_CACHE:
+        rz, ry, rx = radii
+        kz_c, kz_f, gy_c, gy_f, gx_c, gx_f = [], [], [], [], [], []
+        for wz, wy, wx in terms:
+            wz, wy, wx = (np.asarray(w, np.float64) for w in (wz, wy, wx))
+            kz_c.append(tuple(float(v) for v in wz))
+            kz_f.append(tuple(float(v) for v in wz[::-1]))
+            gy_c.append(y_stencil_variants(wy, layout))
+            gy_f.append(y_stencil_variants(wy[::-1], layout))
+            gx_c.append(x_stencil_pieces(wx, rx))
+            gx_f.append(x_stencil_pieces(wx[::-1], rx))
+        gy_conv = jnp.asarray(np.concatenate(gy_c, axis=1), jnp.bfloat16)
+        gy_flip = jnp.asarray(np.concatenate(gy_f, axis=1), jnp.bfloat16)
+        gx_conv = jnp.asarray(np.stack(gx_c), jnp.bfloat16)
+        gx_flip = jnp.asarray(np.stack(gx_f), jnp.bfloat16)
+        eps = settings.epsilon
+        pad_mode = settings.pad_mode
+        dims = layout["dims"]
+        interior = layout["interior"]
+        kzc, kzf = tuple(kz_c), tuple(kz_f)
+
+        @jax.jit
+        def run(img):
+            g_vol = jnp.pad(img.astype(jnp.float32), pads, mode=pad_mode)
+            data = fused_pad(jnp.maximum(g_vol, 0.0), layout)
+            est0 = fused_pad(jnp.maximum(g_vol, eps), layout)
+
+            def step(est, _):
+                ratio = _rl_fused_pass(
+                    est, data, gy_conv, gx_conv,
+                    kz_key=kzc, radii=radii, dims=dims,
+                    mode="ratio", eps=eps, interpret=interpret,
+                )
+                est = _rl_fused_pass(
+                    ratio, est, gy_flip, gx_flip,
+                    kz_key=kzf, radii=radii, dims=dims,
+                    mode="mult", eps=eps, interpret=interpret,
+                )
+                return est, None
+
+            est, _ = jax.lax.scan(step, est0, None, length=iterations)
+            g_out = est[interior]
+            crop = tuple(
+                slice(lo, lo + n) for (lo, _), n in zip(pads, img.shape)
+            )
+            return g_out[crop]
+
+        _RL_FUSED_CACHE[key] = run
+    return _RL_FUSED_CACHE[key](image)

@@ -73,6 +73,10 @@ def _deconv_fn(
                 backend = _resolve_separable_backend(
                     backend, tuple(vol.shape), tuple(psf_np.shape)
                 )
+            if backend == "fused":
+                from shrimpy_tpu.ops.rl_fused import rl_fused
+
+                return rl_fused(vol, psf_np, terms, deconv, deconv.iterations)
             if backend == "linear_pallas":
                 from shrimpy_tpu.ops.deconv import _rl_sep_linear
 
