@@ -62,41 +62,88 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _x_cost(nx_p: int, bx: int) -> float:
+    """Relative per-pass cost model for an x-tile choice: MXU (banded-y
+    amp + tridiagonal-x, 3-pass each) plus DMA read amplification,
+    scaled by the rounded x extent."""
+    xa = _round_up(nx_p, bx)
+    amp = (bx + 256) / bx
+    return xa * (3.75 * amp + 9.0 + 2.2 * amp)
+
+
 def fused_layout(
-    g_shape: tuple[int, int, int], radii: tuple[int, int, int]
+    g_shape: tuple[int, int, int],
+    radii: tuple[int, int, int],
+    *,
+    bz: int | None = None,
+    bx: int | None = None,
 ) -> dict | None:
     """Carry layout for the fused kernel, or None when the geometry
     does not satisfy the kernel's constraints (caller falls back)."""
     gz, gy, gx = g_shape
     rz, ry, rx = radii
-    if rz > _BZ or ry > 120 or rx > 128:
+    bz = bz or _BZ
+    if rz > bz or ry > 120 or rx > 128:
         return None
     y_shift = (-ry) % 8
     sy = _round_up(_BY + 2 * ry + y_shift, 16)
-    zp = _round_up(gz, _BZ)
+    zp = _round_up(gz, bz)
     yp = _round_up(gy, _BY)
     nx_p = _round_up(gx, 128)
     if yp < sy:
         return None  # slab taller than the array: tiny-y volume
-    # Pick the largest x tile whose rounding waste is small; the slab
-    # is bx + 256 wide (one 128 block of halo each side).
-    bx = None
-    for cand in (512, 384, 256, 128):
-        xa = _round_up(nx_p, cand)
-        if xa >= cand + 256 and (xa - nx_p) <= max(cand, nx_p // 4):
-            bx = cand
-            break
     if bx is None:
-        return None
+        # Cost-scored x tile: bigger tiles cut halo amplification, but
+        # their rounding can inflate the grid (e.g. the production
+        # x=1664 fits bx=256 exactly while bx=512 pads 23%).
+        feasible = [
+            c for c in (512, 384, 256, 128) if _round_up(nx_p, c) >= c + 256
+        ]
+        if not feasible:
+            return None
+        bx = min(feasible, key=lambda c: _x_cost(nx_p, c))
     xa = _round_up(nx_p, bx)
     sx = bx + 256
+    if xa < sx:
+        return None
     return {
-        "bz": _BZ, "by": _BY, "bx": bx,
+        "bz": bz, "by": _BY, "bx": bx,
         "sy": sy, "sx": sx, "y_shift": y_shift,
         "shape": (zp, yp, xa),
         "interior": (slice(0, gz), slice(0, gy), slice(0, gx)),
-        "dims": (zp, yp, xa, sy, y_shift, bx),
+        "dims": (zp, yp, xa, sy, y_shift, bx, bz),
+        "score": zp * yp * _x_cost(nx_p, bx),
     }
+
+
+def fused_best_layout(
+    image_shape: tuple[int, int, int],
+    psf_shape: tuple[int, int, int],
+    *,
+    bz: int | None = None,
+) -> tuple[dict, bool] | None:
+    """Best (layout, swap_yx) over both volume orientations.
+
+    Putting the longer of (y, x) on lanes usually wins: lane-dim
+    rounding is 128-to-512-grained while sublanes round to 128, so the
+    production (z,y,x)=(128,2888,1620) volume wastes 15% less when the
+    2888 axis rides the lanes.
+    """
+    radii = tuple(k // 2 for k in psf_shape)
+    g = tuple(n + 2 * r for n, r in zip(image_shape, radii))
+    cands = []
+    l0 = fused_layout(g, radii, bz=bz)
+    if l0 is not None:
+        cands.append((l0["score"], 0, l0, False))
+    g_sw = (g[0], g[2], g[1])
+    r_sw = (radii[0], radii[2], radii[1])
+    l1 = fused_layout(g_sw, r_sw, bz=bz)
+    if l1 is not None:
+        cands.append((l1["score"], 1, l1, True))
+    if not cands:
+        return None
+    _, _, layout, swap = min(cands)
+    return layout, swap
 
 
 def fused_pad(vol_g: jnp.ndarray, layout: dict) -> jnp.ndarray:
@@ -187,6 +234,7 @@ def _rl_fused_pass(
     aux,
     gy_all,
     gx_all,
+    gx_cat,
     *,
     kz_key: tuple,   # per-term z taps (already convolution-ordered)
     radii: tuple,    # (rz, ry, rx)
@@ -202,15 +250,17 @@ def _rl_fused_pass(
     mode="plain": out = conv(carry)                   (aux ignored)
     """
     rz, ry, rx = radii
-    zp, yp, xa, sy, y_shift, bx = dims
-    bz, by = _BZ, _BY
+    zp, yp, xa, sy, y_shift, bx, bz = dims
+    by = _BY
     sx = bx + 256
     nzb, nyb, nxb = zp // bz, yp // by, xa // bx
     n_terms = len(kz_key)
     total = nyb * nxb * nzb
     jblocks = bx // 128
 
-    def kernel(in_ref, aux_ref, gy_ref, gx_ref, out_ref, ring, yz_scr, sems):
+    def kernel(
+        in_ref, aux_ref, gy_ref, gx_ref, gxc_ref, out_ref, ring, yz_scr, sems
+    ):
         yi = pl.program_id(0)
         xi = pl.program_id(1)
         k = pl.program_id(2)
@@ -306,40 +356,58 @@ def _rl_fused_pass(
                 yz_scr[t, 1, :, :] = yz_lo
 
             # --- block-tridiagonal x dots + epilogue ----------------
+            dims_ = (((1,), (0,)), ((), ()))
+            dot = partial(
+                jax.lax.dot_general,
+                dimension_numbers=dims_,
+                preferred_element_type=jnp.float32,
+            )
             for j in range(jblocks):
-                acc = jnp.zeros((by, 128), jnp.float32)
-                for m in range(3):
+                prods = []
+                if 0 < j < jblocks - 1:
+                    # Interior out block: one concatenated K=384 dot
+                    # per pass (window and pieces are contiguous).
                     start = pl.multiple_of(
-                        jnp.clip((j + m + delta) * 128, 0, sx - 128), 128
+                        jnp.clip((j + delta) * 128, 0, sx - 384), 128
                     )
-                    # Zero-gate the beyond-array pieces at the clamped
-                    # edge tiles (zero-boundary x).
-                    gate = None
-                    if j == 0 and m == 0:
-                        gate = first_x
-                    if j == jblocks - 1 and m == 2:
-                        gate = last_x
                     for t in range(n_terms):
-                        bh = yz_scr[t, 0, :, pl.ds(start, 128)]
-                        bl = yz_scr[t, 1, :, pl.ds(start, 128)]
-                        if gate is not None:
-                            zero = jnp.zeros((), jnp.bfloat16)
-                            bh = jnp.where(gate, bh, zero)
-                            bl = jnp.where(gate, bl, zero)
-                        px_hi = gx_ref[t, m, 0, :, :]
-                        px_lo = gx_ref[t, m, 1, :, :]
-                        dims_ = (((1,), (0,)), ((), ()))
-                        dot = partial(
-                            jax.lax.dot_general,
-                            dimension_numbers=dims_,
-                            preferred_element_type=jnp.float32,
+                        bh = yz_scr[t, 0, :, pl.ds(start, 384)]
+                        bl = yz_scr[t, 1, :, pl.ds(start, 384)]
+                        ch = gxc_ref[t, 0, :, :]
+                        cl = gxc_ref[t, 1, :, :]
+                        prods += [dot(bh, ch), dot(bl, ch), dot(bh, cl)]
+                else:
+                    for m in range(3):
+                        start = pl.multiple_of(
+                            jnp.clip((j + m + delta) * 128, 0, sx - 128), 128
                         )
-                        acc = (
-                            acc
-                            + dot(bh, px_hi)
-                            + dot(bl, px_hi)
-                            + dot(bh, px_lo)
-                        )
+                        # Zero-gate the beyond-array pieces at the
+                        # clamped edge tiles (zero-boundary x).
+                        gate = None
+                        if j == 0 and m == 0:
+                            gate = first_x
+                        if j == jblocks - 1 and m == 2:
+                            gate = last_x
+                        for t in range(n_terms):
+                            bh = yz_scr[t, 0, :, pl.ds(start, 128)]
+                            bl = yz_scr[t, 1, :, pl.ds(start, 128)]
+                            if gate is not None:
+                                zero = jnp.zeros((), jnp.bfloat16)
+                                bh = jnp.where(gate, bh, zero)
+                                bl = jnp.where(gate, bl, zero)
+                            px_hi = gx_ref[t, m, 0, :, :]
+                            px_lo = gx_ref[t, m, 1, :, :]
+                            prods += [
+                                dot(bh, px_hi),
+                                dot(bl, px_hi),
+                                dot(bh, px_lo),
+                            ]
+                # Tree sum keeps the MXU accumulation chain shallow.
+                while len(prods) > 1:
+                    prods = [
+                        a + b for a, b in zip(prods[::2], prods[1::2])
+                    ] + ([prods[-1]] if len(prods) % 2 else [])
+                acc = prods[0]
                 sl = slice(j * 128, (j + 1) * 128)
                 if mode == "ratio":
                     out_ref[z, :, sl] = aux_ref[z, :, sl] / jnp.maximum(
@@ -366,6 +434,7 @@ def _rl_fused_pass(
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bz, by, bx), lambda y, x, z: (z, y, x), memory_space=pltpu.VMEM
@@ -381,7 +450,7 @@ def _rl_fused_pass(
         ),
         input_output_aliases=aliases,
         interpret=interpret,
-    )(carry, aux, gy_all, gx_all)
+    )(carry, aux, gy_all, gx_all, gx_cat)
 
 
 def conv3_fused(carry, aux, terms, layout, *, flip=False, mode="plain",
@@ -405,21 +474,27 @@ def conv3_fused(carry, aux, terms, layout, *, flip=False, mode="plain",
     gy_all = jnp.asarray(
         np.concatenate(gys, axis=1), dtype=jnp.bfloat16
     )
-    gx_all = jnp.asarray(np.stack(gxs), dtype=jnp.bfloat16)
+    gx_np = np.stack(gxs)
+    gx_all = jnp.asarray(gx_np, dtype=jnp.bfloat16)
+    gx_cat = jnp.asarray(_cat_pieces(gx_np), dtype=jnp.bfloat16)
     return _rl_fused_pass(
-        carry, aux, gy_all, gx_all,
+        carry, aux, gy_all, gx_all, gx_cat,
         kz_key=tuple(kz_key), radii=(rz, ry, rx), dims=layout["dims"],
         mode=mode, eps=eps, interpret=interpret,
     )
+
+
+def _cat_pieces(gx_stack: np.ndarray) -> np.ndarray:
+    """(T, 3, 2, 128, 128) pieces -> (T, 2, 384, 128) row-concatenated
+    window stencils (the interior out blocks use one K=384 dot)."""
+    return np.concatenate([gx_stack[:, m] for m in range(3)], axis=2)
 
 
 _RL_FUSED_CACHE: dict = {}
 
 
 def rl_fused_supported(image_shape, psf_shape) -> bool:
-    radii = tuple(k // 2 for k in psf_shape)
-    g_shape = tuple(n + 2 * r for n, r in zip(image_shape, radii))
-    return fused_layout(g_shape, radii) is not None
+    return fused_best_layout(tuple(image_shape), tuple(psf_shape)) is not None
 
 
 def rl_fused(image, psf_np, terms, settings, iterations):
@@ -427,18 +502,24 @@ def rl_fused(image, psf_np, terms, settings, iterations):
 
     Semantics identical to the ``linear_pallas`` backend (zero-boundary
     conv on the half-PSF padded G grid): the fp64 oracle is
-    ``richardson_lucy_reference_separable(boundary="zero")``.
+    ``richardson_lucy_reference_separable(boundary="zero")``. The
+    volume is transposed y<->x up front when that orientation pads
+    less (see :func:`fused_best_layout`); the two transposes cost two
+    XLA passes per whole RL run.
     """
     interpret = jax.default_backend() != "tpu"
+    best = fused_best_layout(tuple(image.shape), tuple(psf_np.shape))
+    assert best is not None, "caller must check rl_fused_supported"
+    layout, swap = best
+    if swap:
+        psf_np = np.ascontiguousarray(psf_np.transpose(0, 2, 1))
+        terms = [(wz, wx, wy) for wz, wy, wx in terms]
     radii = tuple(k // 2 for k in psf_np.shape)
     pads = tuple((r, r) for r in radii)
-    g_shape = tuple(n + 2 * r for n, r in zip(image.shape, radii))
-    layout = fused_layout(g_shape, radii)
-    assert layout is not None, "caller must check rl_fused_supported"
 
     key = (
         tuple(image.shape), psf_np.tobytes(), iterations,
-        settings.epsilon, settings.pad_mode, "fused",
+        settings.epsilon, settings.pad_mode, swap, "fused",
     )
     if key not in _RL_FUSED_CACHE:
         rz, ry, rx = radii
@@ -453,8 +534,11 @@ def rl_fused(image, psf_np, terms, settings, iterations):
             gx_f.append(x_stencil_pieces(wx[::-1], rx))
         gy_conv = jnp.asarray(np.concatenate(gy_c, axis=1), jnp.bfloat16)
         gy_flip = jnp.asarray(np.concatenate(gy_f, axis=1), jnp.bfloat16)
-        gx_conv = jnp.asarray(np.stack(gx_c), jnp.bfloat16)
-        gx_flip = jnp.asarray(np.stack(gx_f), jnp.bfloat16)
+        gxc_np, gxf_np = np.stack(gx_c), np.stack(gx_f)
+        gx_conv = jnp.asarray(gxc_np, jnp.bfloat16)
+        gx_flip = jnp.asarray(gxf_np, jnp.bfloat16)
+        gxcat_conv = jnp.asarray(_cat_pieces(gxc_np), jnp.bfloat16)
+        gxcat_flip = jnp.asarray(_cat_pieces(gxf_np), jnp.bfloat16)
         eps = settings.epsilon
         pad_mode = settings.pad_mode
         dims = layout["dims"]
@@ -463,18 +547,20 @@ def rl_fused(image, psf_np, terms, settings, iterations):
 
         @jax.jit
         def run(img):
+            if swap:
+                img = jnp.transpose(img, (0, 2, 1))
             g_vol = jnp.pad(img.astype(jnp.float32), pads, mode=pad_mode)
             data = fused_pad(jnp.maximum(g_vol, 0.0), layout)
             est0 = fused_pad(jnp.maximum(g_vol, eps), layout)
 
             def step(est, _):
                 ratio = _rl_fused_pass(
-                    est, data, gy_conv, gx_conv,
+                    est, data, gy_conv, gx_conv, gxcat_conv,
                     kz_key=kzc, radii=radii, dims=dims,
                     mode="ratio", eps=eps, interpret=interpret,
                 )
                 est = _rl_fused_pass(
-                    ratio, est, gy_flip, gx_flip,
+                    ratio, est, gy_flip, gx_flip, gxcat_flip,
                     kz_key=kzf, radii=radii, dims=dims,
                     mode="mult", eps=eps, interpret=interpret,
                 )
@@ -485,7 +571,8 @@ def rl_fused(image, psf_np, terms, settings, iterations):
             crop = tuple(
                 slice(lo, lo + n) for (lo, _), n in zip(pads, img.shape)
             )
-            return g_out[crop]
+            out = g_out[crop]
+            return jnp.transpose(out, (0, 2, 1)) if swap else out
 
         _RL_FUSED_CACHE[key] = run
     return _RL_FUSED_CACHE[key](image)
