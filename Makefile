@@ -10,4 +10,6 @@ graft-check:
 	python __graft_entry__.py
 
 lint:
-	python -m compileall -q shrimpy_tpu tests bench.py __graft_entry__.py
+	@python -m ruff check shrimpy_tpu tests scripts bench.py __graft_entry__.py 2>/dev/null \
+	  || (echo "ruff unavailable; falling back to compileall" && \
+	      python -m compileall -q shrimpy_tpu tests bench.py __graft_entry__.py)

@@ -216,8 +216,11 @@ def _banded_stencil(taps: np.ndarray, block: int | None = None) -> np.ndarray:
 
 
 def _axis_is_banded(n: int, radius: int = 0) -> bool:
-    """Banded beats dense past the measured MXU crossover."""
-    return n > _DENSE_MAX
+    """Banded beats dense past the measured MXU crossover — but only
+    when the band fits one block (the stencil scheme needs
+    ``taps <= 2*_BLOCK + 1``); fat PSFs stay dense instead of
+    tripping the stencil assert."""
+    return n > _DENSE_MAX and radius <= _BLOCK
 
 
 def _sep_matrices(

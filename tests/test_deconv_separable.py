@@ -128,6 +128,50 @@ def test_banded_path_matches_dense(rng, monkeypatch):
     assert err_d <= 5e-3, f"banded vs dense interior {err_d:.2e}"
 
 
+def test_fat_psf_falls_back_to_dense(rng, monkeypatch):
+    """A PSF whose band exceeds one block must NOT assert in the
+    banded stencil — _axis_is_banded keeps it dense (round-1 advisor:
+    the radius argument was ignored)."""
+    import shrimpy_tpu.ops.deconv as dc
+
+    monkeypatch.setattr(dc, "_BLOCK", 8)
+    monkeypatch.setattr(dc, "_DENSE_MAX", 24)
+    # radius 6 fits _BLOCK=8 -> banded; (7,19,19) radius 9 > 8 -> dense.
+    truth, _, _ = _scene(rng, shape=(12, 40, 40))
+    psf = gaussian_psf((7, 19, 19), (1.2, 2.5, 2.5))
+    blurred = np.clip(
+        fftconvolve(truth, psf, mode="same") + rng.normal(0, 0.2, truth.shape),
+        0, None,
+    ).astype(np.float32)
+    assert not dc._axis_is_banded(40, radius=9)
+    settings = DeconvolveSettings(algorithm="separable", iterations=4)
+    ours = np.asarray(richardson_lucy(blurred, psf, settings))
+    oracle = richardson_lucy_reference_separable(blurred, psf, iterations=4)
+    err = np.abs(ours - oracle).max() / np.abs(oracle).max()
+    assert err <= 1e-3, f"rel err {err:.2e}"
+
+
+def test_band_radius_near_block_size(rng, monkeypatch):
+    """Band half-width just at the block limit exercises the widest
+    banded stencil (taps == 2B+1) and still matches the oracle."""
+    import shrimpy_tpu.ops.deconv as dc
+
+    monkeypatch.setattr(dc, "_BLOCK", 8)
+    monkeypatch.setattr(dc, "_DENSE_MAX", 24)
+    truth, _, _ = _scene(rng, shape=(12, 40, 40))
+    psf = gaussian_psf((7, 17, 17), (1.2, 2.2, 2.2))  # radius 8 == block
+    blurred = np.clip(
+        fftconvolve(truth, psf, mode="same") + rng.normal(0, 0.2, truth.shape),
+        0, None,
+    ).astype(np.float32)
+    assert dc._axis_is_banded(40, radius=8)
+    settings = DeconvolveSettings(algorithm="separable", iterations=4)
+    ours = np.asarray(richardson_lucy(blurred, psf, settings))
+    oracle = richardson_lucy_reference_separable(blurred, psf, iterations=4)
+    err = np.abs(ours - oracle).max() / np.abs(oracle).max()
+    assert err <= 1e-3, f"rel err {err:.2e}"
+
+
 def test_zy_pallas_backend_matches_its_oracle(rng):
     """The fused z+y Pallas RL backend matches the fp64 circulant oracle
     on the exact-half-pad grid (interpret mode on CPU)."""
