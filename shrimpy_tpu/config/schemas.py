@@ -155,6 +155,15 @@ class DeconvolveSettings(BaseModel):
     algorithm: Literal["auto", "fft", "separable"] = "auto"
     separable_tol: float = 1e-4  # PSF reconstruction rel error budget
     max_separable_terms: int = 6
+    # Measured-PSF denoising: bead-measured PSFs carry iid noise that
+    # no finite rank captures, so strict decomposition always fails on
+    # them. "auto" truncates the PSF to its top-K separable terms (SVD
+    # truncation IS the denoiser) when the discarded residual is below
+    # psf_denoise_max_residual (noise-like), keeping real data on the
+    # fast path; larger residuals (true aberration structure) still
+    # route to the exact FFT path. Every denoise/fallback is logged.
+    psf_denoise: Literal["auto", "off"] = "auto"
+    psf_denoise_max_residual: float = 0.05
     # MXU matmul precision for the separable path. TPU default matmuls
     # are bf16 (1e-2 error over 20 iterations — fails the 1e-3 parity
     # budget); "high" (bf16x3) measures 6e-5 at ~3x default cost,

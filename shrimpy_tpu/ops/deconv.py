@@ -136,16 +136,11 @@ def _rl_jit(
 # never used here).
 
 
-def separable_decompose(
-    psf: np.ndarray, tol: float = 1e-4, max_terms: int = 6
-) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]] | None:
-    """Greedy rank-K separable decomposition ``psf ~ sum_k wz_k x wy_k x wx_k``.
-
-    SVD cascade: unfold Z vs YX, then split each YX mode; terms are
-    added in decreasing singular-value order until the reconstruction
-    relative error (Frobenius) drops below ``tol``. Returns None when
-    ``max_terms`` terms cannot reach ``tol`` (caller falls back to FFT).
-    """
+def _separable_candidates(
+    psf: np.ndarray, max_terms: int
+) -> list[tuple[float, np.ndarray, np.ndarray, np.ndarray]]:
+    """SVD-cascade separable candidates, strongest first: unfold Z vs
+    YX, then split each YX mode."""
     psf = np.asarray(psf, dtype=np.float64)
     nz, ny, nx = psf.shape
     u, s, vt = np.linalg.svd(psf.reshape(nz, ny * nx), full_matrices=False)
@@ -161,7 +156,22 @@ def separable_decompose(
                 break
             candidates.append((weight, u[:, r], pu[:, q] * ps[q] * s[r], pvt[q]))
     candidates.sort(key=lambda c: -c[0])
+    return candidates
 
+
+def separable_decompose(
+    psf: np.ndarray, tol: float = 1e-4, max_terms: int = 6
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]] | None:
+    """Greedy rank-K separable decomposition ``psf ~ sum_k wz_k x wy_k x wx_k``.
+
+    SVD cascade: unfold Z vs YX, then split each YX mode; terms are
+    added in decreasing singular-value order until the reconstruction
+    relative error (Frobenius) drops below ``tol``. Returns None when
+    ``max_terms`` terms cannot reach ``tol`` (caller falls back to FFT
+    or to :func:`separable_truncate` denoising).
+    """
+    psf = np.asarray(psf, dtype=np.float64)
+    candidates = _separable_candidates(psf, max_terms)
     norm = np.linalg.norm(psf)
     recon = np.zeros_like(psf)
     terms: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
@@ -174,6 +184,90 @@ def separable_decompose(
             if len(terms) > max_terms:
                 return None
             return terms
+    return None
+
+
+def separable_truncate(
+    psf: np.ndarray, max_terms: int = 6
+) -> tuple[list[tuple[np.ndarray, np.ndarray, np.ndarray]], float]:
+    """Best-effort top-K separable truncation: ``(terms, rel_residual)``.
+
+    Measured bead PSFs carry iid measurement noise that no finite-rank
+    decomposition can (or should) capture — SVD truncation acts as the
+    PSF denoiser, the standard hygiene for measured kernels. The
+    deconvolution then runs with the rank-K (denoised) PSF on the fast
+    separable path; ``rel_residual`` (Frobenius, relative) tells the
+    caller how much was discarded so genuinely non-separable structure
+    (e.g. heavy aberration rings) still routes to the exact FFT path.
+
+    Reference context: PSFs come from bead characterization
+    (``scripts/measure_psf.py:20-288``); averaging + truncation is the
+    denoising step the raw measurement needs before deconvolution.
+    """
+    psf = np.asarray(psf, dtype=np.float64)
+    candidates = _separable_candidates(psf, max_terms)[:max_terms]
+    norm = np.linalg.norm(psf)
+    recon = np.zeros_like(psf)
+    terms: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    for _, wz, wy, wx in candidates:
+        terms.append(
+            (wz.astype(np.float32), wy.astype(np.float32), wx.astype(np.float32))
+        )
+        recon = recon + np.einsum("z,y,x->zyx", wz, wy, wx)
+    residual = float(np.linalg.norm(psf - recon) / max(norm, 1e-30))
+    return terms, residual
+
+
+def plan_separable_terms(
+    psf_np: np.ndarray, settings: "DeconvolveSettings"
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]] | None:
+    """Resolve the separable term set for a PSF under ``settings``.
+
+    1. strict decomposition within ``separable_tol`` (exact fast path);
+    2. if that fails and ``psf_denoise != 'off'``: rank-K truncation,
+       accepted when the discarded residual is below
+       ``psf_denoise_max_residual`` (noise-like) — logged, because the
+       working PSF becomes the denoised one;
+    3. otherwise None (caller uses the FFT path — ~25x slower, also
+       logged so the cliff is never silent).
+    """
+    import logging
+
+    logger = logging.getLogger(__name__)
+    psf_unit = np.asarray(psf_np, np.float64)
+    psf_unit = psf_unit / psf_unit.sum()
+    terms = separable_decompose(
+        psf_unit, tol=settings.separable_tol, max_terms=settings.max_separable_terms
+    )
+    if terms is not None:
+        return terms
+    if settings.psf_denoise == "off":
+        logger.warning(
+            "PSF not separable within tol=%g and psf_denoise='off': using "
+            "the FFT path (~25x slower on TPU)",
+            settings.separable_tol,
+        )
+        return None
+    terms, residual = separable_truncate(
+        psf_unit, max_terms=settings.max_separable_terms
+    )
+    if residual <= settings.psf_denoise_max_residual:
+        logger.warning(
+            "PSF not strictly separable: denoised to rank-%d (discarded "
+            "residual %.2e Frobenius, treated as measurement noise); "
+            "deconvolving with the truncated PSF on the separable path",
+            len(terms),
+            residual,
+        )
+        return terms
+    logger.warning(
+        "PSF rank-%d residual %.2e exceeds psf_denoise_max_residual=%g "
+        "(genuinely non-separable structure): using the FFT path "
+        "(~25x slower on TPU)",
+        len(terms),
+        residual,
+        settings.psf_denoise_max_residual,
+    )
     return None
 
 
@@ -625,14 +719,13 @@ def richardson_lucy(
 
     terms = None
     if settings.algorithm in ("auto", "separable") and psf_np.ndim == 3:
-        psf_unit = psf_np / psf_np.sum()
-        terms = separable_decompose(
-            psf_unit, tol=settings.separable_tol, max_terms=settings.max_separable_terms
-        )
+        terms = plan_separable_terms(psf_np, settings)
         if terms is None and settings.algorithm == "separable":
             raise ValueError(
                 "PSF is not separable within separable_tol="
-                f"{settings.separable_tol} (<= {settings.max_separable_terms} terms); "
+                f"{settings.separable_tol} (<= {settings.max_separable_terms} terms) "
+                "and rank-truncation denoising would discard more than "
+                f"psf_denoise_max_residual={settings.psf_denoise_max_residual}; "
                 "use algorithm='fft' or raise the tolerance"
             )
 
@@ -692,17 +785,20 @@ def richardson_lucy_reference_separable(
     max_terms: int = 6,
     pads: tuple[tuple[int, int], ...] | None = None,
     boundary: str = "circular",
+    terms: list | None = None,
 ) -> np.ndarray:
     """Trusted fp64 oracle of the separable matmul paths.
 
     ``pads`` overrides the grid (the pallas backends use exact half-PSF
     pads without block rounding). ``boundary``: "circular" (circulant
     matrices — the matmul/zy backends) or "zero" (banded Toeplitz — the
-    linear_pallas backend).
+    linear_pallas/fused backends). ``terms`` overrides the internal
+    decomposition (used to oracle the rank-truncated denoised path).
     """
     image = np.asarray(image, dtype=np.float64)
     psf_unit = np.asarray(psf, np.float64) / np.asarray(psf, np.float64).sum()
-    terms = separable_decompose(psf_unit, tol=tol, max_terms=max_terms)
+    if terms is None:
+        terms = separable_decompose(psf_unit, tol=tol, max_terms=max_terms)
     assert terms is not None, "PSF not separable within tol"
     if pads is None:
         pads = _sep_pads(tuple(image.shape), tuple(psf.shape))

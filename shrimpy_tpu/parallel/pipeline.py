@@ -53,11 +53,9 @@ def _deconv_fn(
 
     terms = None
     if deconv.algorithm in ("auto", "separable"):
-        terms = separable_decompose(
-            psf_np / psf_np.sum(),
-            tol=deconv.separable_tol,
-            max_terms=deconv.max_separable_terms,
-        )
+        from shrimpy_tpu.ops.deconv import plan_separable_terms
+
+        terms = plan_separable_terms(psf_np, deconv)
         if terms is None and deconv.algorithm == "separable":
             raise ValueError("PSF not separable within separable_tol")
 
