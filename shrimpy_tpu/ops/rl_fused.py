@@ -532,13 +532,18 @@ def rl_fused(image, psf_np, terms, settings, iterations):
             gy_f.append(y_stencil_variants(wy[::-1], layout))
             gx_c.append(x_stencil_pieces(wx, rx))
             gx_f.append(x_stencil_pieces(wx[::-1], rx))
-        gy_conv = jnp.asarray(np.concatenate(gy_c, axis=1), jnp.bfloat16)
-        gy_flip = jnp.asarray(np.concatenate(gy_f, axis=1), jnp.bfloat16)
-        gxc_np, gxf_np = np.stack(gx_c), np.stack(gx_f)
-        gx_conv = jnp.asarray(gxc_np, jnp.bfloat16)
-        gx_flip = jnp.asarray(gxf_np, jnp.bfloat16)
-        gxcat_conv = jnp.asarray(_cat_pieces(gxc_np), jnp.bfloat16)
-        gxcat_flip = jnp.asarray(_cat_pieces(gxf_np), jnp.bfloat16)
+        # Keep stencils as HOST numpy in the cached closure: rl_fused
+        # may be called while tracing (lax.map / shard_map bodies), and
+        # jnp constants created there are trace-local tracers — caching
+        # them leaks dead tracers into the next trace. run() converts
+        # per trace (tiny arrays, baked as constants).
+        bf16 = np.dtype(jnp.bfloat16)
+        gy_conv_np = np.concatenate(gy_c, axis=1).astype(bf16)
+        gy_flip_np = np.concatenate(gy_f, axis=1).astype(bf16)
+        gxc_np = np.stack(gx_c).astype(bf16)
+        gxf_np = np.stack(gx_f).astype(bf16)
+        gxcat_c_np = _cat_pieces(gxc_np).astype(bf16)
+        gxcat_f_np = _cat_pieces(gxf_np).astype(bf16)
         eps = settings.epsilon
         pad_mode = settings.pad_mode
         dims = layout["dims"]
@@ -547,6 +552,12 @@ def rl_fused(image, psf_np, terms, settings, iterations):
 
         @jax.jit
         def run(img):
+            gy_conv = jnp.asarray(gy_conv_np)
+            gy_flip = jnp.asarray(gy_flip_np)
+            gx_conv = jnp.asarray(gxc_np)
+            gx_flip = jnp.asarray(gxf_np)
+            gxcat_conv = jnp.asarray(gxcat_c_np)
+            gxcat_flip = jnp.asarray(gxcat_f_np)
             if swap:
                 img = jnp.transpose(img, (0, 2, 1))
             g_vol = jnp.pad(img.astype(jnp.float32), pads, mode=pad_mode)

@@ -62,15 +62,14 @@ def _deconv_fn(
     if terms is not None:
 
         def rl(vol):
-            backend = deconv.separable_backend
-            if mesh is not None:
-                backend = "matmul"  # pallas kernels don't vmap over the mesh
-            else:
-                from shrimpy_tpu.ops.deconv import _resolve_separable_backend
+            # Backend resolution sees the per-volume (per-device-local
+            # under shard_map) shape, so the fast Pallas backends run
+            # on the mesh path too (round-1 forced "matmul" there).
+            from shrimpy_tpu.ops.deconv import _resolve_separable_backend
 
-                backend = _resolve_separable_backend(
-                    backend, tuple(vol.shape), tuple(psf_np.shape)
-                )
+            backend = _resolve_separable_backend(
+                deconv.separable_backend, tuple(vol.shape), tuple(psf_np.shape)
+            )
             if backend == "fused":
                 from shrimpy_tpu.ops.rl_fused import rl_fused
 
@@ -162,9 +161,11 @@ def _stage_fns(
 
     deskew_fn = None
     if desk is not None:
-        # The manual-DMA Pallas kernel runs per volume (lax.map path);
-        # the vmapped mesh path keeps the XLA gather implementation.
-        use_pallas = mesh is None and (
+        # The manual-DMA Pallas kernel runs per volume; both the
+        # single-device lax.map path and the shard_map mesh path call
+        # it on whole local volumes (the mesh path shards X, in which
+        # the deskew resample is pointwise).
+        use_pallas = (
             desk.backend == "pallas"
             or (desk.backend == "auto" and jax.default_backend() == "tpu")
         )
@@ -247,19 +248,46 @@ def build_reconstruct_step(
             if fft_fn is not None:
                 vol = jax.lax.map(lambda v: fft_fn(v, tf), vol)
             return vol
+        # Mesh path: shard_map runs the per-volume kernels (incl. the
+        # manual-DMA Pallas deskew/RL) on each device's local block —
+        # vmap cannot trace through pallas_call with manual DMAs, which
+        # in round 1 forced the slow XLA fallbacks here.
+        from jax.experimental.shard_map import shard_map
+
         if deskew_fn is not None:
-            vol = jax.vmap(deskew_fn)(vol)
+            # Deskew is pointwise in X: runs fully sharded over
+            # ('batch', 'space') with no communication.
+            spec_in = P("batch", None, None, "space")
+            vol = shard_map(
+                lambda block: jax.lax.map(deskew_fn, block),
+                mesh=mesh,
+                in_specs=(spec_in,),
+                out_specs=spec_in,
+                check_rep=False,  # pallas_call outputs carry no replication info
+            )(vol)
         if fft_fn is not None:
-            if mesh.devices.shape[1] > 1:
-                n_dev = mesh.devices.size
-                b = vol.shape[0]
-                spec = (
-                    P(("batch", "space")) if b % n_dev == 0 else P("batch")
-                )
-                vol = jax.lax.with_sharding_constraint(
-                    vol, NamedSharding(mesh, spec)
-                )
-            vol = jax.vmap(fft_fn, in_axes=(0, None))(vol, tf)
+            # Volumetric stages run per whole volume: reshard so each
+            # device owns complete volumes (one all-to-all over ICI),
+            # flattening batch over both axes when it divides evenly.
+            n_dev = mesh.devices.size
+            b = vol.shape[0]
+            spec = (
+                P(("batch", "space"))
+                if mesh.devices.shape[1] > 1 and b % n_dev == 0
+                else P("batch")
+            )
+            vol = jax.lax.with_sharding_constraint(
+                vol, NamedSharding(mesh, spec)
+            )
+            vol = shard_map(
+                lambda block, tf_: jax.lax.map(
+                    lambda v: fft_fn(v, tf_), block
+                ),
+                mesh=mesh,
+                in_specs=(spec, P()),
+                out_specs=spec,
+                check_rep=False,  # pallas_call outputs carry no replication info
+            )(vol, tf)
         return vol
 
     if mesh is None:

@@ -65,6 +65,28 @@ def test_space_sharding_flattened_batch(rng):
     np.testing.assert_allclose(sharded, plain, rtol=2e-3, atol=1e-3)
 
 
+def test_pallas_kernels_through_shard_map(rng):
+    """The PRODUCTION kernels (Pallas deskew + fused RL, interpret mode
+    on CPU) run under the mesh via shard_map and match the same
+    kernels single-device — round 1 forced XLA fallbacks here."""
+    settings = ReconstructSettings(
+        deskew=DeskewSettings(
+            ls_angle_deg=30.0, px_to_scan_ratio=0.386, backend="pallas"
+        ),
+        deconvolve=DeconvolveSettings(
+            iterations=2, separable_backend="fused"
+        ),
+    )
+    psf = gaussian_psf((3, 7, 7), (0.8, 1.2, 1.2))
+    # Deskewed shape must satisfy the fused-RL constraints (y >= one
+    # slab, x >= bx + 256): raw scan 80 -> ny ~ 200, x = 768.
+    raw = rng.random((2, 80, 12, 768), dtype=np.float32) * 50.0
+    plain = np.asarray(reconstruct_batch(raw, settings, psf=psf))
+    mesh = make_mesh(8, space=4)
+    sharded = np.asarray(reconstruct_batch(raw, settings, psf=psf, mesh=mesh))
+    np.testing.assert_allclose(sharded, plain, rtol=1e-4, atol=1e-4)
+
+
 def test_deskew_only_pipeline(rng):
     from shrimpy_tpu.ops.deskew import deskew_volume
 
