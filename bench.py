@@ -1,19 +1,26 @@
-"""Headline benchmark: deskew + Richardson-Lucy(20) throughput per chip.
+"""Headline benchmark + the five BASELINE.json configs.
 
-Runs the fused reconstruction pipeline (oblique-plane deskew at the
-mantis production geometry -> 20 RL iterations, separable
-circulant-matmul fast path) on the default JAX device and prints ONE
-JSON line::
+Headline: deskew + Richardson-Lucy(20) throughput per chip at the
+mantis production geometry (fused Pallas pipeline). Prints ONE JSON
+line::
 
-    {"metric": ..., "value": ..., "unit": "GVox/s", "vs_baseline": ...}
+    {"metric": ..., "value": ..., "unit": "GVox/s", "vs_baseline": ...,
+     "configs": [ {...}, x5 ]}
 
 ``value`` = reconstructed output voxels per second through the full
 pipeline; ``vs_baseline`` is the ratio to the BASELINE.json north-star
-target (1 GVox/s/chip). A small scipy-oracle deskew parity check rides
-along as ``parity_err`` (driver budget: <= 1e-3).
+target (1 GVox/s/chip). A scipy-oracle deskew parity check rides along
+as ``parity_err`` (driver budget: <= 1e-3).
 
-Each geometry attempt runs in its own subprocess: a failed (OOM)
-attempt must not poison later ones with leaked device allocations.
+The ``configs`` array carries one entry per BASELINE.md benchmark
+config: (1) single-stack deskew vs scipy, (2) RL-20 deconvolution of a
+deskewed production volume, (3) registration estimate+apply, (4)
+streamed HCS plate volumes/min, (5) full-session replay (acquire +
+track + reconstruct).
+
+Each measurement runs in its own subprocess: a failed (OOM) attempt
+must not poison later ones with leaked device allocations, and the
+remote TPU tolerates only one client at a time.
 """
 
 from __future__ import annotations
@@ -21,7 +28,9 @@ from __future__ import annotations
 import json
 import subprocess
 import sys
+import tempfile
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -38,6 +47,24 @@ RL_ITERS = 20
 REPEATS = 3
 
 
+def _sync(x) -> float:
+    """Scalar readback — the only reliable device sync on the tunneled
+    TPU transport (block_until_ready returns early there)."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def _time_best(fn, repeats=REPEATS) -> float:
+    fn()  # warmup/compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _parity_check() -> float:
     """Small deskew parity vs the scipy CPU oracle (relative max abs err)."""
     from shrimpy_tpu.config import DeskewSettings
@@ -51,7 +78,7 @@ def _parity_check() -> float:
     return float(np.abs(ours - oracle).max() / max(np.abs(oracle).max(), 1e-12))
 
 
-def _run(raw_shape) -> tuple[float, tuple[int, int, int]]:
+def _run_headline(raw_shape) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -73,65 +100,348 @@ def _run(raw_shape) -> tuple[float, tuple[int, int, int]]:
     key = jax.random.key(0)
     raw = jax.random.uniform(key, (1, *raw_shape), jnp.float32, 0.0, 100.0)
     tf_dummy = jnp.zeros((2, 1, 1, 1), jnp.float32)
-
-    # Warmup/compile; a scalar readback is the only reliable sync on
-    # tunneled TPU transports (block_until_ready returns early there).
-    float(jnp.sum(step(raw, tf_dummy)))
-
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(jnp.sum(step(raw, tf_dummy)))
-        best = min(best, time.perf_counter() - t0)
+    best = _time_best(lambda: _sync(step(raw, tf_dummy)))
 
     out_zyx = output_shape(raw_shape, settings)
-    voxels = int(np.prod(out_zyx))
-    return voxels / best, out_zyx
+    return {
+        "vox_per_s": int(np.prod(out_zyx)) / best,
+        "out_shape": out_zyx,
+    }
 
 
-def _child(geom_arg: str) -> None:
-    geom = tuple(int(v) for v in geom_arg.split(","))
-    vox_per_s, out_zyx = _run(geom)
-    print(json.dumps({"vox_per_s": vox_per_s, "out_shape": out_zyx}))
+# ---------------------------------------------------------------------------
+# BASELINE.json configs
+# ---------------------------------------------------------------------------
+
+
+def _config_deskew() -> dict:
+    """Config 1: single light-sheet stack deskew (~2048x2048x300 class),
+    throughput + scipy parity (parity from the small shared check)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shrimpy_tpu.config import DeskewSettings
+    from shrimpy_tpu.ops.deskew import get_deskewed_shape
+    from shrimpy_tpu.ops.deskew_pallas import deskew_volume_pallas
+
+    # keep_overhang: a 2048-row tilt with 300 scan steps has no fully-
+    # sampled band at this ratio; average_n_slices=3 mirrors reference
+    # scripts/measure_psf.py:223-250 (and keeps the output in HBM).
+    settings = DeskewSettings(
+        ls_angle_deg=30.0,
+        px_to_scan_ratio=0.386,
+        keep_overhang=True,
+        average_n_slices=3,
+    )
+    for raw_shape in [(300, 2048, 2048), (300, 1024, 2048), (300, 512, 1024)]:
+        try:
+            raw = jax.random.uniform(
+                jax.random.key(0), raw_shape, jnp.float32, 0.0, 100.0
+            )
+            best = _time_best(
+                lambda: _sync(deskew_volume_pallas(raw, settings))
+            )
+            out_shape, _ = get_deskewed_shape(raw_shape, settings)
+            return {
+                "name": "deskew_single_stack",
+                "raw_shape": raw_shape,
+                "out_shape": out_shape,
+                "gvox_per_s": round(int(np.prod(out_shape)) / best / 1e9, 4),
+                "seconds": round(best, 4),
+            }
+        except Exception as e:  # noqa: BLE001 — try the next geometry
+            print(f"# deskew {raw_shape} failed: {type(e).__name__}", file=sys.stderr)
+    raise RuntimeError("all deskew geometries failed")
+
+
+def _config_rl20() -> dict:
+    """Config 2: RL-20 deconvolution of one deskewed production volume
+    with a measured-PSF stand-in (bead pipeline: shrimpy_tpu.psf)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shrimpy_tpu.config import DeconvolveSettings
+    from shrimpy_tpu.ops.deconv import gaussian_psf, richardson_lucy
+
+    psf = gaussian_psf(PSF_SHAPE, (1.5, 3.0, 3.0))
+    settings = DeconvolveSettings(iterations=RL_ITERS)
+    for shape in [(128, 2888, 1600), (128, 2888, 800)]:
+        try:
+            vol = jax.random.uniform(
+                jax.random.key(0), shape, jnp.float32, 0.0, 100.0
+            )
+            best = _time_best(
+                lambda: _sync(richardson_lucy(vol, psf, settings))
+            )
+            return {
+                "name": "rl20_deconvolution",
+                "shape": shape,
+                "iterations": RL_ITERS,
+                "gvox_per_s": round(int(np.prod(shape)) / best / 1e9, 4),
+                "seconds": round(best, 4),
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"# rl20 {shape} failed: {type(e).__name__}", file=sys.stderr)
+    raise RuntimeError("all rl20 geometries failed")
+
+
+def _config_register() -> dict:
+    """Config 3: label-free <-> fluorescence affine registration:
+    estimate (PCC + gradient refinement) and apply."""
+    import jax.numpy as jnp
+
+    from shrimpy_tpu.config.schemas import RegistrationSettings
+    from shrimpy_tpu.io.synthetic import gaussian_blob
+    from shrimpy_tpu.ops.register import affine_apply, estimate_registration
+
+    # (64, 512, 512) reproducibly crashes the tunneled TPU worker in the
+    # affine-gather compile; 256^2 exercises the same path.
+    shape = (64, 256, 256)
+    rng = np.random.default_rng(1)
+    fixed = sum(
+        gaussian_blob(
+            shape,
+            tuple(rng.uniform(10, s - 10) for s in shape),
+            (3.0, 6.0, 6.0),
+            amplitude=100.0,
+        )
+        for _ in range(12)
+    ) + rng.normal(0, 0.5, shape).astype(np.float32)
+    true_shift = np.array([2.6, -7.3, 4.1], np.float32)
+    moving = np.asarray(
+        affine_apply(
+            jnp.asarray(fixed), jnp.eye(3, dtype=jnp.float32),
+            jnp.asarray(true_shift),
+        )
+    )
+
+    settings = RegistrationSettings(method="pcc+refine")
+    t0 = time.perf_counter()
+    result = estimate_registration(fixed, moving, settings)
+    est_s = time.perf_counter() - t0
+    apply_s = _time_best(
+        lambda: _sync(
+            affine_apply(
+                jnp.asarray(moving),
+                jnp.asarray(result.matrix),
+                jnp.asarray(result.offset),
+            )
+        )
+    )
+    # affine_apply(moving, I, offset) ~ fixed, so the recovered offset
+    # is the INVERSE of the shift that produced `moving`.
+    err = float(np.abs(np.asarray(result.offset) + true_shift).max())
+    return {
+        "name": "registration_estimate_apply",
+        "shape": shape,
+        "estimate_seconds": round(est_s, 3),
+        "apply_seconds": round(apply_s, 4),
+        "apply_gvox_per_s": round(int(np.prod(shape)) / apply_s / 1e9, 4),
+        "shift_err_px": round(err, 4),
+    }
+
+
+def _config_plate() -> dict:
+    """Config 4: streamed HCS plate (deskew + RL) volumes/min through
+    the runtime. NOTE: on this box the axon tunnel moves ~35 MB/s each
+    way, so the figure is transfer-bound; on a real TPU host the
+    pipeline is compute-bound (runtime overlaps D2H with compute)."""
+    from shrimpy_tpu.config import (
+        DeconvolveSettings,
+        DeskewSettings,
+        ReconstructSettings,
+    )
+    from shrimpy_tpu.io.ngff import create_hcs
+    from shrimpy_tpu.io.synthetic import gaussian_blob
+    from shrimpy_tpu.runtime import reconstruct_store
+
+    tmp = Path(tempfile.mkdtemp())
+    plate_path = tmp / "plate.zarr"
+    n_pos, n_t = 6, 2
+    vol_shape = (64, 128, 512)
+    store = create_hcs(plate_path, channel_names=["BF"])
+    rng = np.random.default_rng(0)
+    base = gaussian_blob(vol_shape, (32.0, 64.0, 256.0), (8.0, 20.0, 60.0), 200.0)
+    for p in range(n_pos):
+        pos = store.create_position("0", str(p), "000", channel_names=["BF"])
+        pos.create_array((n_t, 1, *vol_shape), dtype="float32")
+        data = np.stack(
+            [base + rng.normal(0, 1.0, vol_shape).astype(np.float32)
+             for _ in range(n_t)]
+        )[:, None]
+        pos.write(Ellipsis, data)
+
+    settings = ReconstructSettings(
+        deskew=DeskewSettings(ls_angle_deg=30.0, px_to_scan_ratio=0.386),
+        deconvolve=DeconvolveSettings(iterations=5),
+    )
+    # First pass compiles (in-process jit cache); the timed second pass
+    # is the steady-state streaming figure.
+    reconstruct_store(plate_path, tmp / "warm.zarr", settings)
+    out_path = tmp / "recon.zarr"
+    t0 = time.perf_counter()
+    summary = reconstruct_store(plate_path, out_path, settings)
+    wall = time.perf_counter() - t0
+    n_vol = summary["volumes"]
+    return {
+        "name": "plate_streaming",
+        "positions": n_pos,
+        "timepoints": n_t,
+        "raw_volume": vol_shape,
+        "volumes": n_vol,
+        "seconds": round(wall, 2),
+        "volumes_per_min": round(n_vol / wall * 60.0, 2),
+        "note": "tunnel-bound on this box (~35 MB/s D2H); compute-bound on real hosts",
+    }
+
+
+def _config_replay() -> dict:
+    """Config 5: full-session replay — acquire (replay camera through
+    the engine, DynaTrack tracking) then reconstruct the session.
+
+    Runs on CPU: the acquisition/tracking loop is host-side control
+    flow issuing many small ops, and the axon tunnel's ~100 ms
+    round-trip per dispatch swamps it (192 s vs ~8 s) — on a real TPU
+    host the device path is the faster one.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from shrimpy_tpu.config import (
+        DeconvolveSettings,
+        DeskewSettings,
+        ReconstructSettings,
+    )
+    from shrimpy_tpu.engine import AcquisitionEngine, AcquisitionPlan, ReplaySource
+    from shrimpy_tpu.io.ngff import create_hcs
+    from shrimpy_tpu.io.synthetic import gaussian_blob
+    from shrimpy_tpu.runtime import reconstruct_store
+
+    tmp = Path(tempfile.mkdtemp())
+    session = tmp / "session.zarr"
+    n_t, vol_shape = 3, (24, 64, 128)
+    store = create_hcs(session, channel_names=["BF", "GFP"])
+    rng = np.random.default_rng(0)
+    for p in range(2):
+        pos = store.create_position("0", str(p), "000", channel_names=["BF", "GFP"])
+        pos.create_array((n_t, 2, *vol_shape), dtype="float32")
+        data = np.zeros((n_t, 2, *vol_shape), np.float32)
+        for t in range(n_t):
+            center = (12.0, 32.0 + 2 * t, 64.0 - 3 * t)
+            for c in range(2):
+                data[t, c] = gaussian_blob(
+                    vol_shape, center, (3.0, 6.0, 8.0), amplitude=100.0 * (c + 1)
+                )
+        data += rng.normal(0, 0.5, data.shape).astype(np.float32)
+        pos.write(Ellipsis, data)
+
+    plan = AcquisitionPlan(
+        time={"n_timepoints": n_t},
+        metadata={
+            "dynatrack": {
+                "input_channel": "BF",
+                "tracking_channel": "BF",
+                "tracking_method": "pcc",
+                "image_to_stage_matrix_xyz": [
+                    [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0],
+                ],
+            }
+        },
+    )
+    t0 = time.perf_counter()
+    acq_path = AcquisitionEngine(ReplaySource(session)).acquire(
+        tmp / "acq", "bench", plan
+    )
+    acquire_s = time.perf_counter() - t0
+
+    settings = ReconstructSettings(
+        deskew=DeskewSettings(ls_angle_deg=30.0, px_to_scan_ratio=0.386),
+        deconvolve=DeconvolveSettings(iterations=3),
+        channels=["BF"],
+    )
+    t0 = time.perf_counter()
+    summary = reconstruct_store(acq_path, tmp / "recon.zarr", settings)
+    recon_s = time.perf_counter() - t0
+    n_vol = 2 * n_t * 2  # positions x timepoints x channels acquired
+    return {
+        "name": "full_session_replay",
+        "acquired_volumes": n_vol,
+        "acquire_seconds": round(acquire_s, 2),
+        "reconstruct_volumes": summary["volumes"],
+        "reconstruct_seconds": round(recon_s, 2),
+        "session_volumes_per_min": round(n_vol / (acquire_s + recon_s) * 60.0, 2),
+    }
+
+
+_CONFIG_FNS = {
+    "deskew": _config_deskew,
+    "rl20": _config_rl20,
+    "register": _config_register,
+    "plate": _config_plate,
+    "replay": _config_replay,
+}
+
+
+def _child_main(argv: list[str]) -> None:
+    if argv[0] == "--geom":
+        geom = tuple(int(v) for v in argv[1].split(","))
+        print(json.dumps(_run_headline(geom)))
+    elif argv[0] == "--config":
+        print(json.dumps(_CONFIG_FNS[argv[1]]()))
+    else:
+        raise SystemExit(f"unknown child args: {argv}")
+
+
+def _run_child(args: list[str], timeout: int = 900) -> dict | None:
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, *args],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# {args} timed out", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        err = (proc.stderr or "").strip().splitlines()
+        print(
+            f"# {args} failed: {err[-1][:160] if err else 'unknown'}",
+            file=sys.stderr,
+        )
+        return None
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except (json.JSONDecodeError, IndexError):
+        print(f"# {args}: unparseable output", file=sys.stderr)
+        return None
 
 
 def main() -> None:
     parity = _parity_check()
+
     value = 0.0
     used = None
     out_zyx = None
     for geom in GEOMETRIES:
-        try:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--geom", ",".join(map(str, geom))],
-                capture_output=True,
-                text=True,
-                timeout=900,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"# geometry {geom} timed out", file=sys.stderr)
+        payload = _run_child(["--geom", ",".join(map(str, geom))])
+        if payload is None:
             continue
-        if proc.returncode == 0:
-            try:
-                last = proc.stdout.strip().splitlines()[-1]
-                payload = json.loads(last)
-            except (json.JSONDecodeError, IndexError):
-                print(f"# geometry {geom}: unparseable output", file=sys.stderr)
-                continue
-            gvox = payload["vox_per_s"] / 1e9
-            print(f"# geometry {geom}: {gvox:.4f} GVox/s", file=sys.stderr)
-            # Keep the best geometry (bigger volumes amortize better but
-            # may exceed memory or MXU-efficiency sweet spots).
-            if gvox > value:
-                value = gvox
-                out_zyx = payload["out_shape"]
-                used = geom
-            continue
-        err = (proc.stderr or "").strip().splitlines()
-        print(
-            f"# geometry {geom} failed: {err[-1][:160] if err else 'unknown'}",
-            file=sys.stderr,
-        )
+        gvox = payload["vox_per_s"] / 1e9
+        print(f"# geometry {geom}: {gvox:.4f} GVox/s", file=sys.stderr)
+        if gvox > value:
+            value = gvox
+            out_zyx = payload["out_shape"]
+            used = geom
+
+    configs = []
+    for name in ("deskew", "rl20", "register", "plate", "replay"):
+        payload = _run_child(["--config", name])
+        if payload is not None:
+            print(f"# config {name}: {payload}", file=sys.stderr)
+            configs.append(payload)
+        else:
+            configs.append({"name": name, "error": "failed"})
 
     print(
         json.dumps(
@@ -143,13 +453,14 @@ def main() -> None:
                 "raw_shape": used,
                 "out_shape": out_zyx,
                 "parity_err": round(parity, 8),
+                "configs": configs,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 3 and sys.argv[1] == "--geom":
-        _child(sys.argv[2])
+    if len(sys.argv) >= 3 and sys.argv[1] in ("--geom", "--config"):
+        _child_main(sys.argv[1:])
     else:
         main()

@@ -375,23 +375,41 @@ def monitor(input, preview_dir, interval, once):
 
     out_dir = Path(preview_dir) if preview_dir else Path(input) / "_preview"
     out_dir.mkdir(parents=True, exist_ok=True)
+    in_path = Path(input)
+    # Reconstruction outputs carry a progress journal sidecar; a
+    # growing acquisition store doesn't, but its written chunks are on
+    # disk. Both are O(positions)/O(written chunks) per tick — never
+    # O(timepoints x volume) voxel scans (round-1 monitor read whole
+    # volumes backwards from the end on every refresh).
+    journal = in_path.with_suffix(in_path.suffix + ".progress.jsonl")
     while True:
         store = open_ngff(input)
+        done_t: dict[str, set[int]] = {}
+        if journal.exists():
+            for line in journal.read_text().splitlines():
+                try:
+                    pos_key, t, _c = json.loads(line)["key"].split("|")
+                except (json.JSONDecodeError, KeyError, ValueError):
+                    continue
+                done_t.setdefault(pos_key, set()).add(int(t))
         status = {}
         for key, pos in store.positions().items():
-            data_t = None
-            t_size, c_size = pos.shape[0], pos.shape[1]
-            written = 0
-            for t in range(t_size - 1, -1, -1):
-                vol = pos.volume(t, 0)
-                if np.any(vol):
-                    written = t + 1
-                    data_t = (t, vol)
-                    break
-            status[key] = {"timepoints_written": written, "of": t_size}
-            if data_t is not None:
-                t, vol = data_t
-                mid = vol[vol.shape[0] // 2]
+            t_size = pos.shape[0]
+            ts_written = (
+                sorted(done_t[key])
+                if key in done_t
+                else pos.written_timepoints()
+            )
+            status[key] = {
+                "timepoints_written": len(ts_written),
+                "latest": ts_written[-1] if ts_written else None,
+                "of": t_size,
+            }
+            if ts_written:
+                t = ts_written[-1]
+                # Read ONLY the mid-z plane of the latest volume.
+                mid_z = pos.shape[2] // 2
+                mid = pos.read((t, 0, mid_z))
                 fig, ax = plt.subplots(figsize=(4, 4))
                 ax.imshow(mid, cmap="gray")
                 ax.set_title(f"{key} t={t} mid-z")

@@ -366,6 +366,10 @@ class ReconstructSettings(BaseModel):
     positions: list[str] | None = None  # None = all
     time_indices: list[int] | None = None  # None = all
     output_dtype: Literal["float32", "uint16"] = "float32"
+    # Multiscale pyramid levels written through to the output store
+    # (reference datasets carry NGFF pyramids, docs/data_structure.md:
+    # 60-94); 0 = base resolution only.
+    pyramid_levels: int = 0
 
 
 class ReconstructArms(BaseModel):

@@ -244,6 +244,39 @@ class NgffPosition:
         """One ZYX volume (blocking)."""
         return self.read((t, c))
 
+    def written_timepoints(self, name: str = "0") -> list[int]:
+        """Timepoint indices with at least one chunk on disk.
+
+        Reads only the chunk-store DIRECTORY layout (zarr v3:
+        ``<array>/c/<t>/...``; v2: dot-keyed ``<array>/t.c.z.y.x``
+        files) — O(written chunks), never touching voxel data. This is
+        how growing acquisitions are monitored without O(T x volume)
+        scans (reference viewers track written frames via events;
+        offline we recover the same from the store itself).
+        """
+        arr_dir = self.path / name
+        if not arr_dir.exists():
+            return []
+        t_chunk = int(self.array(name).chunk_layout.read_chunk_template.shape[0])
+        found: set[int] = set()
+        cdir = arr_dir / "c"
+        if cdir.is_dir():  # zarr v3 nested keys
+            for entry in cdir.iterdir():
+                if entry.name.isdigit():
+                    found.add(int(entry.name))
+        else:  # zarr v2 dot keys
+            for entry in arr_dir.iterdir():
+                head = entry.name.split(".", 1)[0]
+                if head.isdigit():
+                    found.add(int(head))
+        n_t = self.shape[0]
+        out: set[int] = set()
+        for ci in found:
+            out.update(
+                t for t in range(ci * t_chunk, min((ci + 1) * t_chunk, n_t))
+            )
+        return sorted(out)
+
     # -- creation --------------------------------------------------------------
     def create_array(
         self,

@@ -333,6 +333,14 @@ def reconstruct_store(
         retire(inflight)
     flush_writes()
 
+    if settings.pyramid_levels > 0 and n_done > 0:
+        with timer.stage("pyramid"):
+            for pos_key in {it.position for it in todo}:
+                pos = positions_out[pos_key]
+                # Skip positions that already carry the levels (resume).
+                if len(pos.attrs["multiscales"][0]["datasets"]) == 1:
+                    ngff.add_pyramid_levels(pos, settings.pyramid_levels)
+
     summary = {
         "input": str(input_path),
         "output": str(output_path),

@@ -145,7 +145,48 @@ def test_monitor_once(runner, tmp_path):
     assert result.exit_code == 0, result.output
     status = json.loads(result.output.strip().splitlines()[-1])
     assert status["0"]["timepoints_written"] == 2
+    assert status["0"]["latest"] == 1
     assert (tmp_path / "tl.zarr" / "_preview" / "0.png").exists()
+
+
+def test_monitor_partial_store_uses_chunk_metadata(runner, tmp_path):
+    """A growing store with only some timepoints on disk reports them
+    from chunk metadata — no voxel scans (round-1 monitor was
+    O(T x volume) per tick)."""
+    import numpy as np
+
+    from shrimpy_tpu.io.ngff import create_fov
+
+    pos = create_fov(
+        tmp_path / "grow.zarr", shape=(5, 1, 4, 16, 16), dtype="float32",
+        channel_names=["c"], zyx_scale=(1.0, 1.0, 1.0),
+    )
+    pos.write((0, 0), np.ones((4, 16, 16), np.float32))
+    pos.write((2, 0), np.ones((4, 16, 16), np.float32))
+    result = runner.invoke(
+        cli, ["monitor", str(tmp_path / "grow.zarr"), "--once"]
+    )
+    assert result.exit_code == 0, result.output
+    status = json.loads(result.output.strip().splitlines()[-1])
+    assert status["0"] == {"timepoints_written": 2, "latest": 2, "of": 5}
+
+
+def test_monitor_consumes_progress_journal(runner, tmp_path):
+    """Reconstruction outputs are monitored through their journal
+    sidecar (authoritative: items are journaled only after their
+    writes commit)."""
+    synthetic_blob_fov(tmp_path / "out.zarr", n_timepoints=3, shape_zyx=(4, 16, 16))
+    journal = tmp_path / "out.zarr.progress.jsonl"
+    journal.write_text(
+        json.dumps({"key": "0|0|0"}) + "\n" + json.dumps({"key": "0|1|0"}) + "\n"
+    )
+    result = runner.invoke(
+        cli, ["monitor", str(tmp_path / "out.zarr"), "--once"]
+    )
+    assert result.exit_code == 0, result.output
+    status = json.loads(result.output.strip().splitlines()[-1])
+    assert status["0"]["timepoints_written"] == 2
+    assert status["0"]["latest"] == 1
 
 
 def test_measure_psf_verb(runner, tmp_path):

@@ -143,3 +143,45 @@ def test_ngff_04_input_store(tmp_path, rng):
     assert summary["volumes"] == 1
     out = open_ngff(tmp_path / "out.zarr").position()
     assert np.isfinite(out.volume(0, 0)).all()
+
+
+def test_pyramid_write_through(tmp_path, ls_fov):
+    """pyramid_levels writes NGFF levels 1..n with scaled transforms
+    (reference datasets carry multiscale pyramids,
+    docs/data_structure.md:60-94)."""
+    settings = ReconstructSettings(deskew=DESKEW, pyramid_levels=2)
+    reconstruct_store(ls_fov, tmp_path / "out.zarr", settings)
+    pos = open_ngff(tmp_path / "out.zarr").position()
+    datasets = pos.attrs["multiscales"][0]["datasets"]
+    assert [d["path"] for d in datasets] == ["0", "1", "2"]
+    s0 = datasets[0]["coordinateTransformations"][0]["scale"]
+    s2 = datasets[2]["coordinateTransformations"][0]["scale"]
+    assert s2[-1] == pytest.approx(s0[-1] * 4) and s2[-2] == pytest.approx(s0[-2] * 4)
+    base = pos.read((0, 0))
+    lvl2 = np.asarray(pos.array("2")[0, 0].read().result())
+    assert lvl2.shape[1] == base.shape[1] // 4
+    # mean-pooled level tracks the base content
+    assert lvl2.max() == pytest.approx(base.max(), rel=0.5)
+
+    # resume run must not duplicate the levels
+    resumed = reconstruct_store(
+        ls_fov, tmp_path / "out.zarr", settings, resume=True
+    )
+    assert resumed["volumes"] == 0
+    datasets = open_ngff(tmp_path / "out.zarr").position().attrs[
+        "multiscales"
+    ][0]["datasets"]
+    assert [d["path"] for d in datasets] == ["0", "1", "2"]
+
+
+def test_written_timepoints_both_versions(tmp_path):
+    for version in ("0.5", "0.4"):
+        pos = create_fov(
+            tmp_path / f"wt_{version}.zarr", shape=(4, 1, 4, 16, 16),
+            dtype="float32", channel_names=["c"], zyx_scale=(1.0, 1.0, 1.0),
+            version=version,
+        )
+        assert pos.written_timepoints() == []
+        pos.write((1, 0), np.ones((4, 16, 16), np.float32))
+        pos.write((3, 0), np.ones((4, 16, 16), np.float32))
+        assert pos.written_timepoints() == [1, 3], version
