@@ -197,12 +197,32 @@ class AcquisitionEngine:
             out_positions[positions[0]] = pos
 
         skipped: list[tuple[int, str]] = []
+        overruns: list[tuple[int, float]] = []
         n_volumes = 0
+        t_loop_start = time.monotonic()
         for t in range(n_t):
             # Backpressure: timepoint-t tracking completes before t+1
             # events execute (reference mantis_engine.py:194-209).
             if self._tracking is not None and t > 0:
                 self._tracking.drain_pending()
+            if t > 0 and plan.time.interval_s > 0:
+                # Honor the timepoint cadence: timepoint t is due at
+                # start + t * interval. The DynaTrack latency budget
+                # (reference position_update.py:275-287) is that the
+                # drain above completes before the next timepoint is
+                # due; an overrun means tracking (or acquisition) blew
+                # the interval and is recorded in the summary.
+                due = t_loop_start + t * plan.time.interval_s
+                now = time.monotonic()
+                if now < due:
+                    time.sleep(due - now)
+                elif now - due > 1e-3:
+                    overruns.append((t, now - due))
+                    logger.warning(
+                        "timepoint %d started %.3fs past its %.1fs "
+                        "interval (latency budget exceeded)",
+                        t, now - due, plan.time.interval_s,
+                    )
             for p_idx, p_key in enumerate(positions):
                 t_pos_start = time.monotonic()
                 out_pos = out_positions[p_key]
@@ -252,8 +272,6 @@ class AcquisitionEngine:
                         "watchdog: position %s at t=%d took %.1fs (> %.0fs)",
                         p_key, t, visit_s, plan.watchdog_s,
                     )
-            if plan.time.interval_s > 0:
-                time.sleep(min(plan.time.interval_s, 0.01))  # demo pacing
 
         if self._tracking is not None:
             self._tracking.drain_pending()
@@ -266,6 +284,7 @@ class AcquisitionEngine:
             "channels": channels,
             "shape_tczyx": list(shape),
             "skipped_autofocus": [[t, p] for t, p in skipped],
+            "interval_overruns": [[t, round(s, 3)] for t, s in overruns],
             "refocus_events": [[t, p, d] for t, p, d in self._refocus_events],
             "exposures": {
                 p: [e, pw] for p, (e, pw) in self._exposures.items()
