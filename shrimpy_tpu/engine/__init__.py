@@ -2,4 +2,9 @@
 
 from shrimpy_tpu.engine.engine import AcquisitionEngine, SkipEvent  # noqa: F401
 from shrimpy_tpu.engine.plan import AcquisitionPlan  # noqa: F401
-from shrimpy_tpu.engine.replay import ReplaySource  # noqa: F401
+from shrimpy_tpu.engine.replay import (  # noqa: F401
+    AcqEvent,
+    ReplayCamera,
+    ReplaySource,
+    SequencedBurst,
+)

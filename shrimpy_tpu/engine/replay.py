@@ -12,6 +12,8 @@ tracking corrections visibly re-center a drifting sample in demo mode
 
 from __future__ import annotations
 
+from collections import deque
+from dataclasses import dataclass, field
 from pathlib import Path
 
 import numpy as np
@@ -33,6 +35,9 @@ class ReplaySource:
         self.zyx_scale = first.zyx_scale
         self._cache_key: tuple | None = None
         self._cache_vol: np.ndarray | None = None
+        # One-volume LRU cache instrumentation (reference keeps exactly
+        # one decoded volume resident, replay_camera.py:293-308).
+        self.cache_misses = 0
 
     @property
     def position_keys(self) -> list[str]:
@@ -63,6 +68,7 @@ class ReplaySource:
             pos = self.positions[position]
             self._cache_vol = np.asarray(pos.volume(key[1], c))
             self._cache_key = key
+            self.cache_misses += 1
         vol = self._cache_vol
         if any(offset_px_zyx):
             vol = np.roll(
@@ -82,3 +88,132 @@ class ReplaySource:
         """A single YX plane (snap path, ``replay_camera.py:310-334``)."""
         vol = self.volume(position, t, c, offset_px_zyx=offset_px_zyx)
         return vol[int(np.clip(z, 0, vol.shape[0] - 1))]
+
+
+@dataclass
+class AcqEvent:
+    """One acquisition event: which frame the camera serves next.
+
+    The first-party stand-in for a useq ``MDAEvent``: only the fields
+    the replay camera consumes (reference ``replay_camera.py:470-521``).
+    ``z_um`` is a stage target in micrometres; ``z_index`` addresses the
+    source stack directly (sequenced bursts queue indices).
+    """
+
+    t: int = 0
+    channel: str | None = None
+    position: str | None = None
+    z_um: float | None = None
+    z_index: int | None = None
+
+
+@dataclass
+class SequencedBurst:
+    """A hardware-triggered burst: one trigger, many frames.
+
+    Mirrors the reference's ``SequencedEvent`` handling
+    (``replay_camera.py:481-502``): timepoint/position/channel come from
+    the first sub-event; the z-indices of ALL sub-events are queued and
+    popped one per ``snap``.
+    """
+
+    events: list[AcqEvent] = field(default_factory=list)
+
+
+class ReplayCamera:
+    """Frame-level camera emulation over a :class:`ReplaySource`.
+
+    Re-creates the reference ``ReplayCamera``'s snap semantics
+    (``replay_camera.py:310-362``):
+
+    * free-running mode: ``snap`` serves the current (position, t, c, z)
+      and auto-increments the timepoint, wrapping at the dataset depth;
+    * z-stage tracking: ``set_z_um`` moves a virtual focus stage; the
+      served z index is ``z_center + round((z - origin) / z_step)``,
+      clipped to the stack (``:395-438``);
+    * event-driven mode: ``on_event`` pins t/position/channel from the
+      event; a :class:`SequencedBurst` queues the z indices of all
+      sub-events so each subsequent ``snap`` pops the next slice exactly
+      as a hardware-sequenced sweep would (``:470-521``).
+
+    The one-volume LRU cache lives in :class:`ReplaySource`, so a full
+    z-sweep decodes the source volume once.
+    """
+
+    def __init__(self, source: ReplaySource, *, z_step_um: float | None = None):
+        self.source = source
+        self._nz = source.shape_tczyx[2]
+        self._z_center = self._nz // 2
+        self._z_step_um = float(z_step_um or source.zyx_scale[0])
+        self._z_origin_um = 0.0
+        self._z_um = 0.0
+        self._t = 0
+        self._c = 0
+        self._position = source.position_keys[0]
+        self._z_queue: deque[int] = deque()
+        self._event_driven = False
+
+    # -- z-stage tracking ----------------------------------------------------
+    def connect_z_stage(self, origin_um: float = 0.0) -> None:
+        """Capture the stage origin; it maps to the stack centre."""
+        self._z_origin_um = float(origin_um)
+        self._z_um = float(origin_um)
+
+    def set_z_um(self, z_um: float) -> None:
+        self._z_um = float(z_um)
+
+    def _z_index(self) -> int:
+        offset = round((self._z_um - self._z_origin_um) / self._z_step_um)
+        return int(np.clip(self._z_center + offset, 0, self._nz - 1))
+
+    # -- event tracking ------------------------------------------------------
+    def on_event(self, event: AcqEvent | SequencedBurst) -> None:
+        """Pin camera state from an MDA event; bursts queue z indices."""
+        self._event_driven = True
+        if isinstance(event, SequencedBurst):
+            if not event.events:
+                return
+            first = event.events[0]
+            self._apply_event(first, queue_z=False)
+            self._z_queue.clear()
+            for sub in event.events:
+                self._z_queue.append(
+                    sub.z_index if sub.z_index is not None else self._z_center
+                )
+        else:
+            self._z_queue.clear()
+            self._apply_event(event, queue_z=True)
+
+    def _apply_event(self, event: AcqEvent, *, queue_z: bool) -> None:
+        self._t = event.t
+        if event.position is not None:
+            if event.position not in self.source.positions:
+                raise KeyError(f"unknown position {event.position!r}")
+            self._position = event.position
+        if event.channel is not None:
+            self._c = self.source.channel_index(event.channel)
+        if queue_z:
+            if event.z_index is not None:
+                self._z_queue.append(event.z_index)
+            elif event.z_um is not None:
+                self._z_um = float(event.z_um)
+
+    # -- snap ----------------------------------------------------------------
+    def snap(self) -> np.ndarray:
+        """Serve the next frame; sequenced z-queues take precedence."""
+        z = self._z_queue.popleft() if self._z_queue else self._z_index()
+        frame = self.source.frame(self._position, self._t, self._c, z)
+        if not self._event_driven:
+            self._t += 1  # free-running auto-increment (``:338-340``)
+        return frame
+
+    def snap_volume(self) -> np.ndarray:
+        """Full z-sweep at the current state (drains any queued burst)."""
+        if self._z_queue:
+            return np.stack([self.snap() for _ in range(len(self._z_queue))])
+        return np.stack(
+            [
+                self.source.frame(self._position, self._t, self._c, z)
+                for z in range(self._nz)
+            ]
+        )
