@@ -358,12 +358,28 @@ def measure_psf(input, psf_out, geometry, ls_angle_deg, threshold_percentile):
 @click.option("--interval", type=float, default=2.0, show_default=True,
               help="Refresh period in seconds.")
 @click.option("--once", is_flag=True, help="Render one snapshot and exit.")
-def monitor(input, preview_dir, interval, once):
+@click.option("--live", is_flag=True,
+              help="Attach to a running acquisition's viewer ring "
+                   "(INPUT = the feeder's preview dir, or the output dir "
+                   "containing preview/ring.json) and follow the latest "
+                   "volumes. view.json / deskew.json in the preview dir "
+                   "scrub time and edit the deskew geometry live.")
+@click.option("--ls-angle-deg", type=float, default=None,
+              help="[--live] Initial deskew-preview light-sheet angle.")
+@click.option("--px-to-scan-ratio", type=float, default=None,
+              help="[--live] Initial deskew-preview pixel/scan ratio.")
+def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
+            px_to_scan_ratio):
     """Watch a (possibly growing) store: progress stats + preview PNGs.
 
     The headless counterpart of the reference's live napari viewer
     (reference ``shrimpy/viewer/_napari_process.py``).
     """
+    if live:
+        _monitor_live(
+            input, preview_dir, interval, once, ls_angle_deg, px_to_scan_ratio
+        )
+        return
     import time as _time
 
     import matplotlib
@@ -423,6 +439,61 @@ def monitor(input, preview_dir, interval, once):
         if once:
             break
         _time.sleep(interval)
+
+
+def _monitor_live(input, preview_dir, interval, once, ls_angle_deg,
+                  px_to_scan_ratio):
+    """Attach-mode live monitor: ring descriptor + volumes.jsonl tail.
+
+    Ports the reference napari process's live behaviors (follow-latest
+    with scrub-pause, per-channel auto-contrast, editable deskew
+    geometry — reference ``_napari_process.py:202-329,416-433``) onto
+    the headless PNG renderer; see ``shrimpy_tpu.viewer.live``.
+    """
+    import time as _time
+
+    from shrimpy_tpu.viewer.live import LiveMonitor, attach
+
+    in_path = Path(input)
+    ring_dir = in_path if (in_path / "ring.json").exists() else in_path / "preview"
+    if not (ring_dir / "ring.json").exists():
+        raise click.ClickException(
+            f"no ring.json under {in_path} — is a --viewer acquisition running?"
+        )
+    deskew = None
+    if ls_angle_deg is not None or px_to_scan_ratio is not None:
+        from shrimpy_tpu.config.schemas import DeskewSettings
+
+        deskew = DeskewSettings(
+            ls_angle_deg=ls_angle_deg if ls_angle_deg is not None else 30.0,
+            px_to_scan_ratio=px_to_scan_ratio,
+        )
+    out_dir = Path(preview_dir) if preview_dir else ring_dir
+    try:
+        ring, tail = attach(ring_dir)
+    except FileNotFoundError as e:
+        raise click.ClickException(
+            f"viewer ring is gone ({e}) — the acquisition has finished; "
+            "use plain `monitor <store>` on the output store instead"
+        ) from e
+    monitor = LiveMonitor(ring, out_dir, deskew=deskew)
+    try:
+        while True:
+            for msg in tail.poll():
+                monitor.on_volume(msg)
+            monitor.refresh_controls()
+            drawn = monitor.render_dirty()
+            click.echo(json.dumps({
+                "drawn": drawn,
+                "displayed": monitor._last_drawn,
+                "follow": monitor.follow,
+                "evicted": monitor.evicted,
+            }))
+            if once:
+                break
+            _time.sleep(interval)
+    finally:
+        ring.close()
 
 
 @cli.command()

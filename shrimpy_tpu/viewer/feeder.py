@@ -56,6 +56,22 @@ class ViewerFeeder:
         self.ring = FrameRing(
             None, n_slots=self.n_slots, frame_shape=self.frame_shape
         )
+        if self.preview_dir is not None:
+            # Ring descriptor + volume index: the attach surface for
+            # external monitors (`shrimpy-tpu monitor --live`), the
+            # file-based stand-in for the reference's queue handle.
+            import json
+
+            (self.preview_dir / "ring.json").write_text(
+                json.dumps(
+                    {
+                        "ring": self.ring.name,
+                        "n_slots": self.n_slots,
+                        "frame_shape": list(self.frame_shape),
+                        "dtype": "float32",
+                    }
+                )
+            )
         ctx = mp.get_context("spawn")
         self._queue = ctx.Queue(maxsize=QUEUE_MAX)
         self._proc = ctx.Process(
@@ -97,17 +113,22 @@ class ViewerFeeder:
         try:
             if self.ring is None or self._queue is None:
                 return
+            seq0 = self._seq
             slots = []
             for z in range(vol.shape[0]):
                 slots.append(self.ring.write(self._seq, vol[z]))
                 self._seq += 1
+            msg = {"type": "volume", "t": t, "p": str(p), "channel": channel,
+                   "slots": slots, "seq0": seq0, "shape": tuple(vol.shape)}
             try:
-                self._queue.put_nowait(
-                    {"type": "volume", "t": t, "p": str(p), "channel": channel,
-                     "slots": slots, "shape": tuple(vol.shape)}
-                )
+                self._queue.put_nowait(msg)
             except queue_mod.Full:
                 self.dropped += 1
+            if self.preview_dir is not None:
+                import json
+
+                with open(self.preview_dir / "volumes.jsonl", "a") as f:
+                    f.write(json.dumps(msg) + "\n")
         except Exception:
             logger.exception("viewer feeder failed (ignored)")
 
@@ -120,52 +141,44 @@ def _monitor_main(
     interval_s: float,
     q: mp.Queue,
 ) -> None:
-    """Monitor subprocess: drain messages, render PNG previews."""
+    """Monitor subprocess: drain messages into a LiveMonitor.
+
+    Renders are rate-limited to one pass per ``interval_s`` but never
+    drop the final state: dirty layers accumulate in the monitor and
+    are flushed on shutdown (the reference's 100 ms drain timer,
+    ``_napari_process.py:47-50,496-509``).
+    """
+    import queue as _queue
     import time
+
+    from shrimpy_tpu.viewer.live import LiveMonitor
 
     ring = FrameRing(
         ring_name, n_slots=n_slots, frame_shape=frame_shape, create=False
     )
     out_dir = Path(preview_dir) if preview_dir else None
-    if out_dir:
-        out_dir.mkdir(parents=True, exist_ok=True)
+    monitor = LiveMonitor(ring, out_dir) if out_dir else None
     last_render = 0.0
     try:
         while True:
-            msg = q.get()
+            try:
+                msg = q.get(timeout=interval_s)
+            except _queue.Empty:
+                msg = False  # idle tick: still poll control files
             if msg is None:
                 break
-            if msg["type"] != "volume":
-                continue
-            now = time.monotonic()
-            if out_dir is None or now - last_render < interval_s:
-                continue
-            last_render = now
-            _render_preview(ring, msg, out_dir)
+            if msg and msg.get("type") == "volume" and monitor is not None:
+                monitor.on_volume(msg)
+            if monitor is not None:
+                monitor.refresh_controls()
+                now = time.monotonic()
+                if now - last_render >= interval_s:
+                    last_render = now
+                    monitor.render_dirty()
+        if monitor is not None:
+            monitor.refresh_controls()
+            monitor.render_dirty()
+    except Exception:  # pragma: no cover - best-effort preview
+        logging.getLogger(__name__).exception("monitor loop failed")
     finally:
         ring.close()
-
-
-def _render_preview(ring: FrameRing, msg: dict, out_dir: Path) -> None:
-    try:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        slots = msg["slots"]
-        mid_seq, mid = ring.read(slots[len(slots) // 2])
-        planes = [ring.read(s)[1] for s in slots]
-        mproj = np.max(np.stack(planes), axis=0)
-        fig, axes = plt.subplots(1, 2, figsize=(8, 4))
-        axes[0].imshow(mid, cmap="gray")
-        axes[0].set_title(f"mid z  t={msg['t']} {msg['channel']}")
-        axes[1].imshow(mproj, cmap="magma")
-        axes[1].set_title("max projection")
-        for ax in axes:
-            ax.axis("off")
-        fig.tight_layout()
-        fig.savefig(out_dir / f"preview_p{msg['p']}_{msg['channel']}.png", dpi=72)
-        plt.close(fig)
-    except Exception:  # pragma: no cover - best-effort preview
-        logging.getLogger(__name__).exception("preview render failed")

@@ -1,0 +1,268 @@
+"""Headless live monitor with the reference napari viewer's behaviors.
+
+The reference runs an interactive napari process with follow-latest
+auto-advance + user-scrub pause (reference
+``shrimpy/viewer/_napari_process.py:293-329``), per-channel
+auto-contrast (``:416-433``), volume-granularity eviction so a
+half-overwritten stack is never rendered (``:358-385``), and a live
+deskew preview with editable geometry (``:202-291``). On a headless TPU
+pod there is no Qt event loop, so those behaviors are re-created over
+files:
+
+* the feeder writes a ring descriptor (``ring.json``) and an
+  append-only volume index (``volumes.jsonl``) next to the previews, so
+  ANY process can attach to a running acquisition — the file-based
+  equivalent of the reference's queue + shared-memory pair;
+* ``view.json`` is the scrub control: ``{"follow": false, "t": 2}``
+  pins the displayed timepoint (the user grabbing the time slider);
+  ``{"follow": true}`` resumes auto-advance (the Home key, ``:293-329``);
+* ``deskew.json`` is the editable-geometry control: changing
+  ``ls_angle_deg`` / ``px_to_scan_ratio`` re-renders the deskewed side
+  view from ring row-gathers without waiting for new frames
+  (``DeskewControls``, ``:236-242``).
+
+Rendered state also lands in ``state.json`` (selected timepoints,
+contrast limits, evictions) so the behaviors are scriptable/testable
+without parsing PNGs.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from shrimpy_tpu.config.schemas import DeskewSettings
+from shrimpy_tpu.viewer.deskew_preview import deskew_preview_plane
+from shrimpy_tpu.viewer.ring import FrameRing
+
+logger = logging.getLogger(__name__)
+
+
+class LiveMonitor:
+    """Render live previews from a frame ring + volume messages."""
+
+    def __init__(
+        self,
+        ring: FrameRing,
+        out_dir: str | Path,
+        *,
+        deskew: DeskewSettings | None = None,
+        tilt_row: int | None = None,
+    ):
+        self.ring = ring
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.deskew = deskew
+        self.tilt_row = tilt_row
+        # Volume index: (p, channel) -> {t -> msg}.
+        self._volumes: dict[tuple[str, str], dict[int, dict]] = {}
+        self.follow = True
+        self.pinned_t: int | None = None
+        # Per-channel contrast limits, frozen at first render so
+        # brightness stays comparable across timepoints (reference
+        # auto-contrasts per channel, _napari_process.py:416-433).
+        self.contrast: dict[str, tuple[float, float]] = {}
+        self._dirty: set[tuple[str, str]] = set()
+        self._controls_mtime: dict[str, float] = {}
+        self._last_drawn: dict[str, int] = {}
+        self.evicted = 0
+
+    # -- intake ----------------------------------------------------------------
+    def on_volume(self, msg: dict) -> None:
+        """Index a feeder volume message and mark its layer dirty."""
+        key = (str(msg["p"]), str(msg["channel"]))
+        self._volumes.setdefault(key, {})[int(msg["t"])] = msg
+        self._dirty.add(key)
+
+    # -- controls ----------------------------------------------------------------
+    def refresh_controls(self) -> bool:
+        """Re-read view.json / deskew.json; True if anything changed."""
+        changed = False
+        view = self._read_control("view.json")
+        if view is not None:
+            follow = bool(view.get("follow", True))
+            pinned = view.get("t")
+            pinned = int(pinned) if pinned is not None else None
+            if (follow, pinned) != (self.follow, self.pinned_t):
+                self.follow, self.pinned_t = follow, pinned
+                changed = True
+        geo = self._read_control("deskew.json")
+        if geo is not None:
+            try:
+                new = DeskewSettings(**geo)
+            except Exception:
+                logger.exception("invalid deskew.json (ignored)")
+            else:
+                if self.deskew is None or new != self.deskew:
+                    self.deskew = new
+                    changed = True
+        if changed:
+            self._dirty.update(self._volumes)
+        return changed
+
+    def _read_control(self, name: str) -> dict | None:
+        path = self.out_dir / name
+        try:
+            mtime = path.stat().st_mtime
+        except FileNotFoundError:
+            return None
+        if self._controls_mtime.get(name) == mtime:
+            return None
+        self._controls_mtime[name] = mtime
+        try:
+            return json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            logger.warning("unreadable control file %s (ignored)", path)
+            return None
+
+    # -- selection ----------------------------------------------------------------
+    def _select_t(self, key: tuple[str, str]) -> int | None:
+        """Displayed timepoint for a layer: pinned scrub or latest."""
+        ts = self._volumes.get(key)
+        if not ts:
+            return None
+        if not self.follow and self.pinned_t is not None:
+            # Scrub-pause: show the pinned timepoint if that volume is
+            # known; a t the layer never had falls back to its nearest
+            # earlier one (napari clamps the slider the same way).
+            candidates = [t for t in ts if t <= self.pinned_t]
+            return max(candidates) if candidates else min(ts)
+        return max(ts)
+
+    def _gather(self, msg: dict) -> np.ndarray | None:
+        """Volume planes from the ring; None if any slot was evicted.
+
+        Volume-granularity eviction (reference ``:358-385``): each slot
+        carries the global sequence it was written with; a mismatch
+        means the ring lapped this volume and it must not be rendered.
+        """
+        slots = msg["slots"]
+        seq0 = msg.get("seq0")
+        planes = []
+        for i, slot in enumerate(slots):
+            seq, frame = self.ring.read(slot)
+            if seq0 is not None and seq != seq0 + i:
+                self.evicted += 1
+                return None
+            planes.append(frame)
+        return np.stack(planes)
+
+    # -- render ----------------------------------------------------------------
+    def render_dirty(self) -> int:
+        """Render all dirty layers; returns how many were drawn."""
+        n = 0
+        for key in sorted(self._dirty):
+            if self._render_layer(key):
+                n += 1
+        self._dirty.clear()
+        self._write_state()
+        return n
+
+    def _render_layer(self, key: tuple[str, str]) -> bool:
+        t = self._select_t(key)
+        if t is None:
+            return False
+        msg = self._volumes[key].get(t)
+        vol = self._gather(msg) if msg else None
+        if vol is None:
+            # Evicted: fall back to the newest still-resident volume.
+            for t_alt in sorted(self._volumes[key], reverse=True):
+                vol = self._gather(self._volumes[key][t_alt])
+                if vol is not None:
+                    t = t_alt
+                    break
+            if vol is None:
+                return False
+        p, channel = key
+        lo, hi = self._contrast_limits(channel, vol)
+        self._draw(p, channel, t, vol, lo, hi)
+        self._last_drawn[f"{p}|{channel}"] = t
+        return True
+
+    def _contrast_limits(self, channel: str, vol: np.ndarray) -> tuple[float, float]:
+        if channel not in self.contrast:
+            lo, hi = np.percentile(vol, [1.0, 99.7])
+            if hi <= lo:
+                hi = lo + 1.0
+            self.contrast[channel] = (float(lo), float(hi))
+        return self.contrast[channel]
+
+    def _draw(self, p, channel, t, vol, lo, hi) -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        panels = 2 + (self.deskew is not None)
+        fig, axes = plt.subplots(1, panels, figsize=(4 * panels, 4))
+        axes[0].imshow(vol[vol.shape[0] // 2], cmap="gray", vmin=lo, vmax=hi)
+        axes[0].set_title(f"p={p} {channel} t={t} mid")
+        axes[1].imshow(vol.max(axis=0), cmap="magma", vmin=lo, vmax=hi)
+        axes[1].set_title("max projection")
+        if self.deskew is not None:
+            row = self.tilt_row if self.tilt_row is not None else vol.shape[1] // 2
+            side = deskew_preview_plane(vol[:, row, :], self.deskew)
+            axes[2].imshow(side, cmap="gray", vmin=lo, vmax=hi, aspect="auto")
+            axes[2].set_title(
+                f"deskew side  angle={self.deskew.ls_angle_deg:.1f}"
+            )
+        for ax in axes:
+            ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(
+            self.out_dir / f"live_p{str(p).replace('/', '_')}_{channel}.png",
+            dpi=72,
+        )
+        plt.close(fig)
+
+    def _write_state(self) -> None:
+        state = {
+            "follow": self.follow,
+            "pinned_t": self.pinned_t,
+            "contrast": {c: list(v) for c, v in self.contrast.items()},
+            "displayed": self._last_drawn,
+            "evicted": self.evicted,
+            "deskew": self.deskew.model_dump() if self.deskew else None,
+        }
+        (self.out_dir / "state.json").write_text(json.dumps(state, indent=2))
+
+
+class VolumeIndexTail:
+    """Incrementally read a feeder's ``volumes.jsonl`` (attach mode)."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self._offset = 0
+
+    def poll(self) -> list[dict]:
+        try:
+            with open(self.path) as f:
+                f.seek(self._offset)
+                chunk = f.read()
+                self._offset = f.tell()
+        except FileNotFoundError:
+            return []
+        msgs = []
+        for line in chunk.splitlines():
+            try:
+                msgs.append(json.loads(line))
+            except json.JSONDecodeError:
+                continue  # torn tail write; re-read next poll
+        return msgs
+
+
+def attach(preview_dir: str | Path) -> tuple[FrameRing, VolumeIndexTail]:
+    """Attach to a running feeder's ring via its descriptor file."""
+    preview_dir = Path(preview_dir)
+    desc = json.loads((preview_dir / "ring.json").read_text())
+    ring = FrameRing(
+        desc["ring"],
+        n_slots=desc["n_slots"],
+        frame_shape=tuple(desc["frame_shape"]),
+        dtype=desc.get("dtype", "float32"),
+        create=False,
+    )
+    return ring, VolumeIndexTail(preview_dir / "volumes.jsonl")

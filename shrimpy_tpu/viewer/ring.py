@@ -44,6 +44,16 @@ class FrameRing:
         else:
             assert name is not None
             self.shm = shared_memory.SharedMemory(name=name)
+            # Non-owner handles must not let Python's resource tracker
+            # unlink the segment when this process exits — only the
+            # creator owns the lifetime (the reference carries the same
+            # workaround, ring_buffer.py:69-78).
+            try:
+                from multiprocessing import resource_tracker
+
+                resource_tracker.unregister(self.shm._name, "shared_memory")
+            except Exception:  # pragma: no cover - best effort
+                logger.debug("resource_tracker unregister failed", exc_info=True)
         self._seq = np.ndarray(
             (self.n_slots,), dtype=_HEADER_DTYPE, buffer=self.shm.buf[:header_bytes]
         )

@@ -334,3 +334,38 @@ def test_phase_verb_end_to_end(runner, tmp_path):
     recon = open_ngff(tmp_path / "out.zarr").position().volume(0, 0)
     corr = np.corrcoef(np.asarray(recon).ravel(), phi.ravel())[0, 1]
     assert corr > 0.8, corr
+
+
+def test_monitor_live_attach(tmp_path, runner):
+    """monitor --live attaches to a feeder's ring descriptor and renders
+    follow-latest previews with the deskew side view."""
+    from shrimpy_tpu.viewer.ring import FrameRing
+
+    preview = tmp_path / "preview"
+    preview.mkdir()
+    ring = FrameRing(None, n_slots=8, frame_shape=(8, 16))
+    try:
+        (preview / "ring.json").write_text(json.dumps({
+            "ring": ring.name, "n_slots": 8,
+            "frame_shape": [8, 16], "dtype": "float32"}))
+        lines = []
+        for t in range(2):
+            slots = [ring.write(t * 4 + z, np.full((8, 16), t + z, np.float32))
+                     for z in range(4)]
+            lines.append(json.dumps({
+                "type": "volume", "t": t, "p": "0", "channel": "BF",
+                "slots": slots, "seq0": t * 4, "shape": [4, 8, 16]}))
+        (preview / "volumes.jsonl").write_text("\n".join(lines) + "\n")
+
+        result = runner.invoke(cli, [
+            "monitor", str(tmp_path), "--live", "--once",
+            "--ls-angle-deg", "30", "--px-to-scan-ratio", "0.5",
+        ])
+        assert result.exit_code == 0, result.output
+        status = json.loads(result.output.splitlines()[-1])
+        assert status["displayed"]["0|BF"] == 1  # follow-latest
+        assert (preview / "live_p0_BF.png").exists()
+        state = json.loads((preview / "state.json").read_text())
+        assert state["deskew"]["ls_angle_deg"] == 30.0
+    finally:
+        ring.close()

@@ -115,3 +115,164 @@ def test_preview_from_ring(rng):
         assert np.isfinite(plane).all()
     finally:
         ring.close()
+
+
+# -- live monitor (reference _napari_process.py behaviors, headless) ---------
+
+
+def _push_volume(ring, monitor, seq0, t, channel="BF", p="0", value=None,
+                 nz=4, shape=(8, 16)):
+    """Write one volume into the ring and index it in the monitor."""
+    slots = []
+    for z in range(nz):
+        frame = np.full(shape, value if value is not None else t * 10 + z,
+                        np.float32)
+        slots.append(ring.write(seq0 + z, frame))
+    monitor.on_volume({"type": "volume", "t": t, "p": p, "channel": channel,
+                       "slots": slots, "seq0": seq0, "shape": (nz, *shape)})
+    return seq0 + nz
+
+
+@pytest.fixture()
+def live(tmp_path):
+    from shrimpy_tpu.viewer.live import LiveMonitor
+
+    ring = FrameRing(None, n_slots=16, frame_shape=(8, 16))
+    monitor = LiveMonitor(ring, tmp_path / "preview")
+    yield ring, monitor, tmp_path / "preview"
+    ring.close()
+
+
+def test_live_follow_latest_then_scrub_pause(live):
+    """Follow-latest auto-advance; view.json scrub pins a timepoint;
+    follow=true resumes (reference _napari_process.py:293-329)."""
+    import json as _json
+
+    ring, monitor, out = live
+    seq = _push_volume(ring, monitor, 0, t=0)
+    seq = _push_volume(ring, monitor, seq, t=1)
+    monitor.render_dirty()
+    state = _json.loads((out / "state.json").read_text())
+    assert state["displayed"]["0|BF"] == 1  # follow-latest
+
+    (out / "view.json").write_text('{"follow": false, "t": 0}')
+    assert monitor.refresh_controls()
+    monitor.render_dirty()
+    state = _json.loads((out / "state.json").read_text())
+    assert state["displayed"]["0|BF"] == 0  # scrub-paused at t=0
+
+    # New volumes keep arriving but the display stays pinned.
+    seq = _push_volume(ring, monitor, seq, t=2)
+    monitor.render_dirty()
+    state = _json.loads((out / "state.json").read_text())
+    assert state["displayed"]["0|BF"] == 0
+
+    (out / "view.json").write_text('{"follow": true}')
+    assert monitor.refresh_controls()
+    monitor.render_dirty()
+    state = _json.loads((out / "state.json").read_text())
+    assert state["displayed"]["0|BF"] == 2  # Home-resume
+
+
+def test_live_editable_deskew_geometry(live):
+    """Editing deskew.json re-renders the side view with the new
+    geometry without new frames (reference DeskewControls,
+    _napari_process.py:202-291)."""
+    import json as _json
+
+    ring, monitor, out = live
+    _push_volume(ring, monitor, 0, t=0)
+    monitor.render_dirty()
+    png = out / "live_p0_BF.png"
+    assert png.exists()
+
+    (out / "deskew.json").write_text(
+        '{"ls_angle_deg": 30.0, "px_to_scan_ratio": 0.5}'
+    )
+    assert monitor.refresh_controls()
+    assert monitor.render_dirty() == 1  # re-rendered with no new volume
+    state = _json.loads((out / "state.json").read_text())
+    assert state["deskew"]["px_to_scan_ratio"] == 0.5
+
+    # Geometry edit: angle change triggers another re-render.
+    (out / "deskew.json").write_text(
+        '{"ls_angle_deg": 45.0, "px_to_scan_ratio": 0.5}'
+    )
+    assert monitor.refresh_controls()
+    assert monitor.render_dirty() == 1
+    state = _json.loads((out / "state.json").read_text())
+    assert state["deskew"]["ls_angle_deg"] == 45.0
+
+
+def test_live_per_channel_autocontrast_frozen(live):
+    """Contrast limits are computed per channel on first render and
+    stay fixed so brightness is comparable across time
+    (reference _napari_process.py:416-433)."""
+    ring, monitor, out = live
+    seq = _push_volume(ring, monitor, 0, t=0, channel="BF", value=10.0)
+    seq = _push_volume(ring, monitor, seq, t=0, channel="GFP", value=1000.0)
+    monitor.render_dirty()
+    bf0 = monitor.contrast["BF"]
+    gfp0 = monitor.contrast["GFP"]
+    assert bf0[1] < gfp0[1]  # per-channel, not global
+    seq = _push_volume(ring, monitor, seq, t=1, channel="BF", value=9000.0)
+    monitor.render_dirty()
+    assert monitor.contrast["BF"] == bf0  # frozen
+
+
+def test_live_volume_granularity_eviction(live):
+    """A volume lapped by the ring is never rendered half-overwritten:
+    the monitor falls back to the newest still-resident volume
+    (reference _napari_process.py:358-385)."""
+    import json as _json
+
+    ring, monitor, out = live
+    seq = _push_volume(ring, monitor, 0, t=0)
+    seq = _push_volume(ring, monitor, seq, t=1)
+    monitor.render_dirty()
+    # Lap the ring: 16 slots, overwrite t=1's slots (seq 4..7) with
+    # newer frames, then ask for t=1.
+    seq = _push_volume(ring, monitor, 16, t=2)  # slots 0..3 overwritten
+    seq = _push_volume(ring, monitor, 20, t=3)  # slots 4..7 overwritten
+    (out / "view.json").write_text('{"follow": false, "t": 1}')
+    monitor.refresh_controls()
+    monitor.render_dirty()
+    state = _json.loads((out / "state.json").read_text())
+    # t=1 is evicted; the monitor fell back to a resident volume.
+    assert state["evicted"] >= 1
+    assert state["displayed"]["0|BF"] in (2, 3)
+
+
+def test_feeder_writes_attach_surface(tmp_path):
+    """ViewerFeeder publishes ring.json + volumes.jsonl so an external
+    monitor can attach (the file-based queue replacement)."""
+    import json as _json
+
+    from shrimpy_tpu.viewer.feeder import ViewerFeeder
+    from shrimpy_tpu.viewer.live import attach
+
+    feeder = ViewerFeeder(frame_shape=(8, 16), cache_mb=0.01,
+                          preview_dir=tmp_path / "preview")
+    # Avoid the subprocess on the 1-CPU test box: set up the ring and
+    # descriptor without spawning the monitor.
+    feeder.preview_dir.mkdir(parents=True, exist_ok=True)
+    feeder.ring = FrameRing(None, n_slots=feeder.n_slots,
+                            frame_shape=feeder.frame_shape)
+    (feeder.preview_dir / "ring.json").write_text(_json.dumps({
+        "ring": feeder.ring.name, "n_slots": feeder.n_slots,
+        "frame_shape": list(feeder.frame_shape), "dtype": "float32"}))
+    import queue as _q
+    feeder._queue = _q.Queue(maxsize=4)
+    try:
+        feeder.on_volume(np.ones((3, 8, 16), np.float32), 0, "0", "BF")
+        feeder.on_volume(np.full((3, 8, 16), 2, np.float32), 1, "0", "BF")
+        ring, tail = attach(tmp_path / "preview")
+        msgs = tail.poll()
+        assert [m["t"] for m in msgs] == [0, 1]
+        assert msgs[0]["seq0"] == 0 and msgs[1]["seq0"] == 3
+        seq, frame = ring.read(msgs[1]["slots"][0])
+        assert seq == 3 and frame[0, 0] == 2
+        assert tail.poll() == []  # tail is incremental
+        ring.close()
+    finally:
+        feeder.ring.close()
