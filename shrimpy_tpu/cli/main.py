@@ -507,25 +507,40 @@ def _monitor_live(input, preview_dir, interval, once, ls_angle_deg,
 @click.option("--batch", type=int, default=4, show_default=True)
 @click.option("--patch", type=int, default=128, show_default=True)
 @click.option("--learning-rate", type=float, default=1e-3, show_default=True)
+@click.option("--architecture", type=click.Choice(["unet25d", "unext2"]),
+              default="unet25d", show_default=True)
+@click.option("--val-fraction", type=float, default=0.2, show_default=True,
+              help="Held-out validation fraction (0 disables early stop).")
+@click.option("--early-stop-patience", type=int, default=4, show_default=True,
+              help="Stop after N validation evals without improvement.")
 def train_vs(input, input_channel, target_channels, ckpt_out, steps, batch,
-             patch, learning_rate):
-    """Train the virtual-staining UNet on paired channels of a store."""
+             patch, learning_rate, architecture, val_fraction,
+             early_stop_patience):
+    """Train a virtual-staining model on paired channels of a store."""
     from shrimpy_tpu.models.train import train_vsunet
+    from shrimpy_tpu.models.vsunet import VSModelSettings
 
     targets = [c.strip() for c in target_channels.split(",") if c.strip()]
     _, report = train_vsunet(
         input,
         input_channel=input_channel,
         target_channels=targets,
+        settings=VSModelSettings(
+            architecture=architecture, out_channels=targets
+        ),
         steps=steps,
         batch=batch,
         patch=patch,
         learning_rate=learning_rate,
         ckpt_path=ckpt_out,
+        val_fraction=val_fraction,
+        early_stop_patience=early_stop_patience,
     )
     click.echo(json.dumps({
         "steps": report.steps,
         "final_loss": report.final_loss,
+        "best_val_loss": report.best_val_loss,
+        "stopped_early": report.stopped_early,
         "ckpt": str(ckpt_out),
     }))
 

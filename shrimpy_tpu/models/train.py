@@ -2,16 +2,18 @@
 
 The reference only LOADS cytoland checkpoints (reference
 ``preprocessing.py:359-416``); training lives in the external VisCy
-project. This module closes the loop first-party: fit the
-:class:`~shrimpy_tpu.models.vsunet.VSUNet` on paired channels of an
-OME-Zarr store (random z-window crops, optax AdamW, MSE), save orbax
-checkpoints consumable by ``VSModelSettings.ckpt_path``.
+project. This module closes the loop first-party: fit a named
+:mod:`~shrimpy_tpu.models.vsunet` architecture on paired channels of an
+OME-Zarr store (random z-window crops with flip augmentation, optax
+AdamW, MSE), with a held-out validation split and early stopping on the
+validation loss, and save orbax checkpoints (+ architecture sidecar)
+consumable by ``VSModelSettings.ckpt_path``.
 """
 
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from pathlib import Path
 
 import jax
@@ -29,6 +31,9 @@ class TrainReport:
     steps: int
     final_loss: float
     losses: list
+    val_losses: list = field(default_factory=list)
+    best_val_loss: float | None = None
+    stopped_early: bool = False
 
 
 def _sample_batch(
@@ -39,6 +44,7 @@ def _sample_batch(
     in_slices: int,
     patch: int,
     batch: int,
+    augment: bool = False,
 ):
     """Random (z-window, y, x) crops -> (x NHWC, y NHWC) arrays."""
     xs, ys = [], []
@@ -52,8 +58,16 @@ def _sample_batch(
         x0 = int(rng.integers(0, max(nx - patch + 1, 1)))
         window = vin[0, z - half : z + half + 1, y0 : y0 + patch, x0 : x0 + patch]
         target = vout[:, z, y0 : y0 + patch, x0 : x0 + patch]
-        xs.append(np.moveaxis(window, 0, -1))  # (H, W, in_slices)
-        ys.append(np.moveaxis(target, 0, -1))  # (H, W, n_out)
+        x = np.moveaxis(window, 0, -1)  # (H, W, in_slices)
+        y = np.moveaxis(target, 0, -1)  # (H, W, n_out)
+        if augment:
+            # In-plane flips are exact symmetries of the staining task.
+            if rng.integers(2):
+                x, y = x[::-1], y[::-1]
+            if rng.integers(2):
+                x, y = x[:, ::-1], y[:, ::-1]
+        xs.append(x)
+        ys.append(y)
     return np.stack(xs), np.stack(ys)
 
 
@@ -69,12 +83,21 @@ def train_vsunet(
     learning_rate: float = 1e-3,
     seed: int = 0,
     ckpt_path: str | Path | None = None,
+    val_fraction: float = 0.2,
+    val_every: int = 25,
+    early_stop_patience: int = 4,
+    augment: bool = True,
 ) -> tuple[VirtualStainer, TrainReport]:
     """Fit VS weights on paired channels of ``store_path``.
 
     Inputs/targets are z-score normalized per volume (matching the
-    inference-time normalization). Returns the trained stainer and a
-    loss report; saves an orbax checkpoint when ``ckpt_path`` is given.
+    inference-time normalization). ``val_fraction`` of the volumes is
+    held out (when only one volume exists, a y-split of that volume);
+    validation MSE is evaluated every ``val_every`` steps on fixed
+    crops, and training stops after ``early_stop_patience`` evaluations
+    without improvement. The returned stainer carries the
+    best-validation parameters; ``ckpt_path`` saves them with the
+    architecture sidecar.
     """
     from shrimpy_tpu.io.ngff import open_ngff
 
@@ -99,6 +122,32 @@ def train_vsunet(
     if not vols_in:
         raise ValueError("no training volumes found")
 
+    # Validation split: whole volumes when we can afford it, else a
+    # y-halved split of the single volume.
+    rng = np.random.default_rng(seed)
+    n_val = int(round(len(vols_in) * val_fraction))
+    if n_val >= 1 and len(vols_in) > 1:
+        order = rng.permutation(len(vols_in))
+        val_idx = set(order[:n_val].tolist())
+        train_in = [v for i, v in enumerate(vols_in) if i not in val_idx]
+        train_out = [v for i, v in enumerate(vols_out) if i not in val_idx]
+        val_in = [v for i, v in enumerate(vols_in) if i in val_idx]
+        val_out = [v for i, v in enumerate(vols_out) if i in val_idx]
+    elif val_fraction > 0:
+        ny = vols_in[0].shape[2]
+        split = max(patch, int(ny * (1 - val_fraction)))
+        split = min(split, ny - 1)
+        train_in = [v[:, :, :split] for v in vols_in]
+        train_out = [v[:, :, :split] for v in vols_out]
+        val_in = [v[:, :, split:] for v in vols_in]
+        val_out = [v[:, :, split:] for v in vols_out]
+        if val_in[0].shape[2] < patch:  # too small to crop: no val tier
+            train_in, train_out = vols_in, vols_out
+            val_in, val_out = [], []
+    else:
+        train_in, train_out = vols_in, vols_out
+        val_in, val_out = [], []
+
     stainer = VirtualStainer(settings)
     model = stainer.model
     params = stainer.params
@@ -115,12 +164,33 @@ def train_vsunet(
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    rng = np.random.default_rng(seed)
-    losses = []
+    @jax.jit
+    def eval_fn(params, x, y):
+        return jnp.mean((model.apply(params, x) - y) ** 2)
+
+    # Fixed validation crops so the early-stop signal is comparable
+    # across evaluations.
+    val_xy = None
+    if val_in:
+        vrng = np.random.default_rng(seed + 1)
+        vx, vy = _sample_batch(
+            vrng, val_in, val_out,
+            in_slices=settings.in_slices, patch=patch,
+            batch=max(batch * 4, 8), augment=False,
+        )
+        val_xy = (jnp.asarray(vx), jnp.asarray(vy))
+
+    losses: list[float] = []
+    val_losses: list[float] = []
+    best_val = np.inf
+    best_params = params
+    stale = 0
+    stopped_early = False
     for i in range(steps):
         x, y = _sample_batch(
-            rng, vols_in, vols_out,
+            rng, train_in, train_out,
             in_slices=settings.in_slices, patch=patch, batch=batch,
+            augment=augment,
         )
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(x), jnp.asarray(y)
@@ -128,9 +198,33 @@ def train_vsunet(
         losses.append(float(loss))
         if i % max(steps // 5, 1) == 0:
             logger.info("vs train step %d/%d loss=%.5f", i, steps, losses[-1])
+        if val_xy is not None and (i + 1) % val_every == 0:
+            v = float(eval_fn(params, *val_xy))
+            val_losses.append(v)
+            if v < best_val - 1e-7:
+                best_val = v
+                best_params = params
+                stale = 0
+            else:
+                stale += 1
+                if stale >= early_stop_patience:
+                    logger.info(
+                        "early stop at step %d: val loss %.5f has not "
+                        "improved for %d evaluations (best %.5f)",
+                        i + 1, v, stale, best_val,
+                    )
+                    stopped_early = True
+                    break
 
-    stainer.params = params
+    stainer.params = best_params if val_xy is not None else params
     if ckpt_path is not None:
         stainer.save_ckpt(ckpt_path)
         logger.info("saved VS checkpoint to %s", ckpt_path)
-    return stainer, TrainReport(steps, losses[-1], losses)
+    return stainer, TrainReport(
+        steps=len(losses),
+        final_loss=losses[-1],
+        losses=losses,
+        val_losses=val_losses,
+        best_val_loss=None if np.isinf(best_val) else best_val,
+        stopped_early=stopped_early,
+    )

@@ -56,7 +56,7 @@ class Preprocessor:
             out["phase"] = vol
         if self.stainer is not None:
             with self.timer.stage("vs"):
-                vol_c = _pad_for_unet(vol, self.stainer.settings.depth)
+                vol_c = _pad_for_unet(vol, self.stainer.pad_exp)
                 preds = self.stainer.predict(vol_c)
             for name, pred in preds.items():
                 out[name] = np.asarray(pred)[..., : vol.shape[1], : vol.shape[2]]
