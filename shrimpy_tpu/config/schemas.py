@@ -206,7 +206,12 @@ class RegistrationSettings(BaseModel):
     refine_iterations: int = 100
     learning_rate: float = 0.05
     loss: Literal["mse", "ncc"] = "ncc"
-    downsample_yx: int = 1  # refine on a downsampled grid for speed
+    # Refinement evaluates the loss on a y/x-strided output grid
+    # (sampling positions stay full-res; only the number of constraint
+    # points drops — 12 affine params vs ~260k samples at stride 4).
+    # Measured on v5e (64, 256, 256): stride 4 is ~14x faster per
+    # iteration with no loss of recovered-shift accuracy.
+    downsample_yx: int = 4
     # Apply-time transform source for the reconstruction pipeline: the
     # JSON written by the `register` CLI verb ({"matrix_zyx", "offset_zyx"}).
     transform_path: str | None = None
