@@ -182,11 +182,18 @@ class DeconvolveSettings(BaseModel):
     separable_backend: Literal[
         "auto", "matmul", "zy_pallas", "linear_pallas", "fused"
     ] = "auto"
+    # Precision schedule for the fused backend: run this many LEADING
+    # iterations with 2-pass bf16 dots (~20% faster/iter) before the
+    # 3-pass (HIGH) tail. RL is a fixed-point iteration: the exact tail
+    # contracts the cheap phase's trajectory error away. 0 = all HIGH.
+    fused_low_precision_iters: int = 0
 
     @model_validator(mode="after")
     def _check(self) -> "DeconvolveSettings":
         if self.iterations < 1:
             raise ValueError("iterations must be >= 1")
+        if self.fused_low_precision_iters < 0:
+            raise ValueError("fused_low_precision_iters must be >= 0")
         return self
 
 

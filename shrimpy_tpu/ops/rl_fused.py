@@ -46,6 +46,7 @@ role (reference ``shrimpy/dynatrack/preprocessing.py:100-102``,
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -56,6 +57,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BZ = 8
 _BY = 128
+# bf16 dot passes: 3 == Precision.HIGH (both rounding corrections), 2
+# drops the stencil-side correction (rel err ~3e-3/conv — only safe for
+# EARLY RL iterations, whose trajectory error the later 3-pass
+# iterations contract away; see rl_fused's low_precision_iters).
+_PASSES = int(os.environ.get("SHRIMPY_RL_DOT_PASSES", "3"))
 
 
 def _round_up(n: int, m: int) -> int:
@@ -82,7 +88,7 @@ def fused_layout(
     does not satisfy the kernel's constraints (caller falls back)."""
     gz, gy, gx = g_shape
     rz, ry, rx = radii
-    bz = bz or _BZ
+    bz = bz or int(os.environ.get("SHRIMPY_RL_BZ", "0")) or _BZ
     if rz > bz or ry > 120 or rx > 128:
         return None
     y_shift = (-ry) % 8
@@ -92,12 +98,19 @@ def fused_layout(
     nx_p = _round_up(gx, 128)
     if yp < sy:
         return None  # slab taller than the array: tiny-y volume
+    if bx is None and os.environ.get("SHRIMPY_RL_BX"):
+        bx = int(os.environ["SHRIMPY_RL_BX"])  # experiment override
     if bx is None:
         # Cost-scored x tile: bigger tiles cut halo amplification, but
         # their rounding can inflate the grid (e.g. the production
-        # x=1664 fits bx=256 exactly while bx=512 pads 23%).
+        # x=1664 fits bx=256 exactly while bx=512 pads 23%). Model
+        # validated against v5e measurements at xa=3072: predicted
+        # 48.1/45.5/44.1/42.8 ms/iter for bx=512/768/1024/1536 vs
+        # measured 48.1/45.9/43.0/42.5. VMEM at bx=1536: ring 37 MB +
+        # pipelined tiles ~25 MB — inside the 100 MB cap.
         feasible = [
-            c for c in (512, 384, 256, 128) if _round_up(nx_p, c) >= c + 256
+            c for c in (1536, 1024, 768, 512, 384, 256, 128)
+            if _round_up(nx_p, c) >= c + 256
         ]
         if not feasible:
             return None
@@ -227,7 +240,9 @@ def _dot3(a32, b_hi, b_lo, acc=None):
 
 @partial(
     jax.jit,
-    static_argnames=("kz_key", "radii", "dims", "mode", "eps", "interpret"),
+    static_argnames=(
+        "kz_key", "radii", "dims", "mode", "eps", "interpret", "passes"
+    ),
 )
 def _rl_fused_pass(
     carry,
@@ -242,6 +257,7 @@ def _rl_fused_pass(
     mode: str,       # "ratio" | "mult" | "plain"
     eps: float,
     interpret: bool,
+    passes: int | None = None,
 ):
     """One fused conv3 + epilogue pass over the padded carry.
 
@@ -249,6 +265,8 @@ def _rl_fused_pass(
     mode="mult":  out = aux * conv(carry)             (aux = est)
     mode="plain": out = conv(carry)                   (aux ignored)
     """
+    if passes is None:
+        passes = _PASSES
     rz, ry, rx = radii
     zp, yp, xa, sy, y_shift, bx, bz = dims
     by = _BY
@@ -342,11 +360,9 @@ def _rl_fused_pass(
                     dimension_numbers=dims_,
                     preferred_element_type=jnp.float32,
                 )
-                yz = (
-                    dot(gy_hi, tz_hi)
-                    + dot(gy_lo, tz_hi)
-                    + dot(gy_hi, tz_lo)
-                )
+                yz = dot(gy_hi, tz_hi) + dot(gy_hi, tz_lo)
+                if passes >= 3:
+                    yz = yz + dot(gy_lo, tz_hi)
                 yz_hi = yz.astype(jnp.bfloat16)
                 yz_lo = (yz - yz_hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 # Stage hi/lo in VMEM: Mosaic supports dynamic lane
@@ -374,8 +390,9 @@ def _rl_fused_pass(
                         bh = yz_scr[t, 0, :, pl.ds(start, 384)]
                         bl = yz_scr[t, 1, :, pl.ds(start, 384)]
                         ch = gxc_ref[t, 0, :, :]
-                        cl = gxc_ref[t, 1, :, :]
-                        prods += [dot(bh, ch), dot(bl, ch), dot(bh, cl)]
+                        prods += [dot(bh, ch), dot(bl, ch)]
+                        if passes >= 3:
+                            prods.append(dot(bh, gxc_ref[t, 1, :, :]))
                 else:
                     for m in range(3):
                         start = pl.multiple_of(
@@ -396,12 +413,9 @@ def _rl_fused_pass(
                                 bh = jnp.where(gate, bh, zero)
                                 bl = jnp.where(gate, bl, zero)
                             px_hi = gx_ref[t, m, 0, :, :]
-                            px_lo = gx_ref[t, m, 1, :, :]
-                            prods += [
-                                dot(bh, px_hi),
-                                dot(bl, px_hi),
-                                dot(bh, px_lo),
-                            ]
+                            prods += [dot(bh, px_hi), dot(bl, px_hi)]
+                            if passes >= 3:
+                                prods.append(dot(bh, gx_ref[t, m, 1, :, :]))
                 # Tree sum keeps the MXU accumulation chain shallow.
                 while len(prods) > 1:
                     prods = [
@@ -517,8 +531,11 @@ def rl_fused(image, psf_np, terms, settings, iterations):
     radii = tuple(k // 2 for k in psf_np.shape)
     pads = tuple((r, r) for r in radii)
 
+    low_iters = min(
+        getattr(settings, "fused_low_precision_iters", 0), iterations
+    )
     key = (
-        tuple(image.shape), psf_np.tobytes(), iterations,
+        tuple(image.shape), psf_np.tobytes(), iterations, low_iters,
         settings.epsilon, settings.pad_mode, swap, "fused",
     )
     if key not in _RL_FUSED_CACHE:
@@ -564,20 +581,38 @@ def rl_fused(image, psf_np, terms, settings, iterations):
             data = fused_pad(jnp.maximum(g_vol, 0.0), layout)
             est0 = fused_pad(jnp.maximum(g_vol, eps), layout)
 
-            def step(est, _):
-                ratio = _rl_fused_pass(
-                    est, data, gy_conv, gx_conv, gxcat_conv,
-                    kz_key=kzc, radii=radii, dims=dims,
-                    mode="ratio", eps=eps, interpret=interpret,
-                )
-                est = _rl_fused_pass(
-                    ratio, est, gy_flip, gx_flip, gxcat_flip,
-                    kz_key=kzf, radii=radii, dims=dims,
-                    mode="mult", eps=eps, interpret=interpret,
-                )
-                return est, None
+            def make_step(passes):
+                def step(est, _):
+                    ratio = _rl_fused_pass(
+                        est, data, gy_conv, gx_conv, gxcat_conv,
+                        kz_key=kzc, radii=radii, dims=dims,
+                        mode="ratio", eps=eps, interpret=interpret,
+                        passes=passes,
+                    )
+                    est = _rl_fused_pass(
+                        ratio, est, gy_flip, gx_flip, gxcat_flip,
+                        kz_key=kzf, radii=radii, dims=dims,
+                        mode="mult", eps=eps, interpret=interpret,
+                        passes=passes,
+                    )
+                    return est, None
 
-            est, _ = jax.lax.scan(step, est0, None, length=iterations)
+                return step
+
+            # Precision schedule: the first low_iters iterations run
+            # 2-pass dots (the stencil-side bf16 correction dropped);
+            # the remaining 3-pass (HIGH) iterations contract the
+            # early-phase trajectory error away (RL is a fixed-point
+            # iteration whose late iterations govern the result).
+            est = est0
+            if low_iters:
+                est, _ = jax.lax.scan(
+                    make_step(2), est, None, length=low_iters
+                )
+            if iterations - low_iters:
+                est, _ = jax.lax.scan(
+                    make_step(3), est, None, length=iterations - low_iters
+                )
             g_out = est[interior]
             crop = tuple(
                 slice(lo, lo + n) for (lo, _), n in zip(pads, img.shape)
