@@ -135,24 +135,41 @@ def _kernel(
     raw_ref,  # (T, S_eff, Xp) f32, HBM
     meta_ref,  # (1, 1, 8, BLOCK_Y) f32: w00/w01/s0/s1/wt0/wt1 rows
     out_ref,  # (1, BLOCK_Y, Xp) f32
-    vm0,
-    vm1,
-    sem0,
-    sem1,
+    vm,  # (2 slots, 2 tilt planes, span, Xp)
+    sems,  # DMA sems, (2, 2)
+    *,
+    nyb: int,
 ):
     z = pl.program_id(0)
     yb = pl.program_id(1)
-    s_lo = pl.multiple_of(s_lo_ref[z, yb], 8)
-    span = vm0.shape[0]
+    s = z * nyb + yb
+    total = pl.num_programs(0) * nyb
+    span = vm.shape[2]
 
-    dma0 = pltpu.make_async_copy(
-        raw_ref.at[t_idx_ref[z, 0], pl.ds(s_lo, span), :], vm0, sem0
-    )
-    dma1 = pltpu.make_async_copy(
-        raw_ref.at[t_idx_ref[z, 1], pl.ds(s_lo, span), :], vm1, sem1
-    )
-    dma0.start()
-    dma1.start()
+    def band_dma(step, plane):
+        """DMA of `plane`'s scan band for flat step index `step`."""
+        z2 = step // nyb
+        yb2 = jax.lax.rem(step, nyb)
+        s_lo = pl.multiple_of(s_lo_ref[z2, yb2], 8)
+        slot = jax.lax.rem(step, 2)
+        return pltpu.make_async_copy(
+            raw_ref.at[t_idx_ref[z2, plane], pl.ds(s_lo, span), :],
+            vm.at[slot, plane],
+            sems.at[slot, plane],
+        )
+
+    # One-step-deep double buffering: step s+1's bands transfer while
+    # step s computes (the round-1 kernel waited on its own DMAs inside
+    # every step — pure serialization, ~2x on the production volume).
+    @pl.when(s == 0)
+    def _():
+        band_dma(0, 0).start()
+        band_dma(0, 1).start()
+
+    @pl.when(s + 1 < total)
+    def _():
+        band_dma(s + 1, 0).start()
+        band_dma(s + 1, 1).start()
 
     meta = meta_ref[0, 0]  # (8, BLOCK_Y)
     s0 = meta[2, :].astype(jnp.int32)
@@ -163,14 +180,15 @@ def _kernel(
         cols == s1[:, None], meta[1, :][:, None], 0.0
     )
 
-    dma0.wait()
-    dma1.wait()
+    slot = jax.lax.rem(s, 2)
+    band_dma(s, 0).wait()
+    band_dma(s, 1).wait()
     r0 = jnp.dot(
-        gmat, vm0[:, :], preferred_element_type=jnp.float32,
+        gmat, vm[slot, 0], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     r1 = jnp.dot(
-        gmat, vm1[:, :], preferred_element_type=jnp.float32,
+        gmat, vm[slot, 1], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     out_ref[0] = meta[4, 0] * r0 + meta[5, 0] * r1
@@ -226,15 +244,13 @@ def _deskew_pallas_jit(
             (1, BLOCK_Y, xp), lambda z, yb, *_: (z, yb, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((span, xp), jnp.float32),
-            pltpu.VMEM((span, xp), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 2, span, xp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
     out = pl.pallas_call(
-        _kernel,
+        partial(_kernel, nyb=nyb),
         out_shape=jax.ShapeDtypeStruct((nz, ny_pad, xp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
