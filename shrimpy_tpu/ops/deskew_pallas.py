@@ -3,21 +3,27 @@
 The core TPU deliverable named in SURVEY.md §7: the oblique-plane
 deskew exploits the shear structure — the tilt coordinate depends only
 on output z, and the scan coordinate is affine in output y — so the
-resample is NOT a general gather. For each (z, y-block) output tile:
+resample is NOT a general gather. For each (z-block, y-block) output
+tile:
 
-1. the two needed tilt planes' scan-row band (``S_SPAN`` rows, affine
-   in y so the band is contiguous) is DMA'd HBM -> VMEM;
-2. the trilinear weights collapse into a tiny banded interpolation
-   matrix ``G`` (built in-register from iota comparisons, two non-zeros
-   per row);
-3. the tile is produced by two ``(B x S_SPAN) @ (S_SPAN x X)`` MXU
+1. ONE 3-D DMA stages the union band: the ``T_SPAN`` tilt planes and
+   ``S_SPAN`` scan rows that cover all ``BLOCK_Z`` output slices of the
+   tile (both extents are affine in z, so the union is a contiguous
+   box), double-buffered against the previous step's compute;
+2. per output z, the trilinear weights collapse into a tiny banded
+   interpolation matrix ``G`` (built in-register from iota comparisons,
+   two non-zeros per row);
+3. each slice is produced by two ``(B x S_SPAN) @ (S_SPAN x X)`` MXU
    matmuls blended by the tilt weights.
 
 One pass over the data (the XLA path materializes per-z tilt-plane
-copies), all FLOPs on the MXU at float32 precision. Geometry and
-weights are precomputed host-side by :func:`_plan`; semantics are
-identical to :func:`shrimpy_tpu.ops.deskew.deskew_volume` (same scipy
-oracle, reference ``preprocessing.py:277-294``).
+copies), all FLOPs on the MXU at float32 precision. Batching BLOCK_Z
+slices per grid step amortizes the per-step dispatch + DMA-issue
+overhead that dominated the per-z kernel (24 us/step at 2944 steps on
+the production volume). Geometry and weights are precomputed host-side
+by :func:`_plan`; semantics are identical to
+:func:`shrimpy_tpu.ops.deskew.deskew_volume` (same scipy oracle,
+reference ``preprocessing.py:277-294``).
 """
 
 from __future__ import annotations
@@ -35,7 +41,10 @@ from shrimpy_tpu.config.schemas import DeskewSettings
 from shrimpy_tpu.ops.deskew import _average_z_groups, _geometry
 
 BLOCK_Y = 128
+BLOCK_Z = 8
 LANES = 128
+# meta rows per z: w00, w01, s0_local, s1_local, wt0, wt1, t_local0, t_local1
+_META_ROWS = 8
 
 
 def _round_up(n: int, m: int) -> int:
@@ -43,7 +52,7 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict:
-    """Host-side geometry: per-(z, y) indices/weights, per-block DMA starts."""
+    """Host-side geometry: per-(z, y) indices/weights, per-block DMA boxes."""
     g = _geometry(raw_shape_szx, settings)
     ns, nt, nx = raw_shape_szx
     nz, ny = g["nz_full"], g["ny"]
@@ -51,13 +60,21 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
 
     ny_pad = _round_up(ny, BLOCK_Y)
     nyb = ny_pad // BLOCK_Y
+    nz_pad = _round_up(nz, BLOCK_Z)
+    nzb = nz_pad // BLOCK_Z
+
+    # Union scan band across a z block: s shifts by r/tan(theta) per z.
     # +8: DMA starts are quantized down to sublane multiples (Mosaic
     # requires provably 8-divisible dynamic slice starts).
-    span = int(math.ceil(r * (BLOCK_Y - 1))) + 3 + 8
+    z_drift = (BLOCK_Z - 1) * r / math.tan(theta)
+    span = int(math.ceil(r * (BLOCK_Y - 1) + z_drift)) + 3 + 8
     span = _round_up(span, 8)
     ns_eff = max(ns, span)  # raw is zero-padded in scan if shorter
 
-    zz = np.arange(nz, dtype=np.float64)
+    # Union tilt window across a z block: t = z / sin(theta).
+    t_span = int(math.ceil((BLOCK_Z - 1) / g["sin_t"])) + 2
+
+    zz = np.arange(nz_pad, dtype=np.float64)
     yy = np.arange(ny_pad, dtype=np.float64)
 
     # Tilt plane indices / weights (depend on z only).
@@ -66,26 +83,36 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
     frac_t = t - t0
     wt0 = np.where((t0 >= 0) & (t0 <= nt - 1), 1.0 - frac_t, 0.0)
     wt1 = np.where((t0 + 1 >= 0) & (t0 + 1 <= nt - 1), frac_t, 0.0)
-    t_idx = np.stack(
-        [np.clip(t0, 0, nt - 1), np.clip(t0 + 1, 0, nt - 1)], axis=1
-    ).astype(np.int32)
-    wt = np.stack([wt0, wt1], axis=1).astype(np.float32)
+    wt0[nz:] = 0.0
+    wt1[nz:] = 0.0
+    # Per-block tilt window start (t0 is nondecreasing in z).
+    t_lo = np.clip(t0.reshape(nzb, BLOCK_Z)[:, 0], 0, None).astype(np.int32)
+    nt_eff = int(max(nt, (t_lo + t_span).max()))
+    t_local0 = np.clip(
+        np.clip(t0, 0, nt - 1) - np.repeat(t_lo, BLOCK_Z), 0, t_span - 1
+    )
+    t_local1 = np.clip(
+        np.clip(t0 + 1, 0, nt - 1) - np.repeat(t_lo, BLOCK_Z), 0, t_span - 1
+    )
 
     # Scan coordinate (z, y): affine in y.
     s = r * ((yy[None, :] + g["y_offset"]) - zz[:, None] / math.tan(theta))
     s0 = np.floor(s).astype(np.int64)
     ws = (s - s0).astype(np.float64)
 
-    # Per-(z, y-block) DMA start: the band's first needed row, clamped
-    # and quantized down to a sublane (8) multiple.
-    s_first = s0[:, ::BLOCK_Y]  # (nz, nyb) — min s0 within each block
+    # Per-(z-block, y-block) DMA start: the union band's first needed
+    # row (minimum over the block's z — s decreases with z — and its
+    # first y), clamped and quantized down to a sublane (8) multiple.
+    s_first = s0[:, ::BLOCK_Y].reshape(nzb, BLOCK_Z, nyb).min(axis=1)
     s_lo = np.clip(s_first, 0, max(ns_eff - span, 0)).astype(np.int64)
     s_lo = ((s_lo // 8) * 8).astype(np.int32)
 
     # Interpolation weights with validity masks (zero outside the raw
     # scan extent or outside the DMA'd band — matches the XLA/scipy
     # 'grid-constant' boundary blending).
-    s_lo_full = np.repeat(s_lo, BLOCK_Y, axis=1)[:, :ny_pad]
+    s_lo_full = np.repeat(
+        np.repeat(s_lo, BLOCK_Z, axis=0), BLOCK_Y, axis=1
+    )[:nz_pad, :ny_pad]
     local = s0 - s_lo_full
     valid0 = (s0 >= 0) & (s0 <= ns - 1) & (local >= 0) & (local <= span - 1)
     valid1 = (s0 + 1 >= 0) & (s0 + 1 <= ns - 1) & (local + 1 >= 0) & (
@@ -93,105 +120,120 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
     )
     w00 = np.where(valid0, 1.0 - ws, 0.0).astype(np.float32)
     w01 = np.where(valid1, ws, 0.0).astype(np.float32)
-    # Padded y rows (>= ny) produce zeros.
+    # Padded y/z rows produce zeros.
     w00[:, ny:] = 0.0
     w01[:, ny:] = 0.0
+    w00[nz:, :] = 0.0
+    w01[nz:, :] = 0.0
     # Independent local columns for the two taps: when one side is
     # clipped (weight already zeroed) the other must still point at its
     # true row.
     s0_local = np.clip(local, 0, span - 1).astype(np.int32)
     s1_local = np.clip(local + 1, 0, span - 1).astype(np.int32)
 
-    # Pack the per-(z, y) metadata into one (nz, nyb, 8, BLOCK_Y) f32
-    # tensor so its VMEM block is (1, 1, 8, 128) — the TPU lowering
-    # requires the last two block dims to be (8, 128)-aligned. Rows:
-    # 0 = w00, 1 = w01, 2 = s0_local, 3 = s1_local (exact small ints in
-    # f32), 4 = wt0 (broadcast), 5 = wt1 (broadcast), 6-7 unused.
-    meta = np.zeros((nz, nyb, 8, BLOCK_Y), np.float32)
-    meta[:, :, 0, :] = w00.reshape(nz, nyb, BLOCK_Y)
-    meta[:, :, 1, :] = w01.reshape(nz, nyb, BLOCK_Y)
-    meta[:, :, 2, :] = s0_local.reshape(nz, nyb, BLOCK_Y)
-    meta[:, :, 3, :] = s1_local.reshape(nz, nyb, BLOCK_Y)
-    meta[:, :, 4, :] = wt[:, 0][:, None, None]
-    meta[:, :, 5, :] = wt[:, 1][:, None, None]
+    # Pack the per-(z, y) metadata into one
+    # (nzb, nyb, BLOCK_Z * _META_ROWS, BLOCK_Y) f32 tensor so its VMEM
+    # block has (8, 128)-aligned trailing dims. Rows per z (all exact
+    # small ints in f32 where integral): 0 = w00, 1 = w01, 2 = s0_local,
+    # 3 = s1_local, 4 = wt0, 5 = wt1, 6 = t_local0, 7 = t_local1.
+    meta = np.zeros((nzb, nyb, BLOCK_Z * _META_ROWS, BLOCK_Y), np.float32)
+    w00_b = w00.reshape(nz_pad, nyb, BLOCK_Y)
+    w01_b = w01.reshape(nz_pad, nyb, BLOCK_Y)
+    s0_b = s0_local.reshape(nz_pad, nyb, BLOCK_Y)
+    s1_b = s1_local.reshape(nz_pad, nyb, BLOCK_Y)
+    for zi in range(BLOCK_Z):
+        zg = np.arange(nzb) * BLOCK_Z + zi
+        base = zi * _META_ROWS
+        meta[:, :, base + 0, :] = w00_b[zg]
+        meta[:, :, base + 1, :] = w01_b[zg]
+        meta[:, :, base + 2, :] = s0_b[zg]
+        meta[:, :, base + 3, :] = s1_b[zg]
+        meta[:, :, base + 4, :] = wt0[zg][:, None, None]
+        meta[:, :, base + 5, :] = wt1[zg][:, None, None]
+        meta[:, :, base + 6, :] = t_local0[zg][:, None, None]
+        meta[:, :, base + 7, :] = t_local1[zg][:, None, None]
 
     return {
         "nz": nz,
+        "nz_pad": nz_pad,
+        "nzb": nzb,
         "ny": ny,
         "ny_pad": ny_pad,
         "nyb": nyb,
         "span": span,
+        "t_span": t_span,
         "ns_eff": ns_eff,
+        "nt_eff": nt_eff,
         "nx": nx,
         "s_lo": s_lo,
-        "t_idx": t_idx,
+        "t_lo": t_lo,
         "meta": meta,
     }
 
 
 def _kernel(
-    s_lo_ref,  # (nz, nyb) int32, scalar-prefetch
-    t_idx_ref,  # (nz, 2) int32, scalar-prefetch
-    raw_ref,  # (T, S_eff, Xp) f32, HBM
-    meta_ref,  # (1, 1, 8, BLOCK_Y) f32: w00/w01/s0/s1/wt0/wt1 rows
-    out_ref,  # (1, BLOCK_Y, Xp) f32
-    vm,  # (2 slots, 2 tilt planes, span, Xp)
-    sems,  # DMA sems, (2, 2)
+    s_lo_ref,  # (nzb, nyb) int32, scalar-prefetch
+    t_lo_ref,  # (nzb,) int32, scalar-prefetch
+    raw_ref,  # (T_eff, S_eff, Xp) f32, HBM
+    meta_ref,  # (1, 1, BLOCK_Z * 8, BLOCK_Y) f32
+    out_ref,  # (BLOCK_Z, BLOCK_Y, Xp) f32
+    vm,  # (2, t_span, span, Xp) f32 scratch
+    sems,  # DMA sems, (2,)
     *,
     nyb: int,
 ):
-    z = pl.program_id(0)
+    zb = pl.program_id(0)
     yb = pl.program_id(1)
-    s = z * nyb + yb
+    s = zb * nyb + yb
     total = pl.num_programs(0) * nyb
-    span = vm.shape[2]
+    t_span, span = vm.shape[1], vm.shape[2]
 
-    def band_dma(step, plane):
-        """DMA of `plane`'s scan band for flat step index `step`."""
-        z2 = step // nyb
+    def box_dma(step):
+        """Union-band DMA (tilt window x scan band) for flat step."""
+        zb2 = step // nyb
         yb2 = jax.lax.rem(step, nyb)
-        s_lo = pl.multiple_of(s_lo_ref[z2, yb2], 8)
+        s_lo = pl.multiple_of(s_lo_ref[zb2, yb2], 8)
+        t_lo = t_lo_ref[zb2]
         slot = jax.lax.rem(step, 2)
         return pltpu.make_async_copy(
-            raw_ref.at[t_idx_ref[z2, plane], pl.ds(s_lo, span), :],
-            vm.at[slot, plane],
-            sems.at[slot, plane],
+            raw_ref.at[pl.ds(t_lo, t_span), pl.ds(s_lo, span), :],
+            vm.at[slot],
+            sems.at[slot],
         )
 
-    # One-step-deep double buffering: step s+1's bands transfer while
-    # step s computes (the round-1 kernel waited on its own DMAs inside
-    # every step — pure serialization, ~2x on the production volume).
+    # One-step-deep double buffering: step s+1's box transfers while
+    # step s computes.
     @pl.when(s == 0)
     def _():
-        band_dma(0, 0).start()
-        band_dma(0, 1).start()
+        box_dma(0).start()
 
     @pl.when(s + 1 < total)
     def _():
-        band_dma(s + 1, 0).start()
-        band_dma(s + 1, 1).start()
+        box_dma(s + 1).start()
 
-    meta = meta_ref[0, 0]  # (8, BLOCK_Y)
-    s0 = meta[2, :].astype(jnp.int32)
-    s1 = meta[3, :].astype(jnp.int32)
-    # Banded interpolation matrix: two non-zeros per output row.
-    cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Y, span), 1)
-    gmat = jnp.where(cols == s0[:, None], meta[0, :][:, None], 0.0) + jnp.where(
-        cols == s1[:, None], meta[1, :][:, None], 0.0
-    )
-
+    box_dma(s).wait()
     slot = jax.lax.rem(s, 2)
-    band_dma(s, 0).wait()
-    band_dma(s, 1).wait()
-    r0 = jnp.dot(
-        gmat, vm[slot, 0], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    r1 = jnp.dot(
-        gmat, vm[slot, 1], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    out_ref[0] = meta[4, 0] * r0 + meta[5, 0] * r1
+    meta = meta_ref[0, 0]  # (BLOCK_Z * 8, BLOCK_Y)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Y, span), 1)
+    for zi in range(BLOCK_Z):
+        base = zi * _META_ROWS
+        s0 = meta[base + 2, :].astype(jnp.int32)
+        s1 = meta[base + 3, :].astype(jnp.int32)
+        # Banded interpolation matrix: two non-zeros per output row.
+        gmat = jnp.where(
+            cols == s0[:, None], meta[base + 0, :][:, None], 0.0
+        ) + jnp.where(cols == s1[:, None], meta[base + 1, :][:, None], 0.0)
+        t0 = meta[base + 6, 0].astype(jnp.int32)
+        t1 = meta[base + 7, 0].astype(jnp.int32)
+        r0 = jnp.dot(
+            gmat, vm[slot, t0], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        r1 = jnp.dot(
+            gmat, vm[slot, t1], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[zi] = meta[base + 4, 0] * r0 + meta[base + 5, 0] * r1
 
 
 @partial(
@@ -217,50 +259,60 @@ def _deskew_pallas_jit(
         average_n_slices=average_n_slices,
     )
     plan = _plan(tuple(raw.shape), settings)
-    nz, ny_pad, nyb = plan["nz"], plan["ny_pad"], plan["nyb"]
-    span, ns_eff, nx = plan["span"], plan["ns_eff"], plan["nx"]
+    nzb, nyb = plan["nzb"], plan["nyb"]
+    span, t_span = plan["span"], plan["t_span"]
+    ns_eff, nt_eff, nx = plan["ns_eff"], plan["nt_eff"], plan["nx"]
     xp = _round_up(nx, LANES)
 
-    # (T, S_eff, Xp) layout: per-tilt-plane scan rows are contiguous for
-    # the banded DMA; X padded to full lanes.
+    # (T_eff, S_eff, Xp) layout: per-tilt-plane scan rows are contiguous
+    # for the box DMA; X padded to full lanes.
     raw_t = jnp.moveaxis(raw.astype(jnp.float32), 1, 0)
     raw_t = jnp.pad(
         raw_t,
-        ((0, 0), (0, ns_eff - raw.shape[0]), (0, xp - nx)),
+        (
+            (0, nt_eff - raw.shape[1]),
+            (0, ns_eff - raw.shape[0]),
+            (0, xp - nx),
+        ),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nz, nyb),
+        grid=(nzb, nyb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # raw, DMA'd manually
             pl.BlockSpec(
-                (1, 1, 8, BLOCK_Y),
-                lambda z, yb, *_: (z, yb, 0, 0),
+                (1, 1, BLOCK_Z * _META_ROWS, BLOCK_Y),
+                lambda zb, yb, *_: (zb, yb, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, BLOCK_Y, xp), lambda z, yb, *_: (z, yb, 0), memory_space=pltpu.VMEM
+            (BLOCK_Z, BLOCK_Y, xp),
+            lambda zb, yb, *_: (zb, yb, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, span, xp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, t_span, span, xp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     out = pl.pallas_call(
         partial(_kernel, nyb=nyb),
-        out_shape=jax.ShapeDtypeStruct((nz, ny_pad, xp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (plan["nz_pad"], plan["ny_pad"], xp), jnp.float32
+        ),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(
         jnp.asarray(plan["s_lo"]),
-        jnp.asarray(plan["t_idx"]),
+        jnp.asarray(plan["t_lo"]),
         raw_t,
         jnp.asarray(plan["meta"]),
     )
-    out = out[:, : plan["ny"], :nx]
+    out = out[: plan["nz"], : plan["ny"], :nx]
     return _average_z_groups(out, average_n_slices)
 
 
