@@ -164,6 +164,13 @@ class DeconvolveSettings(BaseModel):
     # route to the exact FFT path. Every denoise/fallback is logged.
     psf_denoise: Literal["auto", "off"] = "auto"
     psf_denoise_max_residual: float = 0.05
+    # Extended-rank ceiling tried before falling back to FFT: the fused
+    # kernel's per-term marginal cost keeps rank-10 separable iterations
+    # faster than the FFT path (~8x a rank-1 iteration on v5e). Applies
+    # to both the strict tier (aberrated-but-clean PSFs often need rank
+    # 7-10) and the denoise tier (which stops at the first sufficient
+    # rank anyway).
+    max_extended_terms: int = 10
     # MXU matmul precision for the separable path. TPU default matmuls
     # are bf16 (1e-2 error over 20 iterations — fails the 1e-3 parity
     # budget); "high" (bf16x3) measures 6e-5 at ~3x default cost,

@@ -137,3 +137,60 @@ def test_denoised_rl_close_to_exact_psf_rl(measured_like_psf, rng):
     assert float(np.mean((ours - truth) ** 2)) < 0.6 * float(
         np.mean((blurred - truth) ** 2)
     )
+
+
+# -- extended rank tier: structured PSFs between rank 6 and rank 10 ----------
+
+
+@pytest.fixture
+def rank8_psf():
+    """A clean tilted light-sheet PSF: the 12-degree z-y rotation puts
+    its cascade rank at 9 (the z extent), with rank 6 leaving ~1.7e-3 —
+    exactly the clean-but-aberrated class the extended-rank tier exists
+    for (measured deskewed-geometry PSFs are tilted the same way,
+    reference ``scripts/measure_psf.py:186-190``)."""
+    psf = gaussian_psf((9, 21, 21), (1.4, 3.2, 2.2))
+    psf = rotate(psf, angle=12.0, axes=(0, 1), reshape=False, order=3)
+    psf = np.clip(psf, 0, None)
+    return (psf / psf.sum()).astype(np.float32)
+
+
+def test_extended_rank_keeps_structured_psf_separable(rank8_psf, caplog):
+    assert separable_decompose(rank8_psf, tol=1e-4, max_terms=6) is None
+    settings = DeconvolveSettings()
+    with caplog.at_level(logging.WARNING, logger="shrimpy_tpu.ops.deconv"):
+        terms = plan_separable_terms(rank8_psf, settings)
+    assert terms is not None
+    assert 6 < len(terms) <= settings.max_extended_terms
+    assert any("extended rank" in r.message for r in caplog.records)
+
+
+def test_extended_rank_rl_parity(rank8_psf, rng):
+    """RL-10 with an extended-rank PSF on the separable path matches the
+    fp64 FFT-free oracle within the parity budget."""
+    import jax.numpy as jnp
+
+    vol = (rng.random((12, 48, 64), dtype=np.float32) * 100 + 1.0).astype(
+        np.float32
+    )
+    settings = DeconvolveSettings(iterations=10, algorithm="auto")
+    terms = plan_separable_terms(rank8_psf, settings)
+    assert terms is not None and len(terms) > 6
+    ours = np.asarray(richardson_lucy(jnp.asarray(vol), rank8_psf, settings))
+    oracle = richardson_lucy_reference_separable(
+        vol, rank8_psf, iterations=10, terms=terms
+    )
+    rel = np.abs(ours - oracle).max() / np.abs(oracle).max()
+    assert rel <= 1e-3, rel
+
+
+def test_denoise_stops_at_noise_plateau(measured_like_psf):
+    """The denoise tier stops adding terms at the noise plateau (each
+    extra term improving the residual by <8%) instead of always burning
+    max_terms of per-iteration cost on noise modes."""
+    full, full_res = separable_truncate(measured_like_psf, max_terms=10)
+    stopped, residual = separable_truncate(
+        measured_like_psf, max_terms=10, plateau_rtol=0.08
+    )
+    assert len(stopped) < len(full)
+    assert residual <= 0.06  # the structure is still captured
