@@ -410,6 +410,26 @@ class ReconstructSettings(BaseModel):
     # (reference datasets carry NGFF pyramids, docs/data_structure.md:
     # 60-94); 0 = base resolution only.
     pyramid_levels: int = 0
+    # Volumes larger than one device's HBM: keep each volume's X extent
+    # sharded over the mesh's 'space' axis through the volumetric
+    # stages too (distributed slab FFTs via XLA collectives), instead
+    # of resharding to whole volumes per device. Forces the FFT RL
+    # path — the Pallas/separable kernels are volume-local (SURVEY §5.7).
+    shard_volumes: bool = False
+
+    @model_validator(mode="after")
+    def _check_shard_volumes(self) -> "ReconstructSettings":
+        if (
+            self.shard_volumes
+            and self.deconvolve is not None
+            and self.deconvolve.algorithm == "separable"
+        ):
+            raise ValueError(
+                "shard_volumes requires the FFT deconvolution path "
+                "(algorithm='fft' or 'auto'); the separable kernels are "
+                "volume-local"
+            )
+        return self
 
 
 class ReconstructArms(BaseModel):

@@ -52,7 +52,12 @@ def _deconv_fn(
     psf_np = np.asarray(psf, dtype=np.float32)
 
     terms = None
-    if deconv.algorithm in ("auto", "separable"):
+    if settings.shard_volumes:
+        # >HBM volumes stay X-sharded through the volumetric stages:
+        # only the pure-XLA FFT path partitions under GSPMD (the
+        # Pallas/separable kernels are volume-local).
+        pass
+    elif deconv.algorithm in ("auto", "separable"):
         from shrimpy_tpu.ops.deconv import plan_separable_terms
 
         terms = plan_separable_terms(psf_np, deconv)
@@ -213,6 +218,135 @@ def _stage_fns(
     return deskew_fn, fft_fn
 
 
+def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
+    """Volumetric stages on X-sharded volumes: distributed slab FFTs.
+
+    The >HBM ``shard_volumes`` path: the FFT-based stages (phase
+    inverse, FFT RL) run inside ``shard_map`` over the mesh with
+    :mod:`shrimpy_tpu.parallel.fft` slab transforms — Z/Y local, the X
+    transform via two ``all_to_all`` transposes over ICI. No device
+    ever materializes a whole volume; grid pads/crops happen outside
+    the shard_map where GSPMD handles sharded-axis halos.
+    """
+    phase = settings.phase
+    deconv = settings.deconvolve
+    if settings.registration is not None and settings.registration.transform_path:
+        raise ValueError(
+            "shard_volumes does not support the registration-apply stage "
+            "(affine gathers span shards); register on whole volumes"
+        )
+    if phase is None and deconv is None:
+        return None
+    psf_np = None
+    if deconv is not None:
+        if psf is None:
+            raise ValueError("deconvolve stage enabled but no PSF provided")
+        psf_np = np.asarray(psf, dtype=np.float32)
+    n_space = mesh.devices.shape[1]
+    spec_x = NamedSharding(mesh, P("batch", None, None, "space"))
+
+    from jax.experimental.shard_map import shard_map
+
+    from shrimpy_tpu.parallel.fft import fft3_sharded, ifft3_sharded
+
+    def _constrain(x):
+        return jax.lax.with_sharding_constraint(x, spec_x)
+
+    def run(batch, tf_ri):
+        vol = batch.astype(jnp.float32)
+
+        if phase is not None:
+            zp = phase.transfer_function.z_padding
+            reg = phase.apply_inverse.regularization_strength
+            if zp:
+                vol = _constrain(jnp.pad(
+                    vol, ((0, 0), (zp, zp), (0, 0), (0, 0)), mode="reflect"
+                ))
+            if vol.shape[2] % n_space:
+                raise ValueError(
+                    f"shard_volumes: Y extent {vol.shape[2]} must divide "
+                    f"the space axis ({n_space}) for the slab transpose"
+                )
+
+            def phase_local(block, tf_blk):
+                tf = tf_blk[0] + 1j * tf_blk[1]
+                mean = jax.lax.pmean(
+                    jnp.mean(block, axis=(1, 2, 3), keepdims=True), "space"
+                )
+                spectrum = fft3_sharded(
+                    (block - mean).astype(jnp.complex64), "space"
+                )
+                recon = jnp.conj(tf) * spectrum / (jnp.abs(tf) ** 2 + reg)
+                return jnp.real(ifft3_sharded(recon, "space")).astype(
+                    jnp.float32
+                )
+
+            vol = shard_map(
+                phase_local,
+                mesh=mesh,
+                in_specs=(
+                    P("batch", None, None, "space"),
+                    P(None, None, None, "space"),
+                ),
+                out_specs=P("batch", None, None, "space"),
+                check_rep=False,
+            )(vol, tf_ri)
+            if zp:
+                vol = _constrain(vol[:, zp:-zp])
+
+        if deconv is not None:
+            grid, pads = _padded_grid_shape(
+                tuple(vol.shape[1:]), tuple(psf_np.shape)
+            )
+            if grid[1] % n_space or grid[2] % n_space:
+                raise ValueError(
+                    f"shard_volumes: padded RL grid {grid} must divide the "
+                    f"space axis ({n_space}) on Y and X"
+                )
+            from shrimpy_tpu.ops.deconv import _embed_psf
+
+            otf = jnp.fft.fftn(_embed_psf(jnp.asarray(psf_np), grid))
+            eps = deconv.epsilon
+            iterations = deconv.iterations
+            padded = _constrain(
+                jnp.pad(vol, ((0, 0), *pads), mode=deconv.pad_mode)
+            )
+
+            def rl_local(block, otf_blk):
+                data = jnp.maximum(block, 0.0)
+                est0 = jnp.maximum(block, eps)
+
+                def conv(u, kernel):
+                    f = fft3_sharded(u.astype(jnp.complex64), "space")
+                    return jnp.real(ifft3_sharded(f * kernel, "space"))
+
+                def step(est, _):
+                    ratio = data / jnp.maximum(conv(est, otf_blk), eps)
+                    return est * conv(ratio, jnp.conj(otf_blk)), None
+
+                est, _ = jax.lax.scan(step, est0, None, length=iterations)
+                return est
+
+            est = shard_map(
+                rl_local,
+                mesh=mesh,
+                in_specs=(
+                    P("batch", None, None, "space"),
+                    P(None, None, "space"),
+                ),
+                out_specs=P("batch", None, None, "space"),
+                check_rep=False,
+            )(padded, otf)
+            crop = tuple(
+                slice(lo, lo + n) for (lo, _), n in zip(pads, vol.shape[1:])
+            )
+            vol = _constrain(est[(slice(None), *crop)])
+
+        return vol
+
+    return run
+
+
 def build_reconstruct_step(
     settings: ReconstructSettings,
     *,
@@ -265,6 +399,14 @@ def build_reconstruct_step(
                 out_specs=spec_in,
                 check_rep=False,  # pallas_call outputs carry no replication info
             )(vol)
+        if settings.shard_volumes:
+            # >HBM volumes: no whole-volume reshard — X stays sharded
+            # over 'space' and the volumetric stages run as distributed
+            # slab FFTs inside shard_map (SURVEY §5.7).
+            sharded_fft = _fft_stages_sharded(settings, psf, mesh)
+            if sharded_fft is not None:
+                vol = sharded_fft(vol, tf)
+            return vol
         if fft_fn is not None:
             # Volumetric stages run per whole volume: reshard so each
             # device owns complete volumes (one all-to-all over ICI),
