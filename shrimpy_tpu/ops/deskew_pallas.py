@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from shrimpy_tpu.config.schemas import DeskewSettings
-from shrimpy_tpu.ops.deskew import _average_z_groups, _geometry
+from shrimpy_tpu.ops.deskew import _geometry
 
 BLOCK_Y = 128
 BLOCK_Z = 8
@@ -60,19 +60,27 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
 
     ny_pad = _round_up(ny, BLOCK_Y)
     nyb = ny_pad // BLOCK_Y
-    nz_pad = _round_up(nz, BLOCK_Z)
-    nzb = nz_pad // BLOCK_Z
+    # z-averaging is folded into the kernel: each grid step consumes
+    # bz_raw full-rate slices and emits bz_raw/A averaged rows, so the
+    # 1/A-sized output is all that ever exists in HBM (the XLA path
+    # materialized the full-rate volume first — 3x the memory and write
+    # bandwidth at the reference's average_n_slices=3).
+    a_avg = max(1, int(settings.average_n_slices))
+    bz_raw = a_avg * max(1, -(-BLOCK_Z // a_avg))
+    n_groups = -(-nz // a_avg)
+    nz_pad = _round_up(n_groups * a_avg, bz_raw)
+    nzb = nz_pad // bz_raw
 
     # Union scan band across a z block: s shifts by r/tan(theta) per z.
     # +8: DMA starts are quantized down to sublane multiples (Mosaic
     # requires provably 8-divisible dynamic slice starts).
-    z_drift = (BLOCK_Z - 1) * r / math.tan(theta)
+    z_drift = (bz_raw - 1) * r / math.tan(theta)
     span = int(math.ceil(r * (BLOCK_Y - 1) + z_drift)) + 3 + 8
     span = _round_up(span, 8)
     ns_eff = max(ns, span)  # raw is zero-padded in scan if shorter
 
     # Union tilt window across a z block: t = z / sin(theta).
-    t_span = int(math.ceil((BLOCK_Z - 1) / g["sin_t"])) + 2
+    t_span = int(math.ceil((bz_raw - 1) / g["sin_t"])) + 2
 
     zz = np.arange(nz_pad, dtype=np.float64)
     yy = np.arange(ny_pad, dtype=np.float64)
@@ -86,14 +94,23 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
     wt0[nz:] = 0.0
     wt1[nz:] = 0.0
     # Per-block tilt window start (t0 is nondecreasing in z).
-    t_lo = np.clip(t0.reshape(nzb, BLOCK_Z)[:, 0], 0, None).astype(np.int32)
+    t_lo = np.clip(t0.reshape(nzb, bz_raw)[:, 0], 0, None).astype(np.int32)
     nt_eff = int(max(nt, (t_lo + t_span).max()))
     t_local0 = np.clip(
-        np.clip(t0, 0, nt - 1) - np.repeat(t_lo, BLOCK_Z), 0, t_span - 1
+        np.clip(t0, 0, nt - 1) - np.repeat(t_lo, bz_raw), 0, t_span - 1
     )
     t_local1 = np.clip(
-        np.clip(t0 + 1, 0, nt - 1) - np.repeat(t_lo, BLOCK_Z), 0, t_span - 1
+        np.clip(t0 + 1, 0, nt - 1) - np.repeat(t_lo, bz_raw), 0, t_span - 1
     )
+    # Group-mean scale folded into the tilt weights: averaged out row g
+    # is sum_z (1/count_g) * slice_z; the partial tail group divides by
+    # its actual size (matching _average_z_groups).
+    counts = np.minimum(
+        (np.arange(nz_pad) // a_avg + 1) * a_avg, nz
+    ) - (np.arange(nz_pad) // a_avg) * a_avg
+    scale = np.where(counts > 0, 1.0 / np.maximum(counts, 1), 0.0)
+    wt0 = wt0 * scale
+    wt1 = wt1 * scale
 
     # Scan coordinate (z, y): affine in y.
     s = r * ((yy[None, :] + g["y_offset"]) - zz[:, None] / math.tan(theta))
@@ -103,7 +120,7 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
     # Per-(z-block, y-block) DMA start: the union band's first needed
     # row (minimum over the block's z — s decreases with z — and its
     # first y), clamped and quantized down to a sublane (8) multiple.
-    s_first = s0[:, ::BLOCK_Y].reshape(nzb, BLOCK_Z, nyb).min(axis=1)
+    s_first = s0[:, ::BLOCK_Y].reshape(nzb, bz_raw, nyb).min(axis=1)
     s_lo = np.clip(s_first, 0, max(ns_eff - span, 0)).astype(np.int64)
     s_lo = ((s_lo // 8) * 8).astype(np.int32)
 
@@ -111,7 +128,7 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
     # scan extent or outside the DMA'd band — matches the XLA/scipy
     # 'grid-constant' boundary blending).
     s_lo_full = np.repeat(
-        np.repeat(s_lo, BLOCK_Z, axis=0), BLOCK_Y, axis=1
+        np.repeat(s_lo, bz_raw, axis=0), BLOCK_Y, axis=1
     )[:nz_pad, :ny_pad]
     local = s0 - s_lo_full
     valid0 = (s0 >= 0) & (s0 <= ns - 1) & (local >= 0) & (local <= span - 1)
@@ -136,13 +153,13 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
     # block has (8, 128)-aligned trailing dims. Rows per z (all exact
     # small ints in f32 where integral): 0 = w00, 1 = w01, 2 = s0_local,
     # 3 = s1_local, 4 = wt0, 5 = wt1, 6 = t_local0, 7 = t_local1.
-    meta = np.zeros((nzb, nyb, BLOCK_Z * _META_ROWS, BLOCK_Y), np.float32)
+    meta = np.zeros((nzb, nyb, bz_raw * _META_ROWS, BLOCK_Y), np.float32)
     w00_b = w00.reshape(nz_pad, nyb, BLOCK_Y)
     w01_b = w01.reshape(nz_pad, nyb, BLOCK_Y)
     s0_b = s0_local.reshape(nz_pad, nyb, BLOCK_Y)
     s1_b = s1_local.reshape(nz_pad, nyb, BLOCK_Y)
-    for zi in range(BLOCK_Z):
-        zg = np.arange(nzb) * BLOCK_Z + zi
+    for zi in range(bz_raw):
+        zg = np.arange(nzb) * bz_raw + zi
         base = zi * _META_ROWS
         meta[:, :, base + 0, :] = w00_b[zg]
         meta[:, :, base + 1, :] = w01_b[zg]
@@ -157,6 +174,9 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
         "nz": nz,
         "nz_pad": nz_pad,
         "nzb": nzb,
+        "bz_raw": bz_raw,
+        "a_avg": a_avg,
+        "n_groups": n_groups,
         "ny": ny,
         "ny_pad": ny_pad,
         "nyb": nyb,
@@ -176,11 +196,13 @@ def _kernel(
     t_lo_ref,  # (nzb,) int32, scalar-prefetch
     raw_ref,  # (T_eff, S_eff, Xp) f32, HBM
     meta_ref,  # (1, 1, BLOCK_Z * 8, BLOCK_Y) f32
-    out_ref,  # (BLOCK_Z, BLOCK_Y, Xp) f32
+    out_ref,  # (bz_raw // a_avg, BLOCK_Y, Xp) f32 (averaged rows)
     vm,  # (2, t_span, span, Xp) f32 scratch
     sems,  # DMA sems, (2,)
     *,
     nyb: int,
+    bz_raw: int,
+    a_avg: int,
 ):
     zb = pl.program_id(0)
     yb = pl.program_id(1)
@@ -213,9 +235,9 @@ def _kernel(
 
     box_dma(s).wait()
     slot = jax.lax.rem(s, 2)
-    meta = meta_ref[0, 0]  # (BLOCK_Z * 8, BLOCK_Y)
+    meta = meta_ref[0, 0]  # (bz_raw * 8, BLOCK_Y)
     cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Y, span), 1)
-    for zi in range(BLOCK_Z):
+    for zi in range(bz_raw):
         base = zi * _META_ROWS
         s0 = meta[base + 2, :].astype(jnp.int32)
         s1 = meta[base + 3, :].astype(jnp.int32)
@@ -233,7 +255,13 @@ def _kernel(
             gmat, vm[slot, t1], preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        out_ref[zi] = meta[base + 4, 0] * r0 + meta[base + 5, 0] * r1
+        # The tilt weights carry the 1/group-size scale, so averaging
+        # is plain accumulation into the group's out row.
+        term = meta[base + 4, 0] * r0 + meta[base + 5, 0] * r1
+        if zi % a_avg == 0:
+            out_ref[zi // a_avg] = term
+        else:
+            out_ref[zi // a_avg] = out_ref[zi // a_avg] + term
 
 
 @partial(
@@ -260,6 +288,8 @@ def _deskew_pallas_jit(
     )
     plan = _plan(tuple(raw.shape), settings)
     nzb, nyb = plan["nzb"], plan["nyb"]
+    bz_raw, a_avg = plan["bz_raw"], plan["a_avg"]
+    bz_out = bz_raw // a_avg
     span, t_span = plan["span"], plan["t_span"]
     ns_eff, nt_eff, nx = plan["ns_eff"], plan["nt_eff"], plan["nx"]
     xp = _round_up(nx, LANES)
@@ -282,13 +312,13 @@ def _deskew_pallas_jit(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # raw, DMA'd manually
             pl.BlockSpec(
-                (1, 1, BLOCK_Z * _META_ROWS, BLOCK_Y),
+                (1, 1, bz_raw * _META_ROWS, BLOCK_Y),
                 lambda zb, yb, *_: (zb, yb, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (BLOCK_Z, BLOCK_Y, xp),
+            (bz_out, BLOCK_Y, xp),
             lambda zb, yb, *_: (zb, yb, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -299,9 +329,9 @@ def _deskew_pallas_jit(
     )
 
     out = pl.pallas_call(
-        partial(_kernel, nyb=nyb),
+        partial(_kernel, nyb=nyb, bz_raw=bz_raw, a_avg=a_avg),
         out_shape=jax.ShapeDtypeStruct(
-            (plan["nz_pad"], plan["ny_pad"], xp), jnp.float32
+            (nzb * bz_out, plan["ny_pad"], xp), jnp.float32
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
@@ -312,8 +342,9 @@ def _deskew_pallas_jit(
         raw_t,
         jnp.asarray(plan["meta"]),
     )
-    out = out[: plan["nz"], : plan["ny"], :nx]
-    return _average_z_groups(out, average_n_slices)
+    # Averaging already happened in-kernel (group scale in the tilt
+    # weights); crop to the averaged z extent.
+    return out[: plan["n_groups"], : plan["ny"], :nx]
 
 
 def deskew_volume_pallas(
