@@ -452,6 +452,11 @@ def main() -> None:
     configs = []
     for name in ("deskew", "rl20", "register", "plate", "replay"):
         payload = _run_child(["--config", name])
+        if payload is None:
+            # One retry: a killed client leaves its compile queued
+            # server-side, which can stall the next child past its
+            # timeout (transient, not a property of the config).
+            payload = _run_child(["--config", name])
         if payload is not None:
             print(f"# config {name}: {payload}", file=sys.stderr)
             configs.append(payload)

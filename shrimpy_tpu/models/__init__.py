@@ -1,7 +1,9 @@
-"""Neural models: virtual staining UNet."""
+"""Neural models: virtual staining (named architectures + training)."""
 
 from shrimpy_tpu.models.vsunet import (  # noqa: F401
-    VSUNet,
     VirtualStainer,
     VSModelSettings,
+    VSUNet,
+    VSUNeXt2,
+    build_model,
 )
