@@ -38,6 +38,31 @@ def cli(verbose: bool, platform: str | None) -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    _enable_compilation_cache()
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first use of each verb pays
+    the ~20-40 s compile once per machine, not once per invocation
+    (measured 7.3 s -> 1.3 s on a representative FFT program). An
+    explicit JAX_COMPILATION_CACHE_DIR env setting wins."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+
+    cache_dir = Path(
+        os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
+    ) / "shrimpy_tpu" / "jax"
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError):  # pragma: no cover - best effort
+        logging.getLogger(__name__).debug(
+            "compilation cache unavailable", exc_info=True
+        )
 
 
 def _inject_from_store(settings, input_path: Path) -> tuple:

@@ -166,9 +166,16 @@ def _refine_jit(
     # Parameterize the inverse map as identity + delta; the downsampled
     # grid maps back to full-res moving coordinates via the scale matrix.
     scale = jnp.diag(jnp.array([1.0, float(down), float(down)], jnp.float32))
+    # dm is expressed in EDGE-PIXEL units: a raw matrix entry of lr
+    # displaces the volume edge by lr * extent pixels per Adam step —
+    # far outside the similarity basin (~the image's correlation
+    # length), so the optimizer would jump out of a perfect PCC seed.
+    # Dividing by the extent makes one unit of dm == one pixel of
+    # displacement at the far edge, commensurate with the offset.
+    coord_scale = float(max(fixed.shape))
 
     def objective(params):
-        matrix = scale + params["dm"]
+        matrix = scale + params["dm"] / coord_scale
         offset = params["off"]
         warped = _affine_apply_jit(moving, matrix, offset, out_shape)
         return loss_fn(warped, fixed_s)
@@ -190,12 +197,13 @@ def _refine_jit(
     (params, _), losses = jax.lax.scan(
         step, (params0, opt_state0), None, length=iterations
     )
-    matrix = scale + params["dm"]
+    seed_loss = objective(params0)
+    matrix = scale + params["dm"] / coord_scale
     # Rescale to a full-resolution inverse map: out coords at full res are
     # (z, y, x) = (z_s, down*y_s, down*x_s) -> divide the y/x columns.
     col_scale = jnp.array([1.0, 1.0 / down, 1.0 / down], jnp.float32)
     matrix_full = matrix * col_scale[None, :]
-    return matrix_full, params["off"], losses[-1]
+    return matrix_full, params["off"], losses[-1], seed_loss
 
 
 def estimate_registration(
@@ -240,7 +248,7 @@ def estimate_registration(
             final_loss=float("nan"),
         )
 
-    matrix, offset, final_loss = _refine_jit(
+    matrix, offset, final_loss, seed_loss = _refine_jit(
         fixed,
         moving,
         offset0,
@@ -249,6 +257,23 @@ def estimate_registration(
         settings.learning_rate,
         settings.downsample_yx,
     )
+    if float(final_loss) > float(seed_loss):
+        # Refinement made things worse (weakly-structured data can have
+        # a similarity basin narrower than the optimizer's reach): keep
+        # the PCC translation, loudly.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "affine refinement diverged (loss %.4f > seed %.4f); "
+            "keeping the PCC translation-only estimate",
+            float(final_loss), float(seed_loss),
+        )
+        return RegistrationResult(
+            matrix=np.eye(3, dtype=np.float32),
+            offset=np.asarray(offset0),
+            translation_seed=np.asarray(shift),
+            final_loss=float(seed_loss),
+        )
     return RegistrationResult(
         matrix=np.asarray(matrix),
         offset=np.asarray(offset),

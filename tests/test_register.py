@@ -78,3 +78,19 @@ def test_refine_improves_on_seed():
     loss_ref = float(ncc_loss(warped_ref, fixed))
     assert loss_ref < loss_seed, (loss_seed, loss_ref)
     assert np.isfinite(refined.final_loss)
+
+
+def test_refine_divergence_falls_back_to_seed(rng):
+    """Weakly-structured data (rolled noise: similarity basin ~1 px)
+    must not let the affine refinement wander; the guard keeps the PCC
+    translation when refinement worsens the loss."""
+    import numpy as np
+
+    from shrimpy_tpu.config.schemas import RegistrationSettings
+
+    base = (rng.random((16, 64, 64), dtype=np.float32) * 100).astype(np.float32)
+    mov = np.roll(base, (1, 3, -2), (0, 1, 2))
+    res = estimate_registration(base, mov, RegistrationSettings())
+    np.testing.assert_allclose(res.offset, [1.0, 3.0, -2.0], atol=0.2)
+    # Either refinement held the basin or the guard restored identity.
+    np.testing.assert_allclose(np.diag(res.matrix), 1.0, atol=0.05)
