@@ -487,6 +487,11 @@ def _monitor_live(input, preview_dir, interval, once, ls_angle_deg,
         )
     deskew = None
     if ls_angle_deg is not None or px_to_scan_ratio is not None:
+        if px_to_scan_ratio is None:
+            raise click.ClickException(
+                "--ls-angle-deg needs --px-to-scan-ratio too (the deskew "
+                "preview resamples the scan axis by pixel/scan_step)"
+            )
         from shrimpy_tpu.config.schemas import DeskewSettings
 
         deskew = DeskewSettings(

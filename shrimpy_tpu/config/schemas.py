@@ -335,24 +335,17 @@ class DynaTrackConfig(BaseModel):
             targets = vs.get("out_channels")
             if targets is None and vs.get("ckpt_path"):
                 # ckpt_path-only configs take out_channels from the
-                # checkpoint's vs_model.json sidecar when it exists
-                # (written by VirtualStainer.save_ckpt).
-                import json as _json
-                from pathlib import Path as _Path
+                # checkpoint's sidecar when it exists (written by
+                # VirtualStainer.save_ckpt).
+                from shrimpy_tpu.config.vs_sidecar import read_vs_sidecar
 
-                sidecar = _Path(vs["ckpt_path"]) / "vs_model.json"
-                if sidecar.exists():
-                    try:
-                        targets = _json.loads(sidecar.read_text()).get(
-                            "out_channels"
-                        )
-                    except (OSError, _json.JSONDecodeError):
-                        targets = None
+                sidecar = read_vs_sidecar(vs["ckpt_path"])
+                if sidecar is not None:
+                    targets = sidecar.get("out_channels")
             if targets is None and not vs.get("ckpt_path"):
-                # VSModelSettings' documented default (kept in sync by
-                # tests/test_vsunet.py; not imported here to keep the
-                # config layer free of jax/flax).
-                targets = ["vs_nuclei", "vs_membrane"]
+                from shrimpy_tpu.config.vs_sidecar import DEFAULT_OUT_CHANNELS
+
+                targets = DEFAULT_OUT_CHANNELS
             if targets is not None and self.tracking_channel not in targets:
                 raise ValueError(
                     f"tracking_channel={self.tracking_channel!r} is not among "

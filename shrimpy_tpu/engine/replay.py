@@ -145,6 +145,11 @@ class ReplayCamera:
         self._nz = source.shape_tczyx[2]
         self._z_center = self._nz // 2
         self._z_step_um = float(z_step_um or source.zyx_scale[0])
+        if not self._z_step_um > 0:
+            raise ValueError(
+                f"z step must be > 0 (got {self._z_step_um}; the store's "
+                "NGFF z scale is a placeholder — pass z_step_um explicitly)"
+            )
         self._z_origin_um = 0.0
         self._z_um = 0.0
         self._t = 0

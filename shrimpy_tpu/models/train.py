@@ -121,11 +121,15 @@ def train_vsunet(
             vols_out.append(np.stack(outs))
     if not vols_in:
         raise ValueError("no training volumes found")
+    if not 0.0 <= val_fraction < 1.0:
+        raise ValueError(f"val_fraction={val_fraction} must be in [0, 1)")
 
     # Validation split: whole volumes when we can afford it, else a
     # y-halved split of the single volume.
     rng = np.random.default_rng(seed)
-    n_val = int(round(len(vols_in) * val_fraction))
+    n_val = min(
+        int(round(len(vols_in) * val_fraction)), len(vols_in) - 1
+    )
     if n_val >= 1 and len(vols_in) > 1:
         order = rng.permutation(len(vols_in))
         val_idx = set(order[:n_val].tolist())
@@ -216,7 +220,10 @@ def train_vsunet(
                     stopped_early = True
                     break
 
-    stainer.params = best_params if val_xy is not None else params
+    # best_params only exists once a validation eval has actually run;
+    # with steps < val_every the trained params must win (an untrained
+    # init would otherwise be saved silently).
+    stainer.params = best_params if val_losses else params
     if ckpt_path is not None:
         stainer.save_ckpt(ckpt_path)
         logger.info("saved VS checkpoint to %s", ckpt_path)

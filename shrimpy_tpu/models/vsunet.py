@@ -49,9 +49,13 @@ import jax.numpy as jnp
 import numpy as np
 from pydantic import BaseModel, ConfigDict, model_validator
 
-logger = logging.getLogger(__name__)
+from shrimpy_tpu.config.vs_sidecar import (  # noqa: F401 (re-export)
+    CKPT_SIDECAR,
+    DEFAULT_OUT_CHANNELS,
+    read_vs_sidecar,
+)
 
-CKPT_SIDECAR = "vs_model.json"
+logger = logging.getLogger(__name__)
 
 
 class UNet25DConfig(BaseModel):
@@ -99,7 +103,7 @@ class VSModelSettings(BaseModel):
     # variant's schema (unknown keys error early).
     arch_config: dict | None = None
     in_slices: int = 5  # z-window (2.5-D input depth)
-    out_channels: list[str] = ["vs_nuclei", "vs_membrane"]
+    out_channels: list[str] = DEFAULT_OUT_CHANNELS
     # unet25d shorthand knobs (kept at the top level for config
     # compatibility; merged into arch_config).
     base_width: int = 64
@@ -315,9 +319,9 @@ class VirtualStainer:
         values, so ``ckpt_path`` alone reconstructs the trained net.
         """
         sidecar_path = Path(settings.ckpt_path) / CKPT_SIDECAR
-        if not sidecar_path.exists():
+        sidecar = read_vs_sidecar(settings.ckpt_path)
+        if sidecar is None:
             return settings  # pre-schema checkpoint: trust the config
-        sidecar = json.loads(sidecar_path.read_text())
         merged = settings.model_dump()
         for field in (
             "architecture", "arch_config", "in_slices", "out_channels",
@@ -325,15 +329,26 @@ class VirtualStainer:
         ):
             if field not in sidecar:
                 continue
-            if field in settings.model_fields_set and (
-                merged[field] != sidecar[field]
-            ):
-                raise ValueError(
-                    f"virtual_staining.{field}={merged[field]!r} conflicts "
-                    f"with the checkpoint's {field}={sidecar[field]!r} "
-                    f"({sidecar_path}); drop the explicit setting or point "
-                    "ckpt_path at a matching checkpoint"
-                )
+            if field in settings.model_fields_set:
+                user_val = merged[field]
+                if field == "arch_config" and user_val is not None:
+                    # The sidecar stores the RESOLVED config (defaults
+                    # filled in); resolve the user's partial dict the
+                    # same way so a consistent-but-partial arch_config
+                    # is not a false conflict.
+                    arch = sidecar.get("architecture", settings.architecture)
+                    try:
+                        user_val = _ARCH_CONFIGS[arch](**user_val).model_dump()
+                    except Exception:
+                        pass  # let the mismatch error below explain it
+                if user_val != sidecar[field]:
+                    raise ValueError(
+                        f"virtual_staining.{field}={merged[field]!r} "
+                        f"conflicts with the checkpoint's "
+                        f"{field}={sidecar[field]!r} ({sidecar_path}); drop "
+                        "the explicit setting or point ckpt_path at a "
+                        "matching checkpoint"
+                    )
             merged[field] = sidecar[field]
         # unet25d shorthand knobs live inside the sidecar's arch_config.
         side_arch = sidecar.get("arch_config") or {}

@@ -194,16 +194,20 @@ def _refine_jit(
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    (params, _), losses = jax.lax.scan(
+    (params, _), _losses = jax.lax.scan(
         step, (params0, opt_state0), None, length=iterations
     )
     seed_loss = objective(params0)
+    # Evaluate the FINAL parameters (the scan's last recorded loss is
+    # pre-update, which would let a diverging last step slip past the
+    # caller's guard).
+    final_loss = objective(params)
     matrix = scale + params["dm"] / coord_scale
     # Rescale to a full-resolution inverse map: out coords at full res are
     # (z, y, x) = (z_s, down*y_s, down*x_s) -> divide the y/x columns.
     col_scale = jnp.array([1.0, 1.0 / down, 1.0 / down], jnp.float32)
     matrix_full = matrix * col_scale[None, :]
-    return matrix_full, params["off"], losses[-1], seed_loss
+    return matrix_full, params["off"], final_loss, seed_loss
 
 
 def estimate_registration(
@@ -257,7 +261,8 @@ def estimate_registration(
         settings.learning_rate,
         settings.downsample_yx,
     )
-    if float(final_loss) > float(seed_loss):
+    # NaN-safe: a non-finite refined loss must also fall back.
+    if not (float(final_loss) <= float(seed_loss)):
         # Refinement made things worse (weakly-structured data can have
         # a similarity basin narrower than the optimizer's reach): keep
         # the PCC translation, loudly.

@@ -72,6 +72,10 @@ class ViewerFeeder:
                     }
                 )
             )
+            # A previous acquisition's volume index references a dead
+            # ring (possibly with different slot counts): stale entries
+            # would crash or pollute attaching monitors.
+            (self.preview_dir / "volumes.jsonl").unlink(missing_ok=True)
         ctx = mp.get_context("spawn")
         self._queue = ctx.Queue(maxsize=QUEUE_MAX)
         self._proc = ctx.Process(
@@ -159,6 +163,14 @@ def _monitor_main(
     out_dir = Path(preview_dir) if preview_dir else None
     monitor = LiveMonitor(ring, out_dir) if out_dir else None
     last_render = 0.0
+    def best_effort(fn) -> None:
+        # One bad render (e.g. an incomplete deskew.json) must not end
+        # previews for the rest of the acquisition.
+        try:
+            fn()
+        except Exception:  # pragma: no cover - best-effort preview
+            logging.getLogger(__name__).exception("monitor render failed")
+
     try:
         while True:
             try:
@@ -170,14 +182,14 @@ def _monitor_main(
             if msg and msg.get("type") == "volume" and monitor is not None:
                 monitor.on_volume(msg)
             if monitor is not None:
-                monitor.refresh_controls()
+                best_effort(monitor.refresh_controls)
                 now = time.monotonic()
                 if now - last_render >= interval_s:
                     last_render = now
-                    monitor.render_dirty()
+                    best_effort(monitor.render_dirty)
         if monitor is not None:
-            monitor.refresh_controls()
-            monitor.render_dirty()
+            best_effort(monitor.refresh_controls)
+            best_effort(monitor.render_dirty)
     except Exception:  # pragma: no cover - best-effort preview
         logging.getLogger(__name__).exception("monitor loop failed")
     finally:

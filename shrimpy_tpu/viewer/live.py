@@ -93,6 +93,7 @@ class LiveMonitor:
         if geo is not None:
             try:
                 new = DeskewSettings(**geo)
+                new.require_ratio()  # a preview geometry must be renderable
             except Exception:
                 logger.exception("invalid deskew.json (ignored)")
             else:
@@ -168,8 +169,12 @@ class LiveMonitor:
         msg = self._volumes[key].get(t)
         vol = self._gather(msg) if msg else None
         if vol is None:
-            # Evicted: fall back to the newest still-resident volume.
+            # Evicted: fall back to the newest still-resident volume
+            # (skipping the timepoint that just failed).
+            t_failed = t
             for t_alt in sorted(self._volumes[key], reverse=True):
+                if t_alt == t_failed:
+                    continue
                 vol = self._gather(self._volumes[key][t_alt])
                 if vol is not None:
                     t = t_alt
