@@ -10,6 +10,9 @@ graft-check:
 	python __graft_entry__.py
 
 lint:
-	@python -m ruff check shrimpy_tpu tests scripts bench.py __graft_entry__.py 2>/dev/null \
-	  || (echo "ruff unavailable; falling back to compileall" && \
-	      python -m compileall -q shrimpy_tpu tests bench.py __graft_entry__.py)
+	@if python -c "import ruff" 2>/dev/null || command -v ruff >/dev/null; then \
+	  python -m ruff check shrimpy_tpu tests scripts bench.py __graft_entry__.py; \
+	else \
+	  echo "ruff unavailable; falling back to compileall"; \
+	  python -m compileall -q shrimpy_tpu tests bench.py __graft_entry__.py; \
+	fi

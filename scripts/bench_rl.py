@@ -6,11 +6,16 @@ Usage: python scripts/bench_rl.py <case> [geom]
 
 Cases
 -----
-  rl20            current linear_pallas RL-20 end-to-end
+  rl20            linear_pallas RL-20 end-to-end
   rl20_matmul     circulant-matmul backend RL-20
+  rl20_fused      fused-kernel RL-20 (the TPU default backend)
+  parity_fused    fused RL-20 vs the fp64 oracle on the REAL MXU
   convzy          one fused z+y kernel call (per-call cost)
-  einsum_x        one dense-x Toeplitz einsum (current x pass)
-  einsum_x_banded one block-banded-128 x application (candidate)
+  einsum_x        one dense-x Toeplitz einsum (legacy x pass)
+  einsum_x_banded one block-banded-128 x application
+
+_sync/_time intentionally mirror bench.py's helpers (standalone script;
+keep in step with bench.py if the tunnel sync workaround changes).
 
 Prints one JSON line per case. Timing is wall-clock around a scalar
 readback (the only reliable device sync on the tunneled transport).

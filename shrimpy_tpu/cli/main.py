@@ -430,9 +430,10 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
             for line in journal.read_text().splitlines():
                 try:
                     pos_key, t, _c = json.loads(line)["key"].split("|")
+                    t = int(t)  # inside the guard: torn lines skip whole
                 except (json.JSONDecodeError, KeyError, ValueError):
                     continue
-                done_t.setdefault(pos_key, set()).add(int(t))
+                done_t.setdefault(pos_key, set()).add(t)
         status = {}
         for key, pos in store.positions().items():
             t_size = pos.shape[0]

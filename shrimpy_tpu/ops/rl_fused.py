@@ -46,6 +46,7 @@ role (reference ``shrimpy/dynatrack/preprocessing.py:100-102``,
 
 from __future__ import annotations
 
+import logging
 import os
 from functools import partial
 
@@ -54,6 +55,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+logger = logging.getLogger(__name__)
 
 _BZ = 8
 _BY = 128
@@ -219,23 +222,6 @@ def x_stencil_pieces(taps: np.ndarray, rx: int) -> np.ndarray:
                 if 0 <= r < 128:
                     pieces[m, r, c] += k
     return np.stack([_split_hi_lo(pieces[m]) for m in range(3)])
-
-
-def _dot3(a32, b_hi, b_lo, acc=None):
-    """3-pass bf16 dot == Precision.HIGH: a @ b with f32 accumulation.
-
-    ``a32`` is split in-kernel; ``b_hi/b_lo`` are pre-split host-side.
-    """
-    a_hi = a32.astype(jnp.bfloat16)
-    a_lo = (a32 - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    dims = (((1,), (0,)), ((), ()))
-    dot = partial(
-        jax.lax.dot_general,
-        dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-    )
-    out = dot(a_hi, b_hi) + dot(a_lo, b_hi) + dot(a_hi, b_lo)
-    return out if acc is None else acc + out
 
 
 @partial(
@@ -522,6 +508,13 @@ def rl_fused(image, psf_np, terms, settings, iterations):
     XLA passes per whole RL run.
     """
     interpret = jax.default_backend() != "tpu"
+    if settings.matmul_precision == "highest":
+        logger.warning(
+            "the fused RL backend runs manual 3-pass bf16 dots "
+            "(Precision.HIGH); matmul_precision='highest' is not "
+            "available in-kernel — set separable_backend='matmul' if "
+            "HIGHEST is required"
+        )
     best = fused_best_layout(tuple(image.shape), tuple(psf_np.shape))
     assert best is not None, "caller must check rl_fused_supported"
     layout, swap = best
@@ -534,9 +527,15 @@ def rl_fused(image, psf_np, terms, settings, iterations):
     low_iters = min(
         getattr(settings, "fused_low_precision_iters", 0), iterations
     )
+    # The decomposition settings determine `terms` from the same PSF
+    # bytes, so the terms themselves must key the cache: same PSF with
+    # a different rank budget is a different baked kernel.
+    terms_key = tuple(
+        tuple(np.asarray(w, np.float64).tobytes() for w in t) for t in terms
+    )
     key = (
-        tuple(image.shape), psf_np.tobytes(), iterations, low_iters,
-        settings.epsilon, settings.pad_mode, swap, "fused",
+        tuple(image.shape), psf_np.tobytes(), terms_key, iterations,
+        low_iters, settings.epsilon, settings.pad_mode, swap, "fused",
     )
     if key not in _RL_FUSED_CACHE:
         rz, ry, rx = radii

@@ -76,8 +76,20 @@ def _deconv_fn(
                 deconv.separable_backend, tuple(vol.shape), tuple(psf_np.shape)
             )
             if backend == "fused":
-                from shrimpy_tpu.ops.rl_fused import rl_fused
+                from shrimpy_tpu.ops.rl_fused import (
+                    rl_fused,
+                    rl_fused_supported,
+                )
 
+                if not rl_fused_supported(
+                    tuple(vol.shape), tuple(psf_np.shape)
+                ):
+                    raise ValueError(
+                        f"separable_backend='fused' does not support "
+                        f"volume {tuple(vol.shape)} with PSF "
+                        f"{tuple(psf_np.shape)} (needs y >= one slab and "
+                        "x >= bx + 256); use separable_backend='auto'"
+                    )
                 return rl_fused(vol, psf_np, terms, deconv, deconv.iterations)
             if backend == "linear_pallas":
                 from shrimpy_tpu.ops.deconv import _rl_sep_linear
@@ -385,7 +397,22 @@ def build_reconstruct_step(
         # Mesh path: shard_map runs the per-volume kernels (incl. the
         # manual-DMA Pallas deskew/RL) on each device's local block —
         # vmap cannot trace through pallas_call with manual DMAs, which
-        # in round 1 forced the slow XLA fallbacks here.
+        # in round 1 forced the slow XLA fallbacks here. shard_map
+        # requires even shards; validate with actionable errors instead
+        # of its opaque ones.
+        n_batch_ax, n_space_ax = mesh.devices.shape
+        if vol.shape[0] % n_batch_ax:
+            raise ValueError(
+                f"batch size {vol.shape[0]} must divide the mesh batch "
+                f"axis ({n_batch_ax}); pad the work list or pick a mesh "
+                "with --devices/--batch so volumes shard evenly"
+            )
+        if deskew_fn is not None and vol.shape[3] % n_space_ax:
+            raise ValueError(
+                f"X extent {vol.shape[3]} must divide the mesh space "
+                f"axis ({n_space_ax}) for the sharded deskew; use a "
+                "space factor that divides X (or space=1)"
+            )
         from jax.experimental.shard_map import shard_map
 
         if deskew_fn is not None:

@@ -333,11 +333,14 @@ def reconstruct_store(
         retire(inflight)
     flush_writes()
 
-    if settings.pyramid_levels > 0 and n_done > 0:
+    if settings.pyramid_levels > 0:
+        # Over ALL output positions, not just this run's todo — a
+        # resumed run (todo empty or partial) must still be able to add
+        # levels a crashed run never wrote; already-leveled positions
+        # are skipped, so the stage is idempotent.
         with timer.stage("pyramid"):
-            for pos_key in {it.position for it in todo}:
+            for pos_key in {it.position for it in items}:
                 pos = positions_out[pos_key]
-                # Skip positions that already carry the levels (resume).
                 if len(pos.attrs["multiscales"][0]["datasets"]) == 1:
                     ngff.add_pyramid_levels(pos, settings.pyramid_levels)
 
