@@ -397,22 +397,8 @@ def build_reconstruct_step(
         # Mesh path: shard_map runs the per-volume kernels (incl. the
         # manual-DMA Pallas deskew/RL) on each device's local block —
         # vmap cannot trace through pallas_call with manual DMAs, which
-        # in round 1 forced the slow XLA fallbacks here. shard_map
-        # requires even shards; validate with actionable errors instead
-        # of its opaque ones.
-        n_batch_ax, n_space_ax = mesh.devices.shape
-        if vol.shape[0] % n_batch_ax:
-            raise ValueError(
-                f"batch size {vol.shape[0]} must divide the mesh batch "
-                f"axis ({n_batch_ax}); pad the work list or pick a mesh "
-                "with --devices/--batch so volumes shard evenly"
-            )
-        if deskew_fn is not None and vol.shape[3] % n_space_ax:
-            raise ValueError(
-                f"X extent {vol.shape[3]} must divide the mesh space "
-                f"axis ({n_space_ax}) for the sharded deskew; use a "
-                "space factor that divides X (or space=1)"
-            )
+        # in round 1 forced the slow XLA fallbacks here. (Shard-
+        # evenness is validated by the caller-facing wrapper below.)
         from jax.experimental.shard_map import shard_map
 
         if deskew_fn is not None:
@@ -464,11 +450,31 @@ def build_reconstruct_step(
 
     in_sharding = NamedSharding(mesh, P("batch", None, None, "space"))
     rep = NamedSharding(mesh, P())
-    return jax.jit(
+    jitted = jax.jit(
         batched,
         in_shardings=(in_sharding, rep),
         donate_argnums=(0,) if donate else (),
     )
+
+    def checked(raw, tf):
+        # shard_map/pjit require even shards; raise actionable errors
+        # before their opaque ones.
+        n_batch_ax, n_space_ax = mesh.devices.shape
+        if raw.shape[0] % n_batch_ax:
+            raise ValueError(
+                f"batch size {raw.shape[0]} must divide the mesh batch "
+                f"axis ({n_batch_ax}); pad the work list or pick a mesh "
+                "with --devices/--batch so volumes shard evenly"
+            )
+        if raw.shape[3] % n_space_ax:
+            raise ValueError(
+                f"X extent {raw.shape[3]} must divide the mesh space "
+                f"axis ({n_space_ax}); use a space factor that divides "
+                "X (or space=1)"
+            )
+        return jitted(raw, tf)
+
+    return checked
 
 
 def reconstruct_batch(

@@ -296,3 +296,30 @@ def test_all_backends_odd_shapes(rng, shape, backend):
         oracle = richardson_lucy_reference_separable(vol, psf, iterations=3)
     err = np.abs(ours - oracle).max() / np.abs(oracle).max()
     assert err <= 1e-3, f"{backend} {shape}: rel err {err:.2e}"
+
+
+def test_fused_cache_respects_term_budget(rng):
+    """Same PSF + shape under different rank budgets must NOT reuse a
+    kernel baked with the other decomposition (cache keys on terms)."""
+    import jax.numpy as jnp
+
+    # Rank-2 PSF: two offset Gaussians.
+    g1 = gaussian_psf((5, 9, 9), (1.0, 1.6, 1.6))
+    g2 = np.roll(gaussian_psf((5, 9, 9), (0.8, 1.2, 2.0)), (0, 2, -2), (0, 1, 2))
+    psf = (g1 + 0.6 * g2).astype(np.float32)
+    psf /= psf.sum()
+    vol = (rng.random((16, 160, 640), dtype=np.float32) * 100 + 1.0)
+
+    out_full = np.asarray(richardson_lucy(
+        jnp.asarray(vol), psf,
+        DeconvolveSettings(iterations=3, algorithm="separable",
+                           separable_backend="fused"),
+    ))
+    out_rank1 = np.asarray(richardson_lucy(
+        jnp.asarray(vol), psf,
+        DeconvolveSettings(iterations=3, algorithm="separable",
+                           separable_backend="fused",
+                           max_separable_terms=1, max_extended_terms=1,
+                           psf_denoise_max_residual=1.0),
+    ))
+    assert np.abs(out_full - out_rank1).max() > 1e-3  # different kernels ran

@@ -154,3 +154,28 @@ def test_shard_volumes_phase_slab_fft(rng):
         mesh=make_mesh(8, space=4),
     ))
     np.testing.assert_allclose(out, plain, rtol=2e-4, atol=2e-5)
+
+
+def test_mesh_divisibility_errors_are_actionable(rng):
+    psf = gaussian_psf((5, 5, 5), (1.0, 1.0, 1.0))
+    with pytest.raises(ValueError, match="batch size 3 must divide"):
+        reconstruct_batch(
+            _batch(rng, b=3), SETTINGS, psf=psf, mesh=make_mesh(8, space=2)
+        )
+    with pytest.raises(ValueError, match="X extent .* must divide"):
+        reconstruct_batch(
+            _batch(rng, b=4, shape=(24, 16, 130)), SETTINGS, psf=psf,
+            mesh=make_mesh(8, space=4),
+        )
+
+
+def test_explicit_fused_backend_unsupported_geometry_raises(rng):
+    settings = ReconstructSettings(
+        deconvolve=DeconvolveSettings(
+            iterations=2, separable_backend="fused"
+        ),
+    )
+    psf = gaussian_psf((3, 5, 5), (0.8, 1.0, 1.0))
+    raw = rng.random((1, 8, 16, 64), dtype=np.float32)  # x far below bx+256
+    with pytest.raises(ValueError, match="fused"):
+        reconstruct_batch(raw, settings, psf=psf)

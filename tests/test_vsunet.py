@@ -278,3 +278,63 @@ def test_schema_default_out_channels_in_sync():
     """config/schemas.py hardcodes VSModelSettings' default
     out_channels (to avoid importing flax there); keep them in sync."""
     assert VSModelSettings().out_channels == ["vs_nuclei", "vs_membrane"]
+
+
+def test_ckpt_partial_arch_config_is_not_a_conflict(tmp_path, rng):
+    """The exact (partial) arch_config that produced a checkpoint can
+    load it: user dicts are resolved through the architecture schema
+    before comparing against the sidecar's resolved dump."""
+    cfg = {"encoder_blocks": [1, 1], "dims": [8, 16]}  # no decoder_conv_blocks
+    s = VSModelSettings(architecture="unext2", arch_config=cfg,
+                        in_slices=3, out_channels=["n"], batch_slices=2)
+    VirtualStainer(s).save_ckpt(tmp_path / "ckpt")
+    loaded = VirtualStainer(VSModelSettings(
+        architecture="unext2", arch_config=dict(cfg),
+        in_slices=3, out_channels=["n"], batch_slices=2,
+        ckpt_path=str(tmp_path / "ckpt"),
+    ))
+    assert loaded.settings.arch_config["decoder_conv_blocks"] == 1
+
+
+def test_train_short_run_keeps_trained_params(tmp_path, rng):
+    """steps < val_every: no validation eval ever runs, but the TRAINED
+    parameters must be kept (not the initial ones)."""
+    from shrimpy_tpu.io.ngff import create_fov
+    from shrimpy_tpu.models.train import train_vsunet
+
+    shape = (2, 2, 6, 32, 32)
+    pos = create_fov(tmp_path / "p.zarr", shape=shape, dtype="float32",
+                     channel_names=["phase", "n"])
+    data = rng.random(shape, dtype=np.float32)
+    data[:, 1] = data[:, 0]
+    pos.write(Ellipsis, data)
+
+    settings = _small_settings(out_channels=["n"])
+    init_params = VirtualStainer(_small_settings(out_channels=["n"])).params
+    stainer, report = train_vsunet(
+        tmp_path / "p.zarr", input_channel="phase", target_channels=["n"],
+        settings=settings, steps=8, batch=2, patch=16,
+        val_every=100, val_fraction=0.5,
+    )
+    assert report.val_losses == []
+    import jax
+
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        stainer.params, init_params,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0  # trained, not init
+
+
+def test_train_val_fraction_validation(tmp_path, rng):
+    from shrimpy_tpu.io.ngff import create_fov
+    from shrimpy_tpu.models.train import train_vsunet
+
+    pos = create_fov(tmp_path / "p.zarr", shape=(1, 2, 6, 32, 32),
+                     dtype="float32", channel_names=["phase", "n"])
+    pos.write(Ellipsis, rng.random((1, 2, 6, 32, 32), dtype=np.float32))
+    with pytest.raises(ValueError, match="val_fraction"):
+        train_vsunet(tmp_path / "p.zarr", input_channel="phase",
+                     target_channels=["n"],
+                     settings=_small_settings(out_channels=["n"]),
+                     steps=2, val_fraction=1.5)
