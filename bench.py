@@ -234,15 +234,29 @@ def _config_register() -> dict:
     t0 = time.perf_counter()
     result = estimate_registration(fixed, moving, settings)
     est_s = time.perf_counter() - t0
-    apply_s = _time_best(
-        lambda: _sync(
-            affine_apply(
-                jnp.asarray(moving),
-                jnp.asarray(result.matrix),
-                jnp.asarray(result.offset),
+
+    # Amortize the apply over N calls in one jit program (the tunnel's
+    # per-dispatch latency otherwise dominates a single warp).
+    import jax
+
+    mat = jnp.asarray(result.matrix)
+    off = jnp.asarray(result.offset)
+    mov_dev = jnp.asarray(moving)
+    n_loop = 10
+
+    @jax.jit
+    def apply_loop(mov):
+        def body(acc, i):
+            out = affine_apply(
+                mov + i.astype(jnp.float32) * 1e-6, mat, off
             )
-        )
-    )
+            return acc + jnp.sum(out), None
+
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_loop))
+        return acc
+
+    float(apply_loop(mov_dev))
+    apply_s = _time_best(lambda: float(apply_loop(mov_dev))) / n_loop
     # affine_apply(moving, I, offset) ~ fixed, so the recovered offset
     # is the INVERSE of the shift that produced `moving`.
     err = float(np.abs(np.asarray(result.offset) + true_shift).max())

@@ -76,6 +76,51 @@ def _trilinear_sample(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("output_shape",))
+def _translate_apply_jit(vol, offset, output_shape: tuple[int, int, int]):
+    """Pure-translation warp without gathers: 8 masked rolls + lerp.
+
+    ``out[u] = vol[u + offset]`` (the identity-matrix case of the
+    inverse map). Each trilinear corner is a whole-volume roll by an
+    integer shift (runtime-valued — XLA lowers dynamic rolls to slices,
+    no gather) with out-of-range voxels masked to zero ('grid-constant'
+    boundary). ~3 orders of magnitude faster than the gather warp on
+    TPU (gathers serialize; rolls are bandwidth-bound copies).
+    """
+    vol = vol.astype(jnp.float32)
+    if tuple(vol.shape) != tuple(output_shape):
+        # Grow/shrink to the output extent first (zero boundary).
+        pads = [(0, max(0, o - s)) for s, o in zip(vol.shape, output_shape)]
+        vol = jnp.pad(vol, pads)[
+            tuple(slice(0, o) for o in output_shape)
+        ]
+    offset = offset.astype(jnp.float32)
+    base = jnp.floor(offset).astype(jnp.int32)
+    frac = offset - jnp.floor(offset)
+
+    out = jnp.zeros(output_shape, jnp.float32)
+    iotas = [
+        jax.lax.broadcasted_iota(jnp.int32, tuple(output_shape), a)
+        for a in range(3)
+    ]
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                shift = base + jnp.array([dz, dy, dx], jnp.int32)
+                w = (
+                    jnp.where(dz, frac[0], 1.0 - frac[0])
+                    * jnp.where(dy, frac[1], 1.0 - frac[1])
+                    * jnp.where(dx, frac[2], 1.0 - frac[2])
+                )
+                rolled = jnp.roll(vol, tuple(-shift), axis=(0, 1, 2))
+                valid = jnp.ones(tuple(output_shape), jnp.bool_)
+                for a in range(3):
+                    src = iotas[a] + shift[a]
+                    valid &= (src >= 0) & (src < vol.shape[a])
+                out = out + jnp.where(valid, w * rolled, 0.0)
+    return out
+
+
+@partial(jax.jit, static_argnames=("output_shape",))
 def _affine_apply_jit(vol, matrix, offset, output_shape: tuple[int, int, int]):
     vol = vol.astype(jnp.float32)
     zz, yy, xx = jnp.meshgrid(
@@ -101,10 +146,22 @@ def affine_apply(
     """Warp ``vol`` by the inverse map ``in = matrix @ out + offset`` (ZYX).
 
     Oracle: ``scipy.ndimage.affine_transform(vol, matrix, offset,
-    output_shape, order=1, mode='grid-constant')``.
+    output_shape, order=1, mode='grid-constant')``. A concretely-
+    identity matrix (the ``pcc`` method's result and the refinement
+    guard's fallback) routes to the gather-free translation warp.
     """
     vol = jnp.asarray(vol)
     output_shape = tuple(output_shape or vol.shape)
+    try:
+        is_translation = bool(
+            np.array_equal(np.asarray(matrix), np.eye(3, dtype=np.float32))
+        )
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        is_translation = False  # traced matrix: general path
+    if is_translation:
+        return _translate_apply_jit(
+            vol, jnp.asarray(offset, dtype=jnp.float32), output_shape
+        )
     return _affine_apply_jit(
         vol, jnp.asarray(matrix), jnp.asarray(offset, dtype=jnp.float32), output_shape
     )

@@ -376,6 +376,9 @@ def _rl_fused_pass(
                         bh = yz_scr[t, 0, :, pl.ds(start, 384)]
                         bl = yz_scr[t, 1, :, pl.ds(start, 384)]
                         ch = gxc_ref[t, 0, :, :]
+                        # (Stacking hi/lo into one (2*by, K) dot to share
+                        # the stencil weight load measured 42.51 vs 42.49
+                        # ms/iter — no win; Mosaic already amortizes.)
                         prods += [dot(bh, ch), dot(bl, ch)]
                         if passes >= 3:
                             prods.append(dot(bh, gxc_ref[t, 1, :, :]))

@@ -155,10 +155,12 @@ def _register_fn(settings: ReconstructSettings):
     matrix = jnp.asarray(np.asarray(transform["matrix_zyx"], np.float32))
     offset = jnp.asarray(np.asarray(transform["offset_zyx"], np.float32))
 
-    from shrimpy_tpu.ops.register import _affine_apply_jit
+    from shrimpy_tpu.ops.register import affine_apply
 
     def apply(vol):
-        return _affine_apply_jit(vol, matrix, offset, tuple(vol.shape))
+        # Concrete (build-time) matrix: identity transforms dispatch to
+        # the gather-free translation warp.
+        return affine_apply(vol, matrix, offset, tuple(vol.shape))
 
     return apply
 

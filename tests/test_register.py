@@ -94,3 +94,17 @@ def test_refine_divergence_falls_back_to_seed(rng):
     np.testing.assert_allclose(res.offset, [1.0, 3.0, -2.0], atol=0.2)
     # Either refinement held the basin or the guard restored identity.
     np.testing.assert_allclose(np.diag(res.matrix), 1.0, atol=0.05)
+
+
+def test_translation_fast_path_matches_scipy(rng):
+    """The gather-free translation warp (identity matrix) matches the
+    scipy oracle at subpixel shifts, including boundary zeroing."""
+    import numpy as np
+
+    vol = rng.random((8, 24, 32), dtype=np.float32) * 100
+    for offset in ([2.0, -3.0, 4.0], [0.5, -1.25, 2.75], [-7.9, 10.2, -30.0]):
+        ours = np.asarray(affine_apply(vol, np.eye(3, dtype=np.float32), offset))
+        ref = affine_apply_reference_scipy(
+            vol, np.eye(3), np.asarray(offset, np.float64)
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)
