@@ -369,3 +369,44 @@ def test_monitor_live_attach(tmp_path, runner):
         assert state["deskew"]["ls_angle_deg"] == 30.0
     finally:
         ring.close()
+
+
+def test_plan_new_interactive_roundtrip(tmp_path, runner):
+    """plan new builds a validated YAML from prompts; plan show resolves
+    it (the Qt acquisition widget's authoring role, headless)."""
+    out = tmp_path / "plan.yml"
+    result = runner.invoke(cli, ["plan", "new", "-o", str(out)],
+                           input="3\n1.5\nBF,GFP\ny\n0.9\nn\n")
+    assert result.exit_code == 0, result.output
+    result = runner.invoke(cli, ["plan", "show", str(out)])
+    assert result.exit_code == 0
+    shown = json.loads(result.output)
+    assert shown["time"]["n_timepoints"] == 3
+    assert shown["time"]["interval_s"] == 1.5
+    assert [c["name"] for c in shown["channels"]] == ["BF", "GFP"]
+    assert shown["autofocus"]["success_rate"] == 0.9
+
+
+def test_plan_validate_against_store(tmp_path, runner):
+    synthetic_blob_fov(tmp_path / "src.zarr", shape_zyx=(4, 16, 16),
+                       n_timepoints=2, drift_zyx=(0, 0, 0),
+                       zyx_scale=(1, 1, 1))
+    good = tmp_path / "good.yml"
+    good.write_text("time: {n_timepoints: 2}\nchannels: [{name: BF}]\n")
+    result = runner.invoke(cli, ["plan", "validate", str(good),
+                                 "--input", str(tmp_path / "src.zarr")])
+    assert result.exit_code == 0, result.output
+    assert json.loads(result.output.splitlines()[-1])["valid"]
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text("time: {n_timepoints: 2}\nchannels: [{name: nope}]\n")
+    result = runner.invoke(cli, ["plan", "validate", str(bad),
+                                 "--input", str(tmp_path / "src.zarr")])
+    assert result.exit_code != 0
+    assert "nope" in result.output
+
+    invalid = tmp_path / "invalid.yml"
+    invalid.write_text("time: {n_timepoints: 0}\n")
+    result = runner.invoke(cli, ["plan", "validate", str(invalid)])
+    assert result.exit_code != 0
+    assert "invalid plan" in result.output
