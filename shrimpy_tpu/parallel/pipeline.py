@@ -27,7 +27,6 @@ from shrimpy_tpu.ops.deconv import (
     _rl_jit,
     _sep_matrices,
     _sep_pads,
-    separable_decompose,
 )
 from shrimpy_tpu.ops.deskew import _deskew_xla, get_deskewed_shape
 from shrimpy_tpu.ops.phase import _apply_inverse_jit, compute_transfer_function

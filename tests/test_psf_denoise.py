@@ -188,7 +188,7 @@ def test_denoise_stops_at_noise_plateau(measured_like_psf):
     """The denoise tier stops adding terms at the noise plateau (each
     extra term improving the residual by <8%) instead of always burning
     max_terms of per-iteration cost on noise modes."""
-    full, full_res = separable_truncate(measured_like_psf, max_terms=10)
+    full, _ = separable_truncate(measured_like_psf, max_terms=10)
     stopped, residual = separable_truncate(
         measured_like_psf, max_terms=10, plateau_rtol=0.08
     )
