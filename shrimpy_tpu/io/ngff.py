@@ -30,14 +30,11 @@ Two format versions:
 from __future__ import annotations
 
 import json
-import logging
 from dataclasses import dataclass, field
 from pathlib import Path
 
 import numpy as np
 import tensorstore as ts
-
-logger = logging.getLogger(__name__)
 
 AXES_TCZYX = [
     {"name": "t", "type": "time"},
@@ -68,10 +65,6 @@ def _write_json(path: Path, obj: dict) -> None:
 
 def _read_json(path: Path) -> dict:
     return json.loads(path.read_text())
-
-
-def _group_meta_v2(attributes: dict) -> tuple[dict, dict]:
-    return {"zarr_format": 2}, attributes
 
 
 def _write_group(path: Path, attributes: dict, version: str) -> None:
@@ -436,9 +429,11 @@ def _init_position(
 
 
 def _mean_pool_zyx(vol: np.ndarray, factors: tuple[int, int, int]) -> np.ndarray:
-    """Mean-pool a ZYX volume by integer factors (trailing partials dropped)."""
-    fz, fy, fx = factors
-    z, y, x = (n - n % f for n, f in zip(vol.shape, factors))
+    """Mean-pool a ZYX volume by integer factors (trailing partials
+    dropped); dimensions smaller than their factor are left unpooled
+    (a size-1 axis must stay size 1, not become size 0)."""
+    fz, fy, fx = (min(f, n) or 1 for f, n in zip(factors, vol.shape))
+    z, y, x = (n - n % f for n, f in zip(vol.shape, (fz, fy, fx)))
     v = vol[:z, :y, :x].reshape(
         z // fz, fz, y // fy, fy, x // fx, fx
     )
@@ -457,45 +452,72 @@ def add_pyramid_levels(
     from the previous) and extends the multiscales ``datasets`` metadata
     with the scaled coordinate transforms — the NGFF pyramid the
     reference's viewers consume for coarse browsing.
+
+    Resume-safe: level arrays left by a crashed earlier attempt (the
+    metadata is only written after all levels complete) are reopened
+    and overwritten rather than erroring; scale transforms record the
+    ACTUAL per-axis shrink (an axis clamped at size 1 stops scaling).
     """
     base = pos.array("0")
     t_size, c_size = base.shape[0], base.shape[1]
     ms = pos.attrs["multiscales"][0]
+    # Cumulative ACTUAL per-axis factor (axes at size 1 stop shrinking,
+    # and their transform must stop scaling with them).
+    cum = [1.0, 1.0, 1.0]
     scale0 = list(pos.scale)
 
     prev_name = "0"
     for level in range(1, n_levels + 1):
         prev = pos.array(prev_name)
         shape_zyx = tuple(prev.shape[2:])
-        new_zyx = tuple(
-            max(1, n // f) for n, f in zip(shape_zyx, factors_zyx)
+        eff = tuple(
+            f if n >= f else 1 for n, f in zip(shape_zyx, factors_zyx)
         )
+        new_zyx = tuple(n // f for n, f in zip(shape_zyx, eff))
+        cum = [c * f for c, f in zip(cum, eff)]
         name = str(level)
-        pos.create_array(
-            (t_size, c_size, *new_zyx), dtype=str(pos.dtype), name=name
-        )
-        for t in range(t_size):
-            for c in range(c_size):
-                vol = np.asarray(prev[t, c].read().result())
-                pos.array(name)[t, c].write(
-                    _mean_pool_zyx(vol, factors_zyx)[: new_zyx[0], : new_zyx[1], : new_zyx[2]]
-                ).result()
+        try:
+            level_arr = pos.array(name)  # crashed-attempt leftover
+            if tuple(level_arr.shape) != (t_size, c_size, *new_zyx):
+                raise FileNotFoundError  # stale/mismatched: recreate
+        except Exception:
+            pos.create_array(
+                (t_size, c_size, *new_zyx), dtype=str(pos.dtype), name=name
+            )
+            level_arr = pos.array(name)
+        # One-deep read prefetch + deferred writes: overlap the
+        # tensorstore IO with pooling (the serial read/pool/write loop
+        # paid the full latency sum per volume).
+        write_futs = []
+        reads = [
+            ((t, c), prev[t, c].read())
+            for t in range(t_size)
+            for c in range(c_size)
+        ]
+        for (t, c), fut in reads:
+            vol = np.asarray(fut.result())
+            pooled = _mean_pool_zyx(vol, eff)[
+                : new_zyx[0], : new_zyx[1], : new_zyx[2]
+            ]
+            write_futs.append(level_arr[t, c].write(pooled))
+        for f in write_futs:
+            f.result()
         level_scale = [
             scale0[0],
             scale0[1],
-            *(
-                s * (f**level)
-                for s, f in zip(scale0[2:], factors_zyx)
-            ),
+            *(s0 * c for s0, c in zip(scale0[2:], cum)),
         ]
-        ms["datasets"].append(
-            {
-                "path": name,
-                "coordinateTransformations": [
-                    {"type": "scale", "scale": [float(v) for v in level_scale]}
-                ],
-            }
-        )
+        entry = {
+            "path": name,
+            "coordinateTransformations": [
+                {"type": "scale", "scale": [float(v) for v in level_scale]}
+            ],
+        }
+        datasets = ms["datasets"]
+        if len(datasets) > level:
+            datasets[level] = entry
+        else:
+            datasets.append(entry)
         prev_name = name
     _write_group(pos.path, pos.attrs, pos.version)
 

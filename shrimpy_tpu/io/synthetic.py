@@ -26,7 +26,13 @@ from shrimpy_tpu.io.ngff import NgffPosition, NgffStore, create_fov, create_hcs
 
 def coordinate_encoded_value(p: int, t: int, c: int, z: int) -> int:
     """The reference's coordinate encoding (test_replay_camera.py:33-49)."""
-    return p * 30000 + t * 10000 + c * 1000 + z
+    value = p * 30000 + t * 10000 + c * 1000 + z
+    if value > 65535:
+        raise ValueError(
+            f"coordinate encoding {value} for (p={p}, t={t}, c={c}, z={z}) "
+            "exceeds uint16; use smaller fixture extents (p <= 2, t <= 6)"
+        )
+    return value
 
 
 def coordinate_encoded_fov(

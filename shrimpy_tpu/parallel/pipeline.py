@@ -502,9 +502,10 @@ def reconstruct_batch(
         tfs = settings.phase.transfer_function
         tf_arr = jnp.asarray(
             tf_as_real(
-                compute_transfer_function(
-                    (vol_shape[0] + 2 * tfs.z_padding, *vol_shape[1:]), tfs
-                )
+                # compute_transfer_function pads by z_padding itself;
+                # passing a pre-padded shape double-padded the TF and
+                # broke every z_padding > 0 phase reconstruction.
+                compute_transfer_function(vol_shape, tfs)
             )
         )
 

@@ -61,7 +61,14 @@ def plan_work(
         if settings.positions is not None and pos_key not in settings.positions:
             continue
         t_size, c_size = pos.shape[0], pos.shape[1]
-        names = pos.channel_names or [str(i) for i in range(c_size)]
+        # Externally-written stores may label fewer channels than the
+        # array's C extent; unlabeled channels fall back to their index.
+        names = [
+            pos.channel_names[i]
+            if pos.channel_names and i < len(pos.channel_names)
+            else str(i)
+            for i in range(c_size)
+        ]
         for t in range(t_size):
             if settings.time_indices is not None and t not in settings.time_indices:
                 continue
@@ -226,11 +233,35 @@ def reconstruct_store(
             in_store, output_path, settings, out_zyx, out_voxel, items
         )
     else:
+        out_store = ngff.open_ngff(output_path)
         positions_out = {
             k: v
-            for k, v in ngff.open_ngff(output_path).positions().items()
+            for k, v in out_store.positions().items()
             if k in {it.position for it in items}
         }
+        # A broader selection (or a run that crashed during store
+        # creation) can reference positions the existing output lacks:
+        # create them now instead of KeyError-ing mid-run.
+        missing = {it.position for it in items} - set(positions_out)
+        if missing and out_store.is_plate:
+            for pos_key in sorted(missing):
+                in_pos = in_store.positions()[pos_key]
+                row, col, fov = pos_key.split("/")
+                pos = out_store.create_position(
+                    row, col, fov,
+                    channel_names=in_pos.channel_names,
+                    zyx_scale=out_voxel,
+                )
+                pos.create_array(
+                    (in_pos.shape[0], in_pos.shape[1], *out_zyx),
+                    dtype=settings.output_dtype,
+                )
+                positions_out[pos_key] = pos
+        elif missing:
+            raise ValueError(
+                f"existing FOV output {output_path} lacks positions "
+                f"{sorted(missing)}; remove it or reconcile the selection"
+            )
 
     psf = _load_psf(settings)
     tf_arr = jnp.zeros((2, 1, 1, 1), jnp.float32)
@@ -242,9 +273,10 @@ def reconstruct_store(
         ph_shape = _stage_input_shape_for_phase(raw_zyx, settings)
         tf_arr = jnp.asarray(
             tf_as_real(
-                compute_transfer_function(
-                    (ph_shape[0] + 2 * tfs.z_padding, *ph_shape[1:]), tfs
-                )
+                # compute_transfer_function pads by z_padding itself;
+                # passing a pre-padded shape double-padded the TF and
+                # broke every z_padding > 0 phase reconstruction.
+                compute_transfer_function(ph_shape, tfs)
             )
         )
 

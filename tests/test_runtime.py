@@ -185,3 +185,85 @@ def test_written_timepoints_both_versions(tmp_path):
         pos.write((1, 0), np.ones((4, 16, 16), np.float32))
         pos.write((3, 0), np.ones((4, 16, 16), np.float32))
         assert pos.written_timepoints() == [1, 3], version
+
+
+def test_phase_with_default_z_padding(tmp_path, rng):
+    """The production phase config (z_padding=5 default) must run
+    through the runtime — the TF was double-padded against the padded
+    stack shape and crashed for every z_padding > 0 (review finding)."""
+    from shrimpy_tpu.config.schemas import PhaseSettings
+
+    pos = create_fov(tmp_path / "bf.zarr", shape=(1, 1, 8, 16, 16),
+                     dtype="float32", channel_names=["BF"],
+                     zyx_scale=(0.25, 0.116, 0.116))
+    pos.write((0, 0), rng.random((8, 16, 16), dtype=np.float32) * 100)
+    settings = ReconstructSettings(
+        phase=PhaseSettings(
+            transfer_function={"yx_pixel_size": 0.116, "z_pixel_size": 0.25}
+        )  # z_padding stays at its default (5)
+    )
+    summary = reconstruct_store(tmp_path / "bf.zarr", tmp_path / "out.zarr",
+                                settings)
+    assert summary["volumes"] == 1
+    out = open_ngff(tmp_path / "out.zarr").position().read()
+    assert np.isfinite(out).all()
+
+
+def test_pyramid_levels_on_thin_dims(tmp_path, rng):
+    """Axes that reach size 1 stop pooling (not shrink to 0) and their
+    scale transform stops growing (review findings)."""
+    from shrimpy_tpu.io.ngff import add_pyramid_levels
+
+    pos = create_fov(tmp_path / "thin.zarr", shape=(1, 1, 4, 2, 16),
+                     dtype="float32", channel_names=["a"],
+                     zyx_scale=(1.0, 0.5, 0.5))
+    pos.write((0, 0), rng.random((4, 2, 16), dtype=np.float32))
+    add_pyramid_levels(pos, n_levels=2, factors_zyx=(1, 2, 2))
+    reopened = open_ngff(tmp_path / "thin.zarr").position()
+    assert tuple(reopened.array("1").shape) == (1, 1, 4, 1, 8)
+    assert tuple(reopened.array("2").shape) == (1, 1, 4, 1, 4)
+    scales = [d["coordinateTransformations"][0]["scale"]
+              for d in reopened.attrs["multiscales"][0]["datasets"]]
+    # y pooled once (0.5 -> 1.0) then clamped; x pooled twice.
+    assert scales[2][3] == 1.0
+    assert scales[2][4] == 2.0
+
+
+def test_pyramid_levels_resume_after_partial(tmp_path, rng):
+    """Leftover level arrays from a crashed attempt are reopened and
+    overwritten, not an ALREADY_EXISTS error (review finding)."""
+    from shrimpy_tpu.io.ngff import add_pyramid_levels
+
+    pos = create_fov(tmp_path / "p.zarr", shape=(1, 1, 4, 16, 16),
+                     dtype="float32", channel_names=["a"])
+    pos.write((0, 0), rng.random((4, 16, 16), dtype=np.float32))
+    # Simulate the crash: the level-1 array exists but metadata doesn't.
+    pos.create_array((1, 1, 4, 8, 8), dtype="float32", name="1")
+    add_pyramid_levels(pos, n_levels=1)
+    reopened = open_ngff(tmp_path / "p.zarr").position()
+    datasets = reopened.attrs["multiscales"][0]["datasets"]
+    assert [d["path"] for d in datasets] == ["0", "1"]
+    level1 = np.asarray(reopened.array("1").read().result())
+    assert np.abs(level1).max() > 0  # actually (re)written
+
+
+def test_existing_output_gains_missing_positions(tmp_path, rng):
+    """A broader second selection against an existing HCS output
+    creates the missing positions instead of KeyError-ing (review
+    finding)."""
+    store = create_hcs(tmp_path / "in.zarr", channel_names=["a"])
+    for p in range(2):
+        pos = store.create_position("0", str(p), "000", channel_names=["a"])
+        pos.create_array((1, 1, 4, 16, 16), dtype="float32")
+        pos.write((0, 0), rng.random((4, 16, 16), dtype=np.float32))
+
+    settings_one = ReconstructSettings(positions=["0/0/000"])
+    reconstruct_store(tmp_path / "in.zarr", tmp_path / "out.zarr", settings_one)
+    settings_all = ReconstructSettings()
+    summary = reconstruct_store(
+        tmp_path / "in.zarr", tmp_path / "out.zarr", settings_all
+    )
+    assert summary["volumes"] == 2
+    assert sorted(open_ngff(tmp_path / "out.zarr").positions()) == [
+        "0/0/000", "0/1/000",
+    ]
