@@ -85,7 +85,11 @@ class AcquisitionEngine:
 
     # -- setup ---------------------------------------------------------------
     def _setup_tracking(
-        self, plan: AcquisitionPlan, channels: list[str], out_dir: Path
+        self,
+        plan: AcquisitionPlan,
+        channels: list[str],
+        out_dir: Path,
+        acq_name: str | None = None,
     ) -> None:
         meta = plan.dynatrack_metadata()
         if not meta:
@@ -106,12 +110,16 @@ class AcquisitionEngine:
                 f"dynatrack channel {track_source_channel!r} not in "
                 f"acquired channels {channels}"
             )
-        journal = ShiftJournal(out_dir / "dynatrack_log.csv")
+        # Per-acquisition sidecars: keyed on the auto-incremented name
+        # so re-runs never interleave journals or collide on the debug
+        # store (the bare names remain for direct/legacy callers).
+        prefix = f"{acq_name}_" if acq_name else ""
+        journal = ShiftJournal(out_dir / f"{prefix}dynatrack_log.csv")
         debug_writer = None
         if cfg.debug:
             from shrimpy_tpu.tracking.debug import DebugWriter
 
-            debug_writer = DebugWriter(out_dir / "dynatrack_debug")
+            debug_writer = DebugWriter(out_dir / f"{prefix}dynatrack_debug")
         self._tracker = Tracker(
             cfg,
             scale_zyx_um=self.source.zyx_scale,
@@ -138,6 +146,16 @@ class AcquisitionEngine:
         plan: AcquisitionPlan,
     ) -> Path:
         t_start = time.monotonic()
+        # Per-run state: one engine instance may run several
+        # acquisitions; leftovers from the previous run (a shut-down
+        # tracking manager, accumulated refocus offsets/exposures)
+        # must not leak into this one.
+        self._tracking = None
+        self._tracker = None
+        self._track_channel_idx = None
+        self._refocus_z = {}
+        self._refocus_events = []
+        self._exposures = {}
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         final_name = resolve_acquisition_name(output_dir, name)
@@ -153,6 +171,17 @@ class AcquisitionEngine:
             logger.info("acquisition log: %s", log_file)
 
         positions = plan.resolve_positions(self.source.position_keys)
+        unknown = [p for p in positions if p not in self.source.position_keys]
+        if unknown:
+            raise ValueError(
+                f"plan positions {unknown} not in the source store "
+                f"(has {self.source.position_keys})"
+            )
+        if not self.source.store.is_plate and len(positions) > 1:
+            raise ValueError(
+                "a single-FOV source has exactly one position; got "
+                f"{positions}"
+            )
         channels = (
             [c.name for c in plan.channels]
             if plan.channels
@@ -161,11 +190,15 @@ class AcquisitionEngine:
         chan_idx = [self.source.channel_index(c) for c in channels]
         src_z = self.source.shape_tczyx[2]
         nz = plan.z.n_slices or src_z
+        if nz > src_z:
+            raise ValueError(
+                f"plan z.n_slices={nz} exceeds the source depth {src_z}"
+            )
         ny, nx = self.source.shape_tczyx[3:]
         n_t = plan.time.n_timepoints
         shape = (n_t, len(channels), nz, ny, nx)
 
-        self._setup_tracking(plan, channels, output_dir)
+        self._setup_tracking(plan, channels, output_dir, acq_name=final_name)
         if plan.refocus.enabled:
             # Chunk resume: carry the accumulated remote-refocus offsets
             # over from the previous acquisition chunk of the same name
@@ -262,7 +295,7 @@ class AcquisitionEngine:
                     plan.refocus.enabled
                     and t % plan.refocus.interval_timepoints == 0
                 ):
-                    self._run_refocus(plan, vol, t, p_key, channels)
+                    self._run_refocus(plan, vol, t, p_key, channels, nz)
                 visit_s = time.monotonic() - t_pos_start
                 if visit_s > plan.watchdog_s:
                     # Stall watchdog (archive acq_engine.py:1567-1616):
@@ -310,9 +343,13 @@ class AcquisitionEngine:
         candidates = []
         for f in output_dir.glob(f"{base_name}*_summary_metadata.json"):
             stem = f.name.replace("_summary_metadata.json", "")
-            if stem != final_name and (
-                stem == base_name or stem.startswith(f"{base_name}_")
-            ):
+            # Only the auto-increment family counts as previous chunks:
+            # base or base_<digits> ('plate_ctrl' must not seed 'plate').
+            suffix = stem[len(base_name):]
+            is_chunk = suffix == "" or (
+                suffix.startswith("_") and suffix[1:].isdigit()
+            )
+            if stem != final_name and is_chunk:
                 candidates.append(f)
         if not candidates:
             return
@@ -374,18 +411,29 @@ class AcquisitionEngine:
             p_key, exposure, power, converged,
         )
 
-    def _run_refocus(self, plan, last_vol, t: int, p_key: str, channels) -> None:
+    def _run_refocus(
+        self, plan, last_vol, t: int, p_key: str, channels, nz: int
+    ) -> None:
         from shrimpy_tpu.engine.autofocus import focus_from_transverse_band
 
         rf = plan.refocus
-        vol = last_vol
-        if rf.channel is not None and rf.channel in channels:
-            # last_vol is the last channel acquired; re-read if another
-            # channel drives the focus metric.
-            c = self.source.channel_index(rf.channel)
+        # The focus metric runs on rf.channel, defaulting to the FIRST
+        # acquired channel (plan.py's documented contract) — last_vol is
+        # the LAST channel of the visit, only reusable when it happens
+        # to be the metric channel.
+        metric_channel = rf.channel or channels[0]
+        if metric_channel not in channels:
+            raise ValueError(
+                f"refocus.channel={metric_channel!r} is not among the "
+                f"acquired channels {channels}"
+            )
+        if metric_channel == channels[-1]:
+            vol = last_vol
+        else:
+            c = self.source.channel_index(metric_channel)
             vol = self.source.volume(
                 p_key, t, c, offset_px_zyx=self._stage_offset_px(p_key)
-            )
+            )[:nz]
         idx = focus_from_transverse_band(
             vol,
             pixel_size_um=self.source.zyx_scale[1],

@@ -66,6 +66,13 @@ class RefocusPlan(BaseModel):
     enabled: bool = False
     interval_timepoints: int = 1
     channel: str | None = None  # None = the first acquired channel
+
+    @model_validator(mode="after")
+    def _check(self):
+        if self.interval_timepoints < 1:
+            raise ValueError("interval_timepoints must be >= 1")
+        return self
+
     wavelength_um: float = 0.55
     na_det: float = 1.35
     threshold: float = 0.0  # metric prominence gate (0 = always accept)

@@ -116,8 +116,11 @@ def _multi_otsu_jit(vol, bins: int):
     hi = jnp.max(flat)
     span = jnp.maximum(hi - lo, 1e-12)
     idx = jnp.clip(((flat - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
-    hist = jnp.zeros(bins, jnp.float32).at[idx].add(1.0)
-    p = hist / flat.shape[0]
+    # int32 counts: a float32 accumulator stops incrementing at 2**24,
+    # which a production-size stack's background bin easily exceeds
+    # (212M voxels) — the same reason _percentile_jit counts in int32.
+    hist = jnp.zeros(bins, jnp.int32).at[idx].add(1)
+    p = hist.astype(jnp.float32) / flat.shape[0]
     centers = lo + (jnp.arange(bins, dtype=jnp.float32) + 0.5) / bins * span
 
     # Cumulative zeroth/first moments: w(t) = sum p[:t], mu(t) = sum p*c[:t].

@@ -146,7 +146,7 @@ def test_tracking_recenters_drifting_blob(tmp_path):
     out = engine.acquire(tmp_path / "out", "tracked", plan)
 
     # The shift journal recorded per-timepoint corrections.
-    journal = (tmp_path / "out" / "dynatrack_log.csv").read_text().splitlines()
+    journal = (tmp_path / "out" / "tracked_dynatrack_log.csv").read_text().splitlines()
     assert len(journal) == 1 + 4  # header + 4 timepoints
 
     # The stage ended up following the accumulated drift (x drifts -6/t,
@@ -264,7 +264,7 @@ def test_tracking_with_deskew_preprocessing(tmp_path):
     )
     engine = AcquisitionEngine(ReplaySource(tmp_path / "src.zarr"))
     engine.acquire(tmp_path / "out", "pre", plan)
-    journal = (tmp_path / "out" / "dynatrack_log.csv").read_text().splitlines()
+    journal = (tmp_path / "out" / "pre_dynatrack_log.csv").read_text().splitlines()
     assert len(journal) == 3  # header + 2
     # t=1 shift reflects the LAB-frame bead motion (+4 y, -2 x), not the
     # skewed-frame motion — proof the deskew ran before tracking.
@@ -338,7 +338,7 @@ def test_latency_budget_overrun_recorded(tmp_path, fov_source):
     )
 
     class SlowTrackingEngine(AcquisitionEngine):
-        def _setup_tracking(self, plan, channels, out_dir):
+        def _setup_tracking(self, plan, channels, out_dir, acq_name=None):
             def slow_updater(stack, t, p):
                 time.sleep(0.25)  # > interval_s
                 return np.zeros(3)
@@ -391,3 +391,56 @@ def test_positions_csv_unknown_key_raises(tmp_path):
         AcquisitionEngine(ReplaySource(tmp_path / "plate.zarr")).acquire(
             tmp_path / "out", "x", plan
         )
+
+
+def test_engine_reuse_across_acquisitions(tmp_path, fov_source):
+    """One engine instance can run a tracked acquisition and then an
+    untracked one: per-run state (tracking manager, refocus offsets,
+    exposures) resets at acquire() (review finding)."""
+    tracked = AcquisitionPlan(
+        time={"n_timepoints": 2},
+        metadata={"dynatrack": {
+            "input_channel": "ch0", "tracking_channel": "ch0",
+            "tracking_method": "pcc",
+        }},
+    )
+    eng = AcquisitionEngine(fov_source)
+    eng.acquire(tmp_path / "out", "first", tracked)
+    out2 = eng.acquire(tmp_path / "out", "second", AcquisitionPlan())
+    assert out2.exists()
+    assert eng._tracking is None
+    summary = json.loads(
+        (tmp_path / "out" / "second_summary_metadata.json").read_text()
+    )
+    assert summary["refocus_events"] == []
+
+
+def test_plan_validation_errors_early(tmp_path, fov_source):
+    with pytest.raises(ValueError, match="exceeds the source depth"):
+        AcquisitionEngine(fov_source).acquire(
+            tmp_path / "o1", "x", AcquisitionPlan(z={"n_slices": 99})
+        )
+    with pytest.raises(ValueError, match="not in the source store"):
+        AcquisitionEngine(fov_source).acquire(
+            tmp_path / "o2", "x", AcquisitionPlan(positions=["9/9/999"])
+        )
+    with pytest.raises(ValueError, match="interval_timepoints"):
+        AcquisitionPlan(refocus={"enabled": True, "interval_timepoints": 0})
+
+
+def test_unrelated_acquisition_does_not_seed_refocus(tmp_path, fov_source):
+    """'plate_ctrl' summaries must not seed a fresh 'plate' acquisition's
+    refocus offsets (prefix false-positive, review finding)."""
+    (tmp_path / "out").mkdir(parents=True)
+    (tmp_path / "out" / "plate_ctrl_summary_metadata.json").write_text(
+        json.dumps({"refocus_events": [[0, "0", 5]]})
+    )
+    plan = AcquisitionPlan(refocus={"enabled": True})
+    eng = AcquisitionEngine(fov_source)
+    eng.acquire(tmp_path / "out", "plate", plan)
+    # The unrelated offsets were NOT restored before the run began
+    # (any refocus events in the summary came from this run's metric).
+    summary = json.loads(
+        (tmp_path / "out" / "plate_summary_metadata.json").read_text()
+    )
+    assert [e for e in summary["refocus_events"] if e[2] == 5] == []

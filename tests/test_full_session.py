@@ -73,7 +73,7 @@ def test_replay_track_reconstruct_session(tmp_path, session_plate):
     assert failed[0].max() > 0
 
     # shift journal has rows for every tracked (t, p)
-    journal = (tmp_path / "acq" / "dynatrack_log.csv").read_text().splitlines()
+    journal = (tmp_path / "acq" / "session_dynatrack_log.csv").read_text().splitlines()
     assert len(journal) >= 1 + 4  # header + at least 4 tracked stacks
 
     summary = json.loads((tmp_path / "acq" / "session_summary_metadata.json").read_text())
