@@ -191,6 +191,7 @@ def separable_truncate(
     psf: np.ndarray,
     max_terms: int = 6,
     plateau_rtol: float | None = None,
+    stop_below: float | None = None,
 ) -> tuple[list[tuple[np.ndarray, np.ndarray, np.ndarray]], float]:
     """Best-effort top-K separable truncation: ``(terms, rel_residual)``.
 
@@ -219,6 +220,7 @@ def separable_truncate(
             plateau_rtol is not None
             and terms
             and residual - new_residual < plateau_rtol * residual
+            and (stop_below is None or residual <= stop_below)
         ):
             # Noise plateau: structure terms drop the residual by tens
             # of percent, iid-noise terms by ~1% each — more rank past
@@ -283,7 +285,12 @@ def plan_separable_terms(
         )
         return None
     terms, residual = separable_truncate(
-        psf_unit, max_terms=extended, plateau_rtol=0.08
+        psf_unit,
+        max_terms=extended,
+        plateau_rtol=0.08,
+        # Never plateau-stop ABOVE the acceptance threshold: slow-decay
+        # structure (6-7% per term) can still cross it with more rank.
+        stop_below=settings.psf_denoise_max_residual,
     )
     if residual <= settings.psf_denoise_max_residual:
         logger.warning(
@@ -349,6 +356,34 @@ def _axis_is_banded(n: int, radius: int = 0) -> bool:
     ``taps <= 2*_BLOCK + 1``); fat PSFs stay dense instead of
     tripping the stencil assert."""
     return n > _DENSE_MAX and radius <= _BLOCK
+
+
+_SEP_MATS_NP_CACHE: dict = {}
+_SEP_MATS_DEV_CACHE: dict = {}
+
+
+def _sep_matrices_device(terms, grid, radii) -> tuple:
+    """Operator stacks for the matmul path, cached per (terms, grid).
+
+    The host construction (SVD cascade -> dense circulants) is cached
+    unconditionally; device arrays are cached only OUTSIDE traces —
+    inside jit/shard_map tracing, jnp.asarray yields trace-local
+    tracers that must never outlive the trace (they bake into that
+    compilation as constants instead).
+    """
+    key = (
+        tuple(tuple(np.asarray(w, np.float64).tobytes() for w in t) for t in terms),
+        tuple(grid),
+        tuple(radii),
+    )
+    if key not in _SEP_MATS_NP_CACHE:
+        _SEP_MATS_NP_CACHE[key] = _sep_matrices(terms, grid, radii)
+    host = _SEP_MATS_NP_CACHE[key]
+    if isinstance(jnp.zeros(()), jax.core.Tracer):  # tracing: no caching
+        return tuple(jnp.asarray(m) for m in host)
+    if key not in _SEP_MATS_DEV_CACHE:
+        _SEP_MATS_DEV_CACHE[key] = tuple(jnp.asarray(m) for m in host)
+    return _SEP_MATS_DEV_CACHE[key]
 
 
 def _sep_matrices(
@@ -556,6 +591,7 @@ def _rl_sep_linear(image, psf_np, terms, settings, iterations):
     key = (
         tuple(image.shape),
         psf_np.tobytes(),
+        _terms_digest(terms),
         iterations,
         settings.epsilon,
         settings.pad_mode,
@@ -648,6 +684,7 @@ def _rl_sep_zy(image, psf_np, terms, settings, iterations):
     key = (
         tuple(image.shape),
         psf_np.tobytes(),
+        _terms_digest(terms),
         iterations,
         settings.epsilon,
         settings.pad_mode,
@@ -730,6 +767,31 @@ def _sep_pads(
     return tuple(pads)
 
 
+def _pad_psf_to_odd(psf_np: np.ndarray) -> np.ndarray:
+    """Append a zero plane to even-length PSF axes.
+
+    An even-length axis has no symmetric centre: ``taps[::-1]`` around
+    ``k // 2`` is then NOT the adjoint (one-voxel offset, verified on
+    circulant operators), so the separable backends would run RL's
+    correlation step shifted. Appending one trailing zero keeps the
+    ``k // 2`` centre element identical (conv unchanged) while making
+    every axis odd — the convention all backends and oracles assume.
+    """
+    pad = [(0, 1 - n % 2) for n in psf_np.shape]
+    if not any(hi for _, hi in pad):
+        return psf_np
+    return np.pad(psf_np, pad)
+
+
+def _terms_digest(terms) -> tuple:
+    """Hashable identity of a separable term set (cache-key component:
+    the same PSF bytes under different rank budgets yields different
+    terms, which MUST compile to different operators)."""
+    return tuple(
+        tuple(np.asarray(w, np.float64).tobytes() for w in t) for t in terms
+    )
+
+
 def richardson_lucy(
     image,
     psf,
@@ -748,9 +810,14 @@ def richardson_lucy(
     settings = settings or DeconvolveSettings()
     iters = iterations if iterations is not None else settings.iterations
     image = jnp.asarray(image)
-    psf_np = np.asarray(psf, dtype=np.float32)
+    psf_np = _pad_psf_to_odd(np.asarray(psf, dtype=np.float32))
     assert image.ndim == psf_np.ndim, (image.shape, psf_np.shape)
 
+    if settings.algorithm == "separable" and psf_np.ndim != 3:
+        raise ValueError(
+            f"algorithm='separable' needs a 3-D PSF (got {psf_np.ndim}-D); "
+            "use algorithm='fft'"
+        )
     terms = None
     if settings.algorithm in ("auto", "separable") and psf_np.ndim == 3:
         terms = plan_separable_terms(psf_np, settings)
@@ -784,10 +851,10 @@ def richardson_lucy(
         pads = _sep_pads(tuple(image.shape), tuple(psf_np.shape))
         grid = tuple(n + lo + hi for n, (lo, hi) in zip(image.shape, pads))
         radii = tuple(k // 2 for k in psf_np.shape)
-        mats = _sep_matrices(terms, grid, radii)
+        mats = _sep_matrices_device(terms, grid, radii)
         return _rl_sep_jit(
             image,
-            *(jnp.asarray(m) for m in mats),
+            *mats,
             iterations=iters,
             pads=pads,
             epsilon=settings.epsilon,
@@ -830,7 +897,8 @@ def richardson_lucy_reference_separable(
     decomposition (used to oracle the rank-truncated denoised path).
     """
     image = np.asarray(image, dtype=np.float64)
-    psf_unit = np.asarray(psf, np.float64) / np.asarray(psf, np.float64).sum()
+    psf = _pad_psf_to_odd(np.asarray(psf, np.float64))
+    psf_unit = psf / psf.sum()
     if terms is None:
         terms = separable_decompose(psf_unit, tol=tol, max_terms=max_terms)
     assert terms is not None, "PSF not separable within tol"
@@ -881,7 +949,7 @@ def richardson_lucy_reference(
 ) -> np.ndarray:
     """Trusted fp64 numpy oracle: the identical update rule on the same grid."""
     image = np.asarray(image, dtype=np.float64)
-    psf = np.asarray(psf, dtype=np.float64)
+    psf = _pad_psf_to_odd(np.asarray(psf, dtype=np.float64))
     grid, pads = _padded_grid_shape(tuple(image.shape), tuple(psf.shape))
 
     padded = np.pad(image, pads, mode=pad_mode)

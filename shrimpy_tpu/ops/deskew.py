@@ -133,7 +133,7 @@ def deskew_affine_matrix(
     """``(matrix, offset, output_shape)`` of the inverse map for scipy.
 
     ``scipy.ndimage.affine_transform(raw, matrix, offset, output_shape,
-    order=1, mode='constant', cval=0)`` with these values is the CPU
+    order=1, mode='grid-constant', cval=0)`` with these values is the CPU
     oracle for :func:`deskew_volume` (before z-averaging).
     """
     g = _geometry(raw_shape_szx, settings)
@@ -240,8 +240,17 @@ def _deskew_xla(
 def deskew_volume(raw_szx, settings: DeskewSettings) -> jnp.ndarray:
     """Deskew a raw (scan, tilt, x) volume -> (Z, Y, X) lab-frame volume.
 
-    jit-compiled XLA path (cached per raw shape + settings).
+    Dispatches on ``settings.backend``: the fused Pallas kernel when
+    requested (or on TPU under ``"auto"``), else the jit-compiled XLA
+    gather path (cached per raw shape + settings).
     """
+    use_pallas = settings.backend == "pallas" or (
+        settings.backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from shrimpy_tpu.ops.deskew_pallas import deskew_volume_pallas
+
+        return deskew_volume_pallas(raw_szx, settings)
     return _deskew_xla(
         jnp.asarray(raw_szx),
         ls_angle_deg=settings.ls_angle_deg,

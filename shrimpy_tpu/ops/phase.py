@@ -152,7 +152,9 @@ def tf_as_real(tf: np.ndarray) -> np.ndarray:
     return np.stack([tf.real, tf.imag]).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("z_padding", "reg"))
+# z_padding changes shapes (static); reg is a traced scalar so sweeping
+# the regularization does NOT recompile the whole 3-D FFT program.
+@partial(jax.jit, static_argnames=("z_padding",))
 def _apply_inverse_jit(stack, tf_ri, z_padding: int, reg: float):
     stack = stack.astype(jnp.float32)
     tf = tf_ri[0] + 1j * tf_ri[1]  # recombined on device (see tf_as_real)

@@ -25,7 +25,6 @@ from shrimpy_tpu.config.schemas import ReconstructSettings
 from shrimpy_tpu.ops.deconv import (
     _padded_grid_shape,
     _rl_jit,
-    _sep_matrices,
     _sep_pads,
 )
 from shrimpy_tpu.ops.deskew import _deskew_xla, get_deskewed_shape
@@ -48,7 +47,9 @@ def _deconv_fn(
         return None
     if psf is None:
         raise ValueError("deconvolve stage enabled but no PSF provided")
-    psf_np = np.asarray(psf, dtype=np.float32)
+    from shrimpy_tpu.ops.deconv import _pad_psf_to_odd
+
+    psf_np = _pad_psf_to_odd(np.asarray(psf, dtype=np.float32))
 
     terms = None
     if settings.shard_volumes:
@@ -101,7 +102,9 @@ def _deconv_fn(
             pads = _sep_pads(tuple(vol.shape), tuple(psf_np.shape))
             grid = tuple(n + lo + hi for n, (lo, hi) in zip(vol.shape, pads))
             radii = tuple(k // 2 for k in psf_np.shape)
-            mats = _sep_matrices(terms, grid, radii)
+            from shrimpy_tpu.ops.deconv import _sep_matrices_device
+
+            mats = _sep_matrices_device(terms, grid, radii)
             return _rl_sep_inline(vol, mats, deconv, pads, radii)
 
         return rl

@@ -40,7 +40,7 @@ def detect_beads(
     *,
     threshold_percentile: float = 99.5,
     min_distance: int = 10,
-    exclude_border: int = 8,
+    exclude_border: int | tuple[int, int, int] = 8,
     max_beads: int = 200,
 ) -> np.ndarray:
     """(N, 3) voxel coordinates of isolated bead peaks.
@@ -55,10 +55,13 @@ def detect_beads(
     local_max = smoothed == ndimage.maximum_filter(smoothed, footprint=footprint)
     candidates = np.argwhere(local_max & (smoothed > threshold))
 
-    # Drop beads too close to the volume border for a full patch.
+    # Drop beads too close to the volume border for a full patch
+    # (scalar or per-axis; c >= b and c < n - b matches extract_psf's
+    # in-bounds criterion when b is the patch half-width).
+    border = np.asarray(exclude_border)
     shape = np.asarray(vol.shape)
     ok = np.all(
-        (candidates >= exclude_border) & (candidates < shape - exclude_border), axis=1
+        (candidates >= border) & (candidates < shape - border), axis=1
     )
     candidates = candidates[ok]
     # Brightest first, capped.
@@ -201,9 +204,20 @@ def measure_psf(
         geometry = "deskewed"
 
     settings = GEOMETRY_SETTINGS[geometry]
-    peaks = detect_beads(vol, threshold_percentile=threshold_percentile)
+    # Exclude beads whose patch would exceed the volume: extract_psf
+    # silently drops them, so detecting them would both inflate
+    # n_beads and displace in-bounds beads from the brightness cap.
+    border = tuple(k // 2 for k in settings["patch_size_zyx"])
+    peaks = detect_beads(
+        vol,
+        threshold_percentile=threshold_percentile,
+        exclude_border=border,
+    )
     if len(peaks) == 0:
-        raise ValueError("no beads detected; lower threshold_percentile")
+        raise ValueError(
+            "no beads detected away from the patch border; lower "
+            "threshold_percentile or use a larger field"
+        )
     psf = extract_psf(vol, peaks, settings["patch_size_zyx"])
     if psf is None:
         raise ValueError("bead patches were empty after background subtraction")

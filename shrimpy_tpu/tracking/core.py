@@ -275,7 +275,7 @@ class Tracker:
         if ref is None:
             # First visit: store the reference, report zero shift
             # (reference tracking.py:1115-1137).
-            self._references[p] = target
+            self._references[p] = np.array(target)  # copy: callers may reuse buffers
             return np.zeros(3), True
 
         shift = phase_cross_correlation(
@@ -287,7 +287,7 @@ class Tracker:
         if interval > 0 and t > 0 and t % interval == 0:
             # Re-anchor: future shifts are measured against the current
             # stack (reference re-anchor policy, tracking.py:1115-1137).
-            self._references[p] = target
+            self._references[p] = np.array(target)  # copy: callers may reuse buffers
             reanchored = True
         return shift, reanchored
 

@@ -70,3 +70,43 @@ def test_settings_validation():
         DeconvolveSettings(iterations=0)
     with pytest.raises(ValueError):
         DeconvolveSettings(unknown_key=1)
+
+
+def test_even_length_psf_axes_are_padded_to_odd(rng):
+    """Even PSF axes have no symmetric centre: flipped taps are NOT the
+    adjoint (one-voxel offset), so the separable backends diverged from
+    the FFT path. PSFs now pad to odd lengths at entry (exactly
+    equivalent), keeping every backend on the same adjoint (review
+    finding)."""
+    import jax.numpy as jnp
+
+    from shrimpy_tpu.ops.deconv import (
+        gaussian_psf,
+        richardson_lucy_reference_separable,
+    )
+
+    psf_even = np.asarray(gaussian_psf((4, 8, 8), (0.9, 1.4, 1.4)))
+    vol = (rng.random((12, 32, 40), dtype=np.float32) * 100 + 1.0).astype(
+        np.float32
+    )
+    sep = np.asarray(richardson_lucy(
+        jnp.asarray(vol), psf_even,
+        DeconvolveSettings(iterations=5, algorithm="separable",
+                           separable_backend="matmul"),
+    ))
+    oracle = richardson_lucy_reference_separable(vol, psf_even, iterations=5)
+    rel = np.abs(sep - oracle).max() / np.abs(oracle).max()
+    assert rel <= 1e-3, rel
+    # And the separable result is a genuine deconvolution estimate, not
+    # a shifted one: compare against the FFT path on the same data.
+    fft = np.asarray(richardson_lucy(
+        jnp.asarray(vol), psf_even,
+        DeconvolveSettings(iterations=5, algorithm="fft"),
+    ))
+    # Different boundary handling (circular padded grid vs 5-smooth FFT
+    # grid) keeps these from being identical; interior agreement within
+    # a few percent proves no systematic voxel shift.
+    interior = (slice(3, -3),) * 3
+    rel2 = (np.abs(sep - fft)[interior].max()
+            / np.abs(fft[interior]).max())
+    assert rel2 <= 5e-2, rel2
