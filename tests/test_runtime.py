@@ -267,3 +267,57 @@ def test_existing_output_gains_missing_positions(tmp_path, rng):
     assert sorted(open_ngff(tmp_path / "out.zarr").positions()) == [
         "0/0/000", "0/1/000",
     ]
+
+
+def test_shard_volumes_through_runtime(tmp_path, rng):
+    """>HBM mode end-to-end: reconstruct_store with shard_volumes runs
+    the distributed slab FFT path over the mesh and matches the
+    unsharded FFT result."""
+    from shrimpy_tpu.config.schemas import PhaseSettings
+
+    pos = create_fov(tmp_path / "bf.zarr", shape=(2, 1, 8, 16, 256),
+                     dtype="float32", channel_names=["BF"],
+                     zyx_scale=(0.25, 0.116, 0.116))
+    for t in range(2):
+        pos.write((t, 0), rng.random((8, 16, 256), dtype=np.float32) * 100)
+
+    phase = PhaseSettings(transfer_function={
+        "yx_pixel_size": 0.116, "z_pixel_size": 0.25, "z_padding": 0,
+    })
+    reconstruct_store(
+        tmp_path / "bf.zarr", tmp_path / "plain.zarr",
+        ReconstructSettings(phase=phase),
+    )
+    reconstruct_store(
+        tmp_path / "bf.zarr", tmp_path / "sharded.zarr",
+        ReconstructSettings(phase=phase, shard_volumes=True),
+        mesh=make_mesh(8, space=4),
+    )
+    a = open_ngff(tmp_path / "plain.zarr").position().read()
+    b = open_ngff(tmp_path / "sharded.zarr").position().read()
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-4)
+
+
+def test_register_apply_translation_through_runtime(tmp_path, rng):
+    """An identity-matrix transform JSON rides the gather-free
+    translation warp through the reconstruct pipeline and matches the
+    scipy oracle."""
+    from shrimpy_tpu.ops.register import affine_apply_reference_scipy
+
+    vol = rng.random((8, 24, 32), dtype=np.float32) * 100
+    pos = create_fov(tmp_path / "in.zarr", shape=(1, 1, 8, 24, 32),
+                     dtype="float32", channel_names=["a"])
+    pos.write((0, 0), vol)
+    transform = tmp_path / "t.json"
+    transform.write_text(json.dumps({
+        "matrix_zyx": np.eye(3).tolist(),
+        "offset_zyx": [1.5, -2.25, 3.0],
+    }))
+    settings = ReconstructSettings(
+        registration={"transform_path": str(transform)}
+    )
+    reconstruct_store(tmp_path / "in.zarr", tmp_path / "out.zarr", settings)
+    out = open_ngff(tmp_path / "out.zarr").position().read()[0, 0]
+    ref = affine_apply_reference_scipy(
+        vol, np.eye(3), np.asarray([1.5, -2.25, 3.0]))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
