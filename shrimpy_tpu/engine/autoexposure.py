@@ -70,6 +70,12 @@ def masked_mean_intensity(
 ) -> tuple[int | None, float, float]:
     """Mean over foreground with hot pixels masked (reference ``:121-179``)."""
     hot_cutoff = np.percentile(image, settings.hot_pixel_percentile)
+    # The mask exists to drop a handful of hot/dead-bright PIXELS; a
+    # large population at the cutoff is genuine overexposure that the
+    # mask must not hide (a 60%-saturated frame would otherwise read
+    # 'well exposed' from its background alone).
+    if float(np.mean(image >= hot_cutoff)) > 0.01:
+        return 1, max(exposure_ms / 2.0, settings.min_exposure_ms), laser_power
     valid = image[image < hot_cutoff]
     if valid.size == 0:
         valid = image.ravel()
@@ -134,7 +140,12 @@ def autoexpose_with_escalation(
     Returns (exposure_ms, laser_power, converged).
     """
     algo = ALGORITHMS[algorithm]
-    exposure = exposure_ms or settings.default_exposure_ms
+    # `is None` (not falsy-or): an explicit 0.0 is a bad upstream value
+    # to surface via clipping, not silently replace with the default.
+    exposure = (
+        settings.default_exposure_ms if exposure_ms is None
+        else max(exposure_ms, settings.min_exposure_ms)
+    )
     for _ in range(max_rounds):
         image = acquire_fn(exposure, laser_power)
         flag, new_exposure, laser_power = algo(image, exposure, laser_power, settings)

@@ -96,6 +96,11 @@ def focus_from_transverse_band(
     idx = int(np.argmax(power))
     if threshold > 0:
         med = float(np.median(power))
-        if med <= 0 or power[idx] < threshold * med:
+        if med <= 0:
+            # A zero median with a positive peak is the MOST prominent
+            # case (most slices carry no midband power at all), not a
+            # failure; only an all-zero stack has no focus.
+            return idx if power[idx] > 0 else None
+        if power[idx] < threshold * med:
             return None
     return idx

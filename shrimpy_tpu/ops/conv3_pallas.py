@@ -473,6 +473,13 @@ def conv3_circular_pallas(
         for term in terms
     )
     radii = tuple(len(np.asarray(terms[0][a])) // 2 for a in range(3))
+    for term in terms[1:]:
+        if tuple(len(np.asarray(t)) // 2 for t in term) != radii:
+            # The kernel bakes one (rz, ry, rx); a term with different
+            # tap lengths would be convolved around the wrong centre.
+            raise ValueError(
+                "all separable terms must share per-axis tap lengths"
+            )
     return _conv3_pallas_jit(
         jnp.asarray(vol), taps_key=key, radii=radii, interpret=interpret
     )

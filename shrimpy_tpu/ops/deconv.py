@@ -553,6 +553,13 @@ def _resolve_separable_backend(
     g_y = image_shape[1] + 2 * (psf_shape[1] // 2)
     if g_y < _LINEAR_MIN_Y:
         return "matmul"
+    # The padded carry has only _LP_BZ halo rows of z pad: a z radius
+    # beyond it would clip slab starts and misalign tap weighting in
+    # the edge z tiles (the fused layout guards the same bound).
+    from shrimpy_tpu.ops.conv3_pallas import _LP_BZ
+
+    if radii[0] > _LP_BZ:
+        return "matmul"
     # HBM guard: the padded-carry layout holds ~6 live volume-sized
     # buffers; past ~12 GB the tighter matmul grid is the one that fits.
     from shrimpy_tpu.ops.conv3_pallas import lp_layout
@@ -587,6 +594,11 @@ def _rl_sep_linear(image, psf_np, terms, settings, iterations):
     )
 
     pads = tuple((k // 2, k // 2) for k in psf_np.shape)
+    if psf_np.shape[0] // 2 > 8:
+        raise ValueError(
+            f"linear_pallas supports PSF z radius <= 8 (got "
+            f"{psf_np.shape[0] // 2}); use separable_backend='matmul'"
+        )
     g_shape = tuple(n + lo + hi for n, (lo, hi) in zip(image.shape, pads))
     key = (
         tuple(image.shape),

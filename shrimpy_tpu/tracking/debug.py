@@ -60,6 +60,12 @@ class DebugWriter:
             stack = np.asarray(stack_zyx, np.float32)
             if t < self.max_timepoints:
                 self._position(p, tuple(stack.shape)).write((t, 0), stack)
+            elif t == self.max_timepoints:
+                logger.warning(
+                    "dynatrack debug store capped at %d timepoints; "
+                    "later stacks keep PNG overlays only",
+                    self.max_timepoints,
+                )
             self._overlay_png(stack, t, p, shift_px_zyx, center_zyx)
         except Exception:
             logger.exception("dynatrack debug output failed (ignored)")

@@ -29,8 +29,19 @@ class Preprocessor:
     def __init__(self, config: DynaTrackConfig):
         self.config = config
         self.steps = tuple(config.preprocessing or ())
-        self.deskew = config.deskew_settings() if "deskew" in self.steps else None
-        self.phase = config.phase_settings() if "phase" in self.steps else None
+        # A listed step ALWAYS runs: a missing settings block means the
+        # defaults (with injected derived parameters), never a silent
+        # skip that would feed unprocessed data to later stages.
+        self.deskew = None
+        if "deskew" in self.steps:
+            from shrimpy_tpu.config.schemas import DeskewSettings
+
+            self.deskew = config.deskew_settings() or DeskewSettings()
+        self.phase = None
+        if "phase" in self.steps:
+            from shrimpy_tpu.config.schemas import PhaseSettings
+
+            self.phase = config.phase_settings() or PhaseSettings()
         self.stainer = None
         if "vs" in self.steps:
             from shrimpy_tpu.models.vsunet import VirtualStainer, VSModelSettings

@@ -36,6 +36,7 @@ def configure_logging(
     logger.propagate = False
     for h in list(logger.handlers):
         logger.removeHandler(h)
+        h.close()  # flush + release the fd (reconfigured per acquisition)
 
     console = logging.StreamHandler(sys.stderr)
     console.setLevel(level)
