@@ -164,6 +164,11 @@ class DeconvolveSettings(BaseModel):
     # route to the exact FFT path. Every denoise/fallback is logged.
     psf_denoise: Literal["auto", "off"] = "auto"
     psf_denoise_max_residual: float = 0.05
+    # Trim near-zero PSF border planes before planning: measured PSFs
+    # arrive in fixed 31-41 voxel patches whose radius would otherwise
+    # set every backend's cost (and push z radius past the fused/linear
+    # kernels' bounds). Relative to the PSF max; 0 disables.
+    psf_crop_tol: float = 1e-5
     # Extended-rank ceiling tried before falling back to FFT: the fused
     # kernel's per-term marginal cost keeps rank-10 separable iterations
     # faster than the FFT path (~8x a rank-1 iteration on v5e). Applies

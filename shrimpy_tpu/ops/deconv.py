@@ -779,6 +779,32 @@ def _sep_pads(
     return tuple(pads)
 
 
+def _crop_psf_support(psf_np: np.ndarray, rel_tol: float) -> np.ndarray:
+    """Trim near-zero border planes, preserving the ``k // 2`` centre.
+
+    Measured PSFs arrive in fixed patch sizes (31-41 voxels per axis,
+    the bead-extraction geometry) whose outer planes carry ~no mass;
+    the kernel radius — hence every backend's cost and the fused/
+    linear kernels' z-radius bounds — follows the PATCH size unless the
+    support is cropped. Symmetric margins (the min of both sides per
+    axis) keep the centre voxel at ``k // 2``; discarded relative mass
+    is bounded by ``rel_tol`` per voxel (measured 4e-5 total for a
+    Gaussian in a 31-voxel patch at the 1e-5 default).
+    """
+    if rel_tol <= 0:
+        return psf_np
+    mask = psf_np > rel_tol * float(psf_np.max())
+    slices = []
+    for ax in range(psf_np.ndim):
+        other = tuple(a for a in range(psf_np.ndim) if a != ax)
+        hit = np.argwhere(mask.any(axis=other)).ravel()
+        if hit.size == 0:
+            return psf_np
+        margin = min(int(hit.min()), psf_np.shape[ax] - 1 - int(hit.max()))
+        slices.append(slice(margin, psf_np.shape[ax] - margin))
+    return psf_np[tuple(slices)]
+
+
 def _pad_psf_to_odd(psf_np: np.ndarray) -> np.ndarray:
     """Append a zero plane to even-length PSF axes.
 
@@ -822,7 +848,8 @@ def richardson_lucy(
     settings = settings or DeconvolveSettings()
     iters = iterations if iterations is not None else settings.iterations
     image = jnp.asarray(image)
-    psf_np = _pad_psf_to_odd(np.asarray(psf, dtype=np.float32))
+    psf_np = np.asarray(psf, dtype=np.float32)
+    psf_np = _pad_psf_to_odd(_crop_psf_support(psf_np, settings.psf_crop_tol))
     assert image.ndim == psf_np.ndim, (image.shape, psf_np.shape)
 
     if settings.algorithm == "separable" and psf_np.ndim != 3:
@@ -909,7 +936,7 @@ def richardson_lucy_reference_separable(
     decomposition (used to oracle the rank-truncated denoised path).
     """
     image = np.asarray(image, dtype=np.float64)
-    psf = _pad_psf_to_odd(np.asarray(psf, np.float64))
+    psf = _pad_psf_to_odd(_crop_psf_support(np.asarray(psf, np.float64), 1e-5))
     psf_unit = psf / psf.sum()
     if terms is None:
         terms = separable_decompose(psf_unit, tol=tol, max_terms=max_terms)
@@ -961,7 +988,7 @@ def richardson_lucy_reference(
 ) -> np.ndarray:
     """Trusted fp64 numpy oracle: the identical update rule on the same grid."""
     image = np.asarray(image, dtype=np.float64)
-    psf = _pad_psf_to_odd(np.asarray(psf, dtype=np.float64))
+    psf = _pad_psf_to_odd(_crop_psf_support(np.asarray(psf, np.float64), 1e-5))
     grid, pads = _padded_grid_shape(tuple(image.shape), tuple(psf.shape))
 
     padded = np.pad(image, pads, mode=pad_mode)

@@ -47,9 +47,11 @@ def _deconv_fn(
         return None
     if psf is None:
         raise ValueError("deconvolve stage enabled but no PSF provided")
-    from shrimpy_tpu.ops.deconv import _pad_psf_to_odd
+    from shrimpy_tpu.ops.deconv import _crop_psf_support, _pad_psf_to_odd
 
-    psf_np = _pad_psf_to_odd(np.asarray(psf, dtype=np.float32))
+    psf_np = _pad_psf_to_odd(
+        _crop_psf_support(np.asarray(psf, dtype=np.float32), deconv.psf_crop_tol)
+    )
 
     terms = None
     if settings.shard_volumes:

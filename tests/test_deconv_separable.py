@@ -323,3 +323,29 @@ def test_fused_cache_respects_term_budget(rng):
                            psf_denoise_max_residual=1.0),
     ))
     assert np.abs(out_full - out_rank1).max() > 1e-3  # different kernels ran
+
+
+def test_measured_patch_psf_stays_on_fast_paths(rng):
+    """A Gaussian PSF in the bead-extraction 31-voxel patch (z radius
+    15 as-delivered) crops to its real support, restoring the fused/
+    linear kernels' z-radius bounds and shrinking every backend's
+    cost — with parity against the (equally cropped) fp64 oracle."""
+    import jax.numpy as jnp
+
+    from shrimpy_tpu.ops.deconv import (
+        _crop_psf_support,
+        _resolve_separable_backend,
+    )
+
+    psf_patch = np.asarray(gaussian_psf((31, 31, 31), (1.5, 2.5, 2.5)))
+    cropped = _crop_psf_support(psf_patch, 1e-5)
+    assert cropped.shape[0] <= 17  # z radius back within the kernel bound
+    assert float(psf_patch.sum() - cropped.sum()) / psf_patch.sum() < 1e-3
+
+    vol = (rng.random((12, 48, 64), dtype=np.float32) * 100 + 1.0)
+    settings = DeconvolveSettings(iterations=5, algorithm="separable",
+                                  separable_backend="matmul")
+    ours = np.asarray(richardson_lucy(jnp.asarray(vol), psf_patch, settings))
+    oracle = richardson_lucy_reference_separable(vol, psf_patch, iterations=5)
+    rel = np.abs(ours - oracle).max() / np.abs(oracle).max()
+    assert rel <= 1e-3, rel
