@@ -66,16 +66,31 @@ def _time_best(fn, repeats=REPEATS) -> float:
 
 
 def _parity_check() -> float:
-    """Small deskew parity vs the scipy CPU oracle (relative max abs err)."""
+    """Deskew parity vs the scipy CPU oracle (relative max abs err).
+
+    Two geometries: a small one, and a long-scan one whose band DMA
+    exercises the s_lo clamp region (a production-geometry bug hid
+    behind small-parity-only checks in round 2 — bands covering the
+    whole scan never clamp).
+    """
     from shrimpy_tpu.config import DeskewSettings
     from shrimpy_tpu.ops.deskew import deskew_reference_scipy, deskew_volume
 
     settings = DeskewSettings(ls_angle_deg=30.0, px_to_scan_ratio=0.386)
     rng = np.random.default_rng(0)
-    raw = rng.random((48, 32, 32), dtype=np.float32) * 100.0
-    ours = np.asarray(deskew_volume(raw, settings))
-    oracle = deskew_reference_scipy(raw, settings)
-    return float(np.abs(ours - oracle).max() / max(np.abs(oracle).max(), 1e-12))
+    worst = 0.0
+    for shape in [(48, 32, 32), (180, 64, 64)]:
+        raw = rng.random(shape, dtype=np.float32) * 100.0
+        ours = np.asarray(deskew_volume(raw, settings))
+        oracle = deskew_reference_scipy(raw, settings)
+        worst = max(
+            worst,
+            float(
+                np.abs(ours - oracle).max()
+                / max(np.abs(oracle).max(), 1e-12)
+            ),
+        )
+    return worst
 
 
 def _run_headline(raw_shape) -> dict:

@@ -119,10 +119,16 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
 
     # Per-(z-block, y-block) DMA start: the union band's first needed
     # row (minimum over the block's z — s decreases with z — and its
-    # first y), clamped and quantized down to a sublane (8) multiple.
+    # first y), quantized down to a sublane (8) multiple. The scan
+    # extent is then padded so every band fits WITHOUT an upper clamp:
+    # clamping s_lo to ns - span shifted the last y-block's band off
+    # the final raw rows whenever (ns - span) % 8 != 0, silently
+    # zero-weighting the s+1 tap of the outermost output rows (caught
+    # at the production geometry, err 0.64 — small volumes fit in one
+    # span and never exercised the clamp).
     s_first = s0[:, ::BLOCK_Y].reshape(nzb, bz_raw, nyb).min(axis=1)
-    s_lo = np.clip(s_first, 0, max(ns_eff - span, 0)).astype(np.int64)
-    s_lo = ((s_lo // 8) * 8).astype(np.int32)
+    s_lo = ((np.clip(s_first, 0, None) // 8) * 8).astype(np.int32)
+    ns_eff = max(ns_eff, int(s_lo.max()) + span)
 
     # Interpolation weights with validity masks (zero outside the raw
     # scan extent or outside the DMA'd band — matches the XLA/scipy

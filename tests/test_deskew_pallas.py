@@ -3,6 +3,7 @@
 Runs in Pallas interpreter mode on the CPU mesh (SURVEY.md §4 strategy).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -57,3 +58,23 @@ def test_pallas_beads_land_correctly():
         zi, yi, xi = int(round(z)), int(round(y - y_off)), int(round(x))
         patch = out[zi - 2 : zi + 3, yi - 2 : yi + 3, xi - 2 : xi + 3]
         assert patch.max() > 0.3 * out.max()
+
+
+def test_band_clamp_regression_long_scan(rng):
+    """Scan extents much longer than one band span, with
+    (ns - span) % 8 != 0: the last y-block's band must still include
+    the final raw rows (the upper s_lo clamp used to shift it off them,
+    zero-weighting the outermost output rows — production-geometry
+    regression)."""
+    from shrimpy_tpu.ops.deskew import _deskew_xla
+    from shrimpy_tpu.ops.deskew_pallas import deskew_volume_pallas
+
+    raw = rng.random((180, 64, 64), dtype=np.float32)
+    s = DeskewSettings(ls_angle_deg=30.0, px_to_scan_ratio=0.386)
+    ours = np.asarray(deskew_volume_pallas(raw, s))
+    ref = np.asarray(_deskew_xla(
+        jnp.asarray(raw), ls_angle_deg=30.0, px_to_scan_ratio=0.386,
+        keep_overhang=False, average_n_slices=1,
+    ))
+    err = np.abs(ours - ref).max()
+    assert err <= 1e-4, err
