@@ -112,10 +112,22 @@ def _run_headline(raw_shape) -> dict:
     psf = gaussian_psf(PSF_SHAPE, (1.5, 3.0, 3.0))
     step = build_reconstruct_step(settings, psf=psf, mesh=None, donate=False)
 
-    key = jax.random.key(0)
-    raw = jax.random.uniform(key, (1, *raw_shape), jnp.float32, 0.0, 100.0)
     tf_dummy = jnp.zeros((2, 1, 1, 1), jnp.float32)
-    best = _time_best(lambda: _sync(step(raw, tf_dummy)))
+
+    # Generate the raw volume INSIDE the program: as an internal temp
+    # it frees right after the deskew consumes it, instead of pinning
+    # ~2 GB of HBM for the whole deskew+RL program (the production
+    # geometry sits within ~0.5 GB of the HBM ceiling). Costs one
+    # bandwidth pass (~0.5% of the measurement).
+    @jax.jit
+    def run(key):
+        raw = jax.random.uniform(
+            key, (1, *raw_shape), jnp.float32, 0.0, 100.0
+        )
+        return step(raw, tf_dummy)
+
+    key = jax.random.key(0)
+    best = _time_best(lambda: _sync(run(key)))
 
     out_zyx = output_shape(raw_shape, settings)
     return {
