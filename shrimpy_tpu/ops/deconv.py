@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from shrimpy_tpu.config.schemas import DeconvolveSettings
+from shrimpy_tpu.utils.cache import LruCache
 from shrimpy_tpu.utils.fft import next_fast_len, next_fast_len_tpu
 
 
@@ -358,8 +359,8 @@ def _axis_is_banded(n: int, radius: int = 0) -> bool:
     return n > _DENSE_MAX and radius <= _BLOCK
 
 
-_SEP_MATS_NP_CACHE: dict = {}
-_SEP_MATS_DEV_CACHE: dict = {}
+_SEP_MATS_NP_CACHE = LruCache(maxsize=8)
+_SEP_MATS_DEV_CACHE = LruCache(maxsize=8)
 
 
 def _sep_matrices_device(terms, grid, radii) -> tuple:
@@ -572,7 +573,7 @@ def _resolve_separable_backend(
 
 # -- zero-boundary fused-kernel RL backend ----------------------------------
 
-_RL_LINEAR_CACHE: dict = {}
+_RL_LINEAR_CACHE = LruCache(maxsize=8)
 
 
 def _rl_sep_linear(image, psf_np, terms, settings, iterations):
@@ -677,7 +678,7 @@ def _rl_sep_linear(image, psf_np, terms, settings, iterations):
 
 # -- z+y fused Pallas conv backend -----------------------------------------
 
-_RL_ZY_CACHE: dict = {}
+_RL_ZY_CACHE = LruCache(maxsize=8)
 
 
 def _rl_sep_zy(image, psf_np, terms, settings, iterations):

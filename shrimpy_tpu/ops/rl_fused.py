@@ -56,6 +56,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from shrimpy_tpu.utils.cache import LruCache
+
 logger = logging.getLogger(__name__)
 
 _BZ = 8
@@ -65,19 +67,27 @@ _BY = 128
 # EARLY RL iterations, whose trajectory error the later 3-pass
 # iterations contract away; see rl_fused's low_precision_iters).
 _PASSES = int(os.environ.get("SHRIMPY_RL_DOT_PASSES", "3"))
+# Staggered-carry x pass (K=256 interior dots, one-sided 128 halo)
+# when the x radius allows it; "0" forces the legacy K=384 layout
+# (bake-off knob, docs/kernels.md).
+_STAGGER = os.environ.get("SHRIMPY_RL_STAGGER", "1") != "0"
 
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _x_cost(nx_p: int, bx: int) -> float:
+def _x_cost(nx_p: int, bx: int, staggered: bool = False) -> float:
     """Relative per-pass cost model for an x-tile choice: MXU (banded-y
     amp + tridiagonal-x, 3-pass each) plus DMA read amplification,
-    scaled by the rounded x extent."""
+    scaled by the rounded x extent. The staggered layout's interior x
+    dot is K=256 instead of K=384 (9.0 -> 6.0) and its slab halo is
+    one-sided (128 instead of 256)."""
     xa = _round_up(nx_p, bx)
-    amp = (bx + 256) / bx
-    return xa * (3.75 * amp + 9.0 + 2.2 * amp)
+    halo = 128 if staggered else 256
+    amp = (bx + halo) / bx
+    x_dot = 6.0 if staggered else 9.0
+    return xa * (3.75 * amp + x_dot + 2.2 * amp)
 
 
 def fused_layout(
@@ -86,21 +96,36 @@ def fused_layout(
     *,
     bz: int | None = None,
     bx: int | None = None,
+    staggered: bool | None = None,
 ) -> dict | None:
     """Carry layout for the fused kernel, or None when the geometry
-    does not satisfy the kernel's constraints (caller falls back)."""
+    does not satisfy the kernel's constraints (caller falls back).
+
+    ``staggered`` (default: auto, rx <= 64) places the *est* carry at x
+    offset rx relative to the data/ratio carries, which turns each RL
+    half-step's x window one-sided ([c, c+2rx] for the conv pass,
+    [c-2rx, c] for the adjoint) so it fits an aligned 2-block K=256 MXU
+    window with a single 128-wide slab halo — 2/3 the x-dot MXU work of
+    the symmetric K=384 layout (the production bottleneck, see
+    docs/kernels.md bake-off table).
+    """
     gz, gy, gx = g_shape
     rz, ry, rx = radii
     bz = bz or int(os.environ.get("SHRIMPY_RL_BZ", "0")) or _BZ
     if rz > bz or ry > 120 or rx > 128:
         return None
+    if staggered is None:
+        staggered = _STAGGER and 2 * rx <= 128
+    if staggered and 2 * rx > 128:
+        return None
     y_shift = (-ry) % 8
     sy = _round_up(_BY + 2 * ry + y_shift, 16)
     zp = _round_up(gz, bz)
     yp = _round_up(gy, _BY)
-    nx_p = _round_up(gx, 128)
+    nx_p = _round_up(gx + (rx if staggered else 0), 128)
     if yp < sy:
         return None  # slab taller than the array: tiny-y volume
+    halo = 128 if staggered else 256
     if bx is None and os.environ.get("SHRIMPY_RL_BX"):
         bx = int(os.environ["SHRIMPY_RL_BX"])  # experiment override
     if bx is None:
@@ -113,22 +138,27 @@ def fused_layout(
         # pipelined tiles ~25 MB — inside the 100 MB cap.
         feasible = [
             c for c in (1536, 1024, 768, 512, 384, 256, 128)
-            if _round_up(nx_p, c) >= c + 256
+            if _round_up(nx_p, c) >= c + halo
         ]
         if not feasible:
             return None
-        bx = min(feasible, key=lambda c: _x_cost(nx_p, c))
+        bx = min(feasible, key=lambda c: _x_cost(nx_p, c, staggered))
     xa = _round_up(nx_p, bx)
-    sx = bx + 256
+    sx = bx + halo
     if xa < sx:
         return None
+    x_off = rx if staggered else 0
     return {
         "bz": bz, "by": _BY, "bx": bx,
         "sy": sy, "sx": sx, "y_shift": y_shift,
+        "staggered": staggered, "x_off": x_off,
         "shape": (zp, yp, xa),
         "interior": (slice(0, gz), slice(0, gy), slice(0, gx)),
+        "interior_est": (
+            slice(0, gz), slice(0, gy), slice(x_off, x_off + gx)
+        ),
         "dims": (zp, yp, xa, sy, y_shift, bx, bz),
-        "score": zp * yp * _x_cost(nx_p, bx),
+        "score": zp * yp * _x_cost(nx_p, bx, staggered),
     }
 
 
@@ -162,10 +192,15 @@ def fused_best_layout(
     return layout, swap
 
 
-def fused_pad(vol_g: jnp.ndarray, layout: dict) -> jnp.ndarray:
-    """Embed a G-shaped volume into the zero carry layout."""
+def fused_pad(vol_g: jnp.ndarray, layout: dict, *, est: bool = False) -> jnp.ndarray:
+    """Embed a G-shaped volume into the zero carry layout.
+
+    ``est=True`` places it at the est-carry x offset (staggered
+    layouts keep est at x offset rx; identical to ``est=False`` on
+    symmetric layouts)."""
     out = jnp.zeros(layout["shape"], jnp.float32)
-    return out.at[layout["interior"]].set(vol_g.astype(jnp.float32))
+    where = layout["interior_est" if est else "interior"]
+    return out.at[where].set(vol_g.astype(jnp.float32))
 
 
 def _split_hi_lo(mat: np.ndarray) -> np.ndarray:
@@ -224,10 +259,40 @@ def x_stencil_pieces(taps: np.ndarray, rx: int) -> np.ndarray:
     return np.stack([_split_hi_lo(pieces[m]) for m in range(3)])
 
 
+def x_stencil_pieces_staggered(
+    taps: np.ndarray, rx: int, direction: int
+) -> np.ndarray:
+    """(2, 2, 128, 128) bf16: staggered 2-block x pieces, hi/lo.
+
+    The staggered carry keeps est at x offset rx relative to
+    data/ratio, so each pass's input window is one-sided and spans two
+    aligned slab blocks (K=256):
+
+    - ``direction=+1`` (conv pass, in = est@+rx, out @0, slab DMA at
+      tile start): in window [c, c+2rx], S = 2*rx.
+    - ``direction=-1`` (adjoint pass, in @0, out = est@+rx, slab DMA
+      one block left): in window [c-2rx, c], S = 128.
+
+    P_m[r, c] = k[i]  at  r = c + S - i - 128*m, m in {0, 1}.
+    """
+    taps = np.asarray(taps, np.float64)
+    assert len(taps) == 2 * rx + 1 and 2 * rx <= 128
+    s_off = 2 * rx if direction > 0 else 128
+    pieces = np.zeros((2, 128, 128), np.float64)
+    for m in range(2):
+        for c in range(128):
+            for i, k in enumerate(taps):
+                r = c + s_off - i - 128 * m
+                if 0 <= r < 128:
+                    pieces[m, r, c] += k
+    return np.stack([_split_hi_lo(pieces[m]) for m in range(2)])
+
+
 @partial(
     jax.jit,
     static_argnames=(
-        "kz_key", "radii", "dims", "mode", "eps", "interpret", "passes"
+        "kz_key", "radii", "dims", "mode", "eps", "interpret", "passes",
+        "stagger",
     ),
 )
 def _rl_fused_pass(
@@ -244,19 +309,25 @@ def _rl_fused_pass(
     eps: float,
     interpret: bool,
     passes: int | None = None,
+    stagger: int = 0,  # 0 = symmetric K=384; +1/-1 = staggered K=256
 ):
     """One fused conv3 + epilogue pass over the padded carry.
 
     mode="ratio": out = aux / max(conv(carry), eps)   (aux = data)
     mode="mult":  out = aux * conv(carry)             (aux = est)
     mode="plain": out = conv(carry)                   (aux ignored)
+
+    ``stagger=+1``: input carry holds est at x offset +rx, output at
+    offset 0 (one-sided right window); ``stagger=-1``: the adjoint
+    direction (input at 0, output at +rx, one-sided left window). Both
+    use 2-block K=256 x dots with a single 128-wide slab halo.
     """
     if passes is None:
         passes = _PASSES
     rz, ry, rx = radii
     zp, yp, xa, sy, y_shift, bx, bz = dims
     by = _BY
-    sx = bx + 256
+    sx = bx + (256 if stagger == 0 else 128)
     nzb, nyb, nxb = zp // bz, yp // by, xa // bx
     n_terms = len(kz_key)
     total = nyb * nxb * nzb
@@ -279,7 +350,13 @@ def _rl_fused_pass(
             y0 = pl.multiple_of(
                 jnp.clip(y2 * by - ry - y_shift, 0, yp - sy), 8
             )
-            x0 = pl.multiple_of(jnp.clip(x2 * bx - 128, 0, xa - sx), 128)
+            # Symmetric/adjoint slabs start one block left of the
+            # tile; the staggered conv pass (+1) starts AT the tile
+            # (its window is one-sided to the right).
+            x_lead = 0 if stagger > 0 else 128
+            x0 = pl.multiple_of(
+                jnp.clip(x2 * bx - x_lead, 0, xa - sx), 128
+            )
             return pltpu.make_async_copy(
                 in_ref.at[
                     pl.ds(k2 * bz, bz), pl.ds(y0, sy), pl.ds(x0, sx)
@@ -313,8 +390,14 @@ def _rl_fused_pass(
         is_prev_ok = k > 0
         is_next_ok = k < nzb - 1
         ysel = jnp.where(yi == 0, 0, jnp.where(yi == nyb - 1, 2, 1))
-        # Slab-block shift at the clamped first/last x tiles.
-        delta = jnp.where(xi == 0, -1, jnp.where(xi == nxb - 1, 1, 0))
+        # Slab-block shift at the clamped first/last x tiles. Each
+        # staggered direction clamps on only ONE side.
+        if stagger > 0:
+            delta = jnp.where(xi == nxb - 1, 1, 0)
+        elif stagger < 0:
+            delta = jnp.where(xi == 0, -1, 0)
+        else:
+            delta = jnp.where(xi == 0, -1, jnp.where(xi == nxb - 1, 1, 0))
         first_x = xi > 0
         last_x = xi < nxb - 1
 
@@ -364,17 +447,27 @@ def _rl_fused_pass(
                 dimension_numbers=dims_,
                 preferred_element_type=jnp.float32,
             )
+            if stagger == 0:
+                interior_j = lambda j: 0 < j < jblocks - 1  # noqa: E731
+                n_pieces, kcat = 3, 384
+            elif stagger > 0:
+                interior_j = lambda j: j < jblocks - 1  # noqa: E731
+                n_pieces, kcat = 2, 256
+            else:
+                interior_j = lambda j: j > 0  # noqa: E731
+                n_pieces, kcat = 2, 256
             for j in range(jblocks):
                 prods = []
-                if 0 < j < jblocks - 1:
-                    # Interior out block: one concatenated K=384 dot
-                    # per pass (window and pieces are contiguous).
+                if interior_j(j):
+                    # Interior out block: one concatenated K=384 (K=256
+                    # staggered) dot per pass (window and pieces are
+                    # contiguous).
                     start = pl.multiple_of(
-                        jnp.clip((j + delta) * 128, 0, sx - 384), 128
+                        jnp.clip((j + delta) * 128, 0, sx - kcat), 128
                     )
                     for t in range(n_terms):
-                        bh = yz_scr[t, 0, :, pl.ds(start, 384)]
-                        bl = yz_scr[t, 1, :, pl.ds(start, 384)]
+                        bh = yz_scr[t, 0, :, pl.ds(start, kcat)]
+                        bl = yz_scr[t, 1, :, pl.ds(start, kcat)]
                         ch = gxc_ref[t, 0, :, :]
                         # (Stacking hi/lo into one (2*by, K) dot to share
                         # the stencil weight load measured 42.51 vs 42.49
@@ -383,17 +476,29 @@ def _rl_fused_pass(
                         if passes >= 3:
                             prods.append(dot(bh, gxc_ref[t, 1, :, :]))
                 else:
-                    for m in range(3):
+                    for m in range(n_pieces):
                         start = pl.multiple_of(
                             jnp.clip((j + m + delta) * 128, 0, sx - 128), 128
                         )
                         # Zero-gate the beyond-array pieces at the
                         # clamped edge tiles (zero-boundary x).
                         gate = None
-                        if j == 0 and m == 0:
-                            gate = first_x
-                        if j == jblocks - 1 and m == 2:
-                            gate = last_x
+                        if stagger == 0:
+                            if j == 0 and m == 0:
+                                gate = first_x
+                            if j == jblocks - 1 and m == 2:
+                                gate = last_x
+                        elif stagger > 0:
+                            # Only j = jblocks-1 reaches here; its
+                            # second window block leaves the slab at
+                            # the clamped LAST tile.
+                            if m == 1:
+                                gate = last_x
+                        else:
+                            # Only j = 0; its first window block leaves
+                            # the slab at the clamped FIRST tile.
+                            if m == 0:
+                                gate = first_x
                         for t in range(n_terms):
                             bh = yz_scr[t, 0, :, pl.ds(start, 128)]
                             bl = yz_scr[t, 1, :, pl.ds(start, 128)]
@@ -460,20 +565,32 @@ def conv3_fused(carry, aux, terms, layout, *, flip=False, mode="plain",
                 eps=1e-6, interpret=None):
     """Zero-boundary separable conv3 (+ optional epilogue) on a padded
     carry. ``terms`` are (wz, wy, wx) tap triples; ``flip=True``
-    applies the adjoint (taps reversed)."""
+    applies the adjoint (taps reversed).
+
+    On a staggered layout the x offsets alternate by direction: the
+    conv pass (flip=False) reads est at offset rx and writes at 0; the
+    adjoint (flip=True) reads at 0 and writes at offset rx. Callers
+    place inputs with :func:`fused_pad` (``est=flip == False``)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     rz = len(terms[0][0]) // 2
     ry = len(terms[0][1]) // 2
     rx = len(terms[0][2]) // 2
+    stagger = 0
+    if layout.get("staggered"):
+        stagger = -1 if flip else 1
     kz_key, gys, gxs = [], [], []
     for wz, wy, wx in terms:
         wz, wy, wx = (np.asarray(w)[::-1] if flip else np.asarray(w)
                       for w in (wz, wy, wx))
         kz_key.append(tuple(float(v) for v in wz))
         gys.append(y_stencil_variants(wy, layout))
-        gxs.append(x_stencil_pieces(wx, rx))
-    # gy_all: (3, 2*T, by, sy); gx_all: (T, 3, 2, 128, 128)
+        gxs.append(
+            x_stencil_pieces_staggered(wx, rx, stagger)
+            if stagger
+            else x_stencil_pieces(wx, rx)
+        )
+    # gy_all: (3, 2*T, by, sy); gx_all: (T, n_pieces, 2, 128, 128)
     gy_all = jnp.asarray(
         np.concatenate(gys, axis=1), dtype=jnp.bfloat16
     )
@@ -483,17 +600,19 @@ def conv3_fused(carry, aux, terms, layout, *, flip=False, mode="plain",
     return _rl_fused_pass(
         carry, aux, gy_all, gx_all, gx_cat,
         kz_key=tuple(kz_key), radii=(rz, ry, rx), dims=layout["dims"],
-        mode=mode, eps=eps, interpret=interpret,
+        mode=mode, eps=eps, interpret=interpret, stagger=stagger,
     )
 
 
 def _cat_pieces(gx_stack: np.ndarray) -> np.ndarray:
-    """(T, 3, 2, 128, 128) pieces -> (T, 2, 384, 128) row-concatenated
-    window stencils (the interior out blocks use one K=384 dot)."""
-    return np.concatenate([gx_stack[:, m] for m in range(3)], axis=2)
+    """(T, P, 2, 128, 128) pieces -> (T, 2, P*128, 128) row-concatenated
+    window stencils (the interior out blocks use one K=P*128 dot)."""
+    return np.concatenate(
+        [gx_stack[:, m] for m in range(gx_stack.shape[1])], axis=2
+    )
 
 
-_RL_FUSED_CACHE: dict = {}
+_RL_FUSED_CACHE = LruCache(maxsize=8)
 
 
 def rl_fused_supported(image_shape, psf_shape) -> bool:
@@ -539,9 +658,11 @@ def rl_fused(image, psf_np, terms, settings, iterations):
     key = (
         tuple(image.shape), psf_np.tobytes(), terms_key, iterations,
         low_iters, settings.epsilon, settings.pad_mode, swap, "fused",
+        bool(layout.get("staggered")),
     )
     if key not in _RL_FUSED_CACHE:
         rz, ry, rx = radii
+        stagger = bool(layout.get("staggered"))
         kz_c, kz_f, gy_c, gy_f, gx_c, gx_f = [], [], [], [], [], []
         for wz, wy, wx in terms:
             wz, wy, wx = (np.asarray(w, np.float64) for w in (wz, wy, wx))
@@ -549,8 +670,12 @@ def rl_fused(image, psf_np, terms, settings, iterations):
             kz_f.append(tuple(float(v) for v in wz[::-1]))
             gy_c.append(y_stencil_variants(wy, layout))
             gy_f.append(y_stencil_variants(wy[::-1], layout))
-            gx_c.append(x_stencil_pieces(wx, rx))
-            gx_f.append(x_stencil_pieces(wx[::-1], rx))
+            if stagger:
+                gx_c.append(x_stencil_pieces_staggered(wx, rx, 1))
+                gx_f.append(x_stencil_pieces_staggered(wx[::-1], rx, -1))
+            else:
+                gx_c.append(x_stencil_pieces(wx, rx))
+                gx_f.append(x_stencil_pieces(wx[::-1], rx))
         # Keep stencils as HOST numpy in the cached closure: rl_fused
         # may be called while tracing (lax.map / shard_map bodies), and
         # jnp constants created there are trace-local tracers — caching
@@ -566,8 +691,10 @@ def rl_fused(image, psf_np, terms, settings, iterations):
         eps = settings.epsilon
         pad_mode = settings.pad_mode
         dims = layout["dims"]
-        interior = layout["interior"]
+        interior_est = layout["interior_est"]
         kzc, kzf = tuple(kz_c), tuple(kz_f)
+        stg_c = 1 if stagger else 0   # conv/ratio pass direction
+        stg_f = -1 if stagger else 0  # adjoint/mult pass direction
 
         @jax.jit
         def run(img):
@@ -581,7 +708,7 @@ def rl_fused(image, psf_np, terms, settings, iterations):
                 img = jnp.transpose(img, (0, 2, 1))
             g_vol = jnp.pad(img.astype(jnp.float32), pads, mode=pad_mode)
             data = fused_pad(jnp.maximum(g_vol, 0.0), layout)
-            est0 = fused_pad(jnp.maximum(g_vol, eps), layout)
+            est0 = fused_pad(jnp.maximum(g_vol, eps), layout, est=True)
 
             def make_step(passes):
                 def step(est, _):
@@ -589,13 +716,13 @@ def rl_fused(image, psf_np, terms, settings, iterations):
                         est, data, gy_conv, gx_conv, gxcat_conv,
                         kz_key=kzc, radii=radii, dims=dims,
                         mode="ratio", eps=eps, interpret=interpret,
-                        passes=passes,
+                        passes=passes, stagger=stg_c,
                     )
                     est = _rl_fused_pass(
                         ratio, est, gy_flip, gx_flip, gxcat_flip,
                         kz_key=kzf, radii=radii, dims=dims,
                         mode="mult", eps=eps, interpret=interpret,
-                        passes=passes,
+                        passes=passes, stagger=stg_f,
                     )
                     return est, None
 
@@ -615,7 +742,7 @@ def rl_fused(image, psf_np, terms, settings, iterations):
                 est, _ = jax.lax.scan(
                     make_step(3), est, None, length=iterations - low_iters
                 )
-            g_out = est[interior]
+            g_out = est[interior_est]
             crop = tuple(
                 slice(lo, lo + n) for (lo, _), n in zip(pads, img.shape)
             )

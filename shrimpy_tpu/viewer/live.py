@@ -89,6 +89,13 @@ class LiveMonitor:
             if (follow, pinned) != (self.follow, self.pinned_t):
                 self.follow, self.pinned_t = follow, pinned
                 changed = True
+            # ``{"contrast": "refresh"}`` drops the frozen limits so the
+            # next render re-stretches per channel — the knob for the
+            # deliberate divergence from the reference's per-update
+            # auto-contrast (``_napari_process.py:416-433``, PARITY.md).
+            if view.get("contrast") == "refresh" and self.contrast:
+                self.contrast.clear()
+                changed = True
         geo = self._read_control("deskew.json")
         if geo is not None:
             try:

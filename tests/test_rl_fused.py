@@ -46,54 +46,75 @@ def _oracle_conv3(vol_g, terms, grid, flip):
     return out
 
 
+@pytest.mark.parametrize("staggered", [False, True])
 @pytest.mark.parametrize("flip", [False, True])
-def test_conv3_fused_matches_zero_boundary_oracle(rng, flip):
+def test_conv3_fused_matches_zero_boundary_oracle(rng, flip, staggered):
     from tests.test_deconv_separable import asymmetric_psf
 
     psf = asymmetric_psf(PSF_SHAPE)
     terms = separable_decompose(psf / psf.sum())
     radii = tuple(k // 2 for k in psf.shape)
     g_shape = (16, 300, 666)
-    layout = fused_layout(g_shape, radii)
+    layout = fused_layout(g_shape, radii, staggered=staggered)
     assert layout is not None
     vol = rng.random(g_shape, dtype=np.float32) * 10.0
-    carry = fused_pad(vol, layout)
+    # Staggered layouts alternate the est x offset with direction:
+    # conv reads est (@+rx), adjoint writes est.
+    carry = fused_pad(vol, layout, est=not flip)
     out = np.asarray(
         conv3_fused(carry, carry, terms, layout, flip=flip, mode="plain")
     )
-    grid = layout["shape"]
-    ref = _oracle_conv3(vol.astype(np.float64), terms, grid, flip)
+    ref = _oracle_conv3(vol.astype(np.float64), terms, layout["shape"], flip)
     # Interior comparison: the fused kernel writes the full padded grid
     # (pads re-zeroed only through the RL epilogues).
-    sl = tuple(slice(0, n) for n in g_shape)
-    err = np.abs(out[sl] - ref[sl]).max() / np.abs(ref[sl]).max()
-    assert err <= 5e-5, f"flip={flip}: rel err {err:.2e}"
+    sl = layout["interior_est"] if flip else layout["interior"]
+    ref_sl = tuple(slice(0, n) for n in g_shape)
+    err = np.abs(out[sl] - ref[ref_sl]).max() / np.abs(ref[ref_sl]).max()
+    assert err <= 5e-5, f"flip={flip} staggered={staggered}: rel err {err:.2e}"
 
 
-def test_conv3_fused_epilogues(rng):
+@pytest.mark.parametrize("staggered", [False, True])
+def test_conv3_fused_epilogues(rng, staggered):
     psf = gaussian_psf(PSF_SHAPE, (1.0, 1.5, 1.5))
     terms = separable_decompose(psf)
     radii = tuple(k // 2 for k in psf.shape)
     g_shape = (16, 300, 666)
-    layout = fused_layout(g_shape, radii)
+    layout = fused_layout(g_shape, radii, staggered=staggered)
     vol = rng.random(g_shape, dtype=np.float32) * 10.0 + 0.5
-    carry = fused_pad(vol, layout)
-    aux = fused_pad(rng.random(g_shape, dtype=np.float32) * 5.0, layout)
-    conv = np.asarray(conv3_fused(carry, aux, terms, layout, mode="plain"))
+    aux_vol = rng.random(g_shape, dtype=np.float32) * 5.0
+    # ratio direction (flip=False): carry is the est layout, out/aux
+    # ride the data layout; mult direction (flip=True) is the mirror.
+    carry_c = fused_pad(vol, layout, est=True)
+    aux_c = fused_pad(aux_vol, layout)
+    carry_f = fused_pad(vol, layout)
+    aux_f = fused_pad(aux_vol, layout, est=True)
+    conv_c = np.asarray(
+        conv3_fused(carry_c, aux_c, terms, layout, mode="plain")
+    )
     ratio = np.asarray(
-        conv3_fused(carry, aux, terms, layout, mode="ratio", eps=1e-6)
+        conv3_fused(carry_c, aux_c, terms, layout, mode="ratio", eps=1e-6)
     )
-    mult = np.asarray(conv3_fused(carry, aux, terms, layout, mode="mult"))
-    aux_np = np.asarray(aux)
+    conv_f = np.asarray(
+        conv3_fused(carry_f, aux_f, terms, layout, flip=True, mode="plain")
+    )
+    mult = np.asarray(
+        conv3_fused(carry_f, aux_f, terms, layout, flip=True, mode="mult")
+    )
     np.testing.assert_allclose(
-        ratio, aux_np / np.maximum(conv, 1e-6), rtol=1e-5, atol=1e-6
+        ratio, np.asarray(aux_c) / np.maximum(conv_c, 1e-6),
+        rtol=1e-5, atol=1e-6,
     )
-    np.testing.assert_allclose(mult, aux_np * conv, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        mult, np.asarray(aux_f) * conv_f, rtol=1e-5, atol=1e-6
+    )
     # Epilogues keep the carry pads exactly zero (aux is zero there).
     gz, gy, gx = g_shape
+    x_hi = layout["x_off"] + gx
     assert np.all(ratio[gz:] == 0) and np.all(mult[gz:] == 0)
     assert np.all(ratio[:, gy:] == 0) and np.all(mult[:, gy:] == 0)
-    assert np.all(ratio[:, :, gx:] == 0) and np.all(mult[:, :, gx:] == 0)
+    assert np.all(ratio[:, :, gx:] == 0) and np.all(mult[:, :, x_hi:] == 0)
+    if layout["x_off"]:
+        assert np.all(mult[:, :, : layout["x_off"]] == 0)
 
 
 def test_rl_fused_matches_zero_boundary_oracle(rng):

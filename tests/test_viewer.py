@@ -220,6 +220,24 @@ def test_live_per_channel_autocontrast_frozen(live):
     assert monitor.contrast["BF"] == bf0  # frozen
 
 
+def test_live_contrast_refresh_control(live):
+    """Writing {"contrast": "refresh"} to view.json drops the frozen
+    limits so the next render re-stretches (PARITY.md divergence knob
+    for the reference's per-update auto-contrast)."""
+    import json as _json
+
+    ring, monitor, out = live
+    seq = _push_volume(ring, monitor, 0, t=0, channel="BF", value=10.0)
+    monitor.render_dirty()
+    bf0 = monitor.contrast["BF"]
+    seq = _push_volume(ring, monitor, seq, t=1, channel="BF", value=9000.0)
+    (out / "view.json").write_text(_json.dumps({"contrast": "refresh"}))
+    assert monitor.refresh_controls()
+    assert "BF" not in monitor.contrast
+    monitor.render_dirty()
+    assert monitor.contrast["BF"][1] > bf0[1]  # re-stretched to t=1
+
+
 def test_live_volume_granularity_eviction(live):
     """A volume lapped by the ring is never rendered half-overwritten:
     the monitor falls back to the newest still-resident volume
