@@ -71,6 +71,10 @@ _PASSES = int(os.environ.get("SHRIMPY_RL_DOT_PASSES", "3"))
 # when the x radius allows it; "0" forces the legacy K=384 layout
 # (bake-off knob, docs/kernels.md).
 _STAGGER = os.environ.get("SHRIMPY_RL_STAGGER", "1") != "0"
+# Per-axis precision experiment: override the bf16 pass count of the
+# X dots alone (0 = follow `passes`). Bake-off knob only — read once
+# at import so in-process jit caches stay consistent.
+_X_PASSES = int(os.environ.get("SHRIMPY_RL_X_PASSES", "0"))
 
 
 def _round_up(n: int, m: int) -> int:
@@ -324,6 +328,7 @@ def _rl_fused_pass(
     """
     if passes is None:
         passes = _PASSES
+    x_passes = passes if _X_PASSES == 0 else _X_PASSES
     rz, ry, rx = radii
     zp, yp, xa, sy, y_shift, bx, bz = dims
     by = _BY
@@ -380,6 +385,13 @@ def _rl_fused_pass(
         def _():
             chunk_dma(s + 1).wait()
 
+        dims_dot = (((1,), (0,)), ((), ()))
+        dot = partial(
+            jax.lax.dot_general,
+            dimension_numbers=dims_dot,
+            preferred_element_type=jnp.float32,
+        )
+
         slot_p = jax.lax.rem(s + 3, 4)  # (s-1) mod 4
         slot_c = jax.lax.rem(s, 4)
         slot_n = jax.lax.rem(s + 1, 4)
@@ -417,36 +429,51 @@ def _rl_fused_pass(
                     if gate is not None:
                         term = jnp.where(gate, term, 0.0)
                     tz = term if tz is None else tz + term
-                # --- banded y dot (3-pass bf16) ----------------------
+                # Precision regimes: Mosaic runs manual bf16 hi/lo
+                # splits (Precision.HIGH); interpret mode runs plain
+                # f32 dots. The split of an ARITHMETIC CHAIN is not
+                # clone-safe once interpret's ref-discharge turns the
+                # kernel into pure XLA ops: the compiler may
+                # rematerialize the chain per use with different FMA
+                # contraction, and a 1-ulp difference across a bf16
+                # rounding tie makes a stored hi inconsistent with its
+                # lo (a full bf16-ulp error — observed on the z-tap
+                # blend; optimization_barrier does NOT prevent the
+                # cloning). On Mosaic the VMEM scratch is physical, so
+                # the hardware path is safe — its bf16x3 numerics are
+                # validated on the real MXU by scripts/bench_rl.py
+                # parity_fused (2.6e-5 over RL-20).
+                # --- banded y dot -------------------------------------
                 gy_hi = gy_ref[ysel, 2 * t, :, :]
                 gy_lo = gy_ref[ysel, 2 * t + 1, :, :]
-                # (by, sy) @ (sy, sx): split the data side in-kernel.
-                tz_hi = tz.astype(jnp.bfloat16)
-                tz_lo = (tz - tz_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                dims_ = (((1,), (0,)), ((), ()))
-                dot = partial(
-                    jax.lax.dot_general,
-                    dimension_numbers=dims_,
-                    preferred_element_type=jnp.float32,
-                )
-                yz = dot(gy_hi, tz_hi) + dot(gy_hi, tz_lo)
-                if passes >= 3:
-                    yz = yz + dot(gy_lo, tz_hi)
-                yz_hi = yz.astype(jnp.bfloat16)
-                yz_lo = (yz - yz_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                # Stage hi/lo in VMEM: Mosaic supports dynamic lane
-                # slicing only through refs, and the x dots below read
+                if interpret:
+                    gy_full = gy_hi.astype(jnp.float32) + gy_lo.astype(
+                        jnp.float32
+                    )
+                    yz = dot(gy_full, tz)
+                else:
+                    # (by, sy) @ (sy, sx): split the data side.
+                    tz_hi = tz.astype(jnp.bfloat16)
+                    tz_lo = (
+                        tz - tz_hi.astype(jnp.float32)
+                    ).astype(jnp.bfloat16)
+                    yz = dot(gy_hi, tz_hi) + dot(gy_hi, tz_lo)
+                    if passes >= 3:
+                        yz = yz + dot(gy_lo, tz_hi)
+                # Stage in VMEM: Mosaic supports dynamic lane slicing
+                # only through refs, and the x dots below read
                 # 128-blocks at a tile-dependent offset.
-                yz_scr[t, 0, :, :] = yz_hi
-                yz_scr[t, 1, :, :] = yz_lo
+                if interpret:
+                    yz_scr[t, 0, :, :] = yz
+                else:
+                    yz_hi = yz.astype(jnp.bfloat16)
+                    yz_lo = (
+                        yz - yz_hi.astype(jnp.float32)
+                    ).astype(jnp.bfloat16)
+                    yz_scr[t, 0, :, :] = yz_hi
+                    yz_scr[t, 1, :, :] = yz_lo
 
             # --- block-tridiagonal x dots + epilogue ----------------
-            dims_ = (((1,), (0,)), ((), ()))
-            dot = partial(
-                jax.lax.dot_general,
-                dimension_numbers=dims_,
-                preferred_element_type=jnp.float32,
-            )
             if stagger == 0:
                 interior_j = lambda j: 0 < j < jblocks - 1  # noqa: E731
                 n_pieces, kcat = 3, 384
@@ -467,13 +494,19 @@ def _rl_fused_pass(
                     )
                     for t in range(n_terms):
                         bh = yz_scr[t, 0, :, pl.ds(start, kcat)]
+                        if interpret:
+                            ch = gxc_ref[t, 0, :, :].astype(
+                                jnp.float32
+                            ) + gxc_ref[t, 1, :, :].astype(jnp.float32)
+                            prods.append(dot(bh, ch))
+                            continue
                         bl = yz_scr[t, 1, :, pl.ds(start, kcat)]
                         ch = gxc_ref[t, 0, :, :]
                         # (Stacking hi/lo into one (2*by, K) dot to share
                         # the stencil weight load measured 42.51 vs 42.49
                         # ms/iter — no win; Mosaic already amortizes.)
                         prods += [dot(bh, ch), dot(bl, ch)]
-                        if passes >= 3:
+                        if x_passes >= 3:
                             prods.append(dot(bh, gxc_ref[t, 1, :, :]))
                 else:
                     for m in range(n_pieces):
@@ -501,6 +534,14 @@ def _rl_fused_pass(
                                 gate = first_x
                         for t in range(n_terms):
                             bh = yz_scr[t, 0, :, pl.ds(start, 128)]
+                            if interpret:
+                                if gate is not None:
+                                    bh = jnp.where(gate, bh, 0.0)
+                                px = gx_ref[t, m, 0, :, :].astype(
+                                    jnp.float32
+                                ) + gx_ref[t, m, 1, :, :].astype(jnp.float32)
+                                prods.append(dot(bh, px))
+                                continue
                             bl = yz_scr[t, 1, :, pl.ds(start, 128)]
                             if gate is not None:
                                 zero = jnp.zeros((), jnp.bfloat16)
@@ -508,7 +549,7 @@ def _rl_fused_pass(
                                 bl = jnp.where(gate, bl, zero)
                             px_hi = gx_ref[t, m, 0, :, :]
                             prods += [dot(bh, px_hi), dot(bl, px_hi)]
-                            if passes >= 3:
+                            if x_passes >= 3:
                                 prods.append(dot(bh, gx_ref[t, m, 1, :, :]))
                 # Tree sum keeps the MXU accumulation chain shallow.
                 while len(prods) > 1:
@@ -550,7 +591,10 @@ def _rl_fused_pass(
         out_shape=jax.ShapeDtypeStruct((zp, yp, xa), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((4, bz, sy, sx), jnp.float32),
-            pltpu.VMEM((n_terms, 2, by, sx), jnp.bfloat16),
+            pltpu.VMEM(
+                (n_terms, 2, by, sx),
+                jnp.float32 if interpret else jnp.bfloat16,
+            ),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(
