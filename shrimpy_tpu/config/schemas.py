@@ -225,6 +225,14 @@ class RegistrationSettings(BaseModel):
     refine_iterations: int = 100
     learning_rate: float = 0.05
     loss: Literal["mse", "ncc"] = "ncc"
+    # "triangular" (default) constrains the refined matrix to
+    # lower-triangular (scale + shear + translation — the mantis
+    # label-free<->light-sheet misalignment model; no rotation). An
+    # exactly triangular matrix applies through the gather-free shear
+    # path (~2 orders of magnitude faster per volume at apply time,
+    # ops/register.py::_triangular_apply_jit). "full" refines all 9
+    # matrix entries and applies through the trilinear gather.
+    parameterization: Literal["triangular", "full"] = "triangular"
     # Refinement evaluates the loss on a y/x-strided output grid
     # (sampling positions stay full-res; only the number of constraint
     # points drops — 12 affine params vs ~260k samples at stride 4).

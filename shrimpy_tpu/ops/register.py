@@ -75,8 +75,13 @@ def _trilinear_sample(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("output_shape",))
-def _translate_apply_jit(vol, offset, output_shape: tuple[int, int, int]):
+@partial(jax.jit, static_argnames=("output_shape", "in_shape"))
+def _translate_apply_jit(
+    vol,
+    offset,
+    output_shape: tuple[int, int, int],
+    in_shape: tuple[int, int, int],
+):
     """Pure-translation warp without gathers: 8 masked rolls + lerp.
 
     ``out[u] = vol[u + offset]`` (the identity-matrix case of the
@@ -85,22 +90,24 @@ def _translate_apply_jit(vol, offset, output_shape: tuple[int, int, int]):
     no gather) with out-of-range voxels masked to zero ('grid-constant'
     boundary). ~3 orders of magnitude faster than the gather warp on
     TPU (gathers serialize; rolls are bandwidth-bound copies).
+
+    The rolls run on the per-axis ``max(in, out)`` work grid and crop
+    at the end: cropping the INPUT to a smaller output extent first
+    would lose in-range source voxels beyond the crop (out[u] may read
+    vol[u + offset] past the output extent).
     """
     vol = vol.astype(jnp.float32)
-    if tuple(vol.shape) != tuple(output_shape):
-        # Grow/shrink to the output extent first (zero boundary).
-        pads = [(0, max(0, o - s)) for s, o in zip(vol.shape, output_shape)]
-        vol = jnp.pad(vol, pads)[
-            tuple(slice(0, o) for o in output_shape)
-        ]
+    work = tuple(max(s, o) for s, o in zip(in_shape, output_shape))
+    if tuple(vol.shape) != work:
+        pads = [(0, w - s) for s, w in zip(vol.shape, work)]
+        vol = jnp.pad(vol, pads)
     offset = offset.astype(jnp.float32)
     base = jnp.floor(offset).astype(jnp.int32)
     frac = offset - jnp.floor(offset)
 
-    out = jnp.zeros(output_shape, jnp.float32)
+    out = jnp.zeros(work, jnp.float32)
     iotas = [
-        jax.lax.broadcasted_iota(jnp.int32, tuple(output_shape), a)
-        for a in range(3)
+        jax.lax.broadcasted_iota(jnp.int32, work, a) for a in range(3)
     ]
     for dz in (0, 1):
         for dy in (0, 1):
@@ -112,12 +119,131 @@ def _translate_apply_jit(vol, offset, output_shape: tuple[int, int, int]):
                     * jnp.where(dx, frac[2], 1.0 - frac[2])
                 )
                 rolled = jnp.roll(vol, tuple(-shift), axis=(0, 1, 2))
-                valid = jnp.ones(tuple(output_shape), jnp.bool_)
+                valid = jnp.ones(work, jnp.bool_)
                 for a in range(3):
                     src = iotas[a] + shift[a]
-                    valid &= (src >= 0) & (src < vol.shape[a])
+                    # The pad region holds zeros, so reads there are
+                    # equivalent to grid-constant cval=0; only wrapped
+                    # rolls must be masked.
+                    valid &= (src >= 0) & (src < work[a])
                 out = out + jnp.where(valid, w * rolled, 0.0)
+    return out[tuple(slice(0, o) for o in output_shape)]
+
+
+# Gather-free triangular warps stay off the gather path only while the
+# per-axis integer-shift range is small (near-identity refined
+# transforms need ~3-6 rolls per axis); beyond this the masked-roll
+# sum loses to the one-shot gather.
+_MAX_ROLLS_PER_AXIS = 16
+
+
+def triangular_kind(matrix) -> str | None:
+    """'lower'/'upper' when the CONCRETE matrix is exactly triangular
+    (diagonal counts as lower), else None (traced or full matrices)."""
+    try:
+        m = np.asarray(matrix)
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        return None
+    if m.shape != (3, 3):
+        return None
+    if not np.all(np.isfinite(m)):
+        return None
+    if np.all(m[np.triu_indices(3, 1)] == 0.0):
+        return "lower"
+    if np.all(m[np.tril_indices(3, -1)] == 0.0):
+        return "upper"
+    return None
+
+
+def _axis_shift_bounds(matrix, offset, axis, work) -> tuple[int, int]:
+    """Concrete [lo, hi] of ``floor(in_a) - out_a`` over the work grid."""
+    m = np.asarray(matrix, np.float64)
+    t = float(np.asarray(offset, np.float64)[axis])
+    lo = hi = t
+    for j in range(3):
+        coef = m[axis, j] - (1.0 if j == axis else 0.0)
+        span = coef * (work[j] - 1)
+        lo += min(0.0, span)
+        hi += max(0.0, span)
+    return int(np.floor(lo)), int(np.floor(hi))
+
+
+def _shear_pass_1d(arr, axis, scale, off_grid, d_lo, d_hi):
+    """Resample ``arr`` along ``axis`` at ``in = scale*i + off`` via
+    masked rolls (linear interpolation, zero boundary).
+
+    ``off_grid`` broadcasts against ``arr`` with the pass axis sized 1;
+    ``[d_lo, d_hi]`` bounds ``floor(in) - i`` (concrete ints).
+    """
+    n = arr.shape[axis]
+    i = jax.lax.broadcasted_iota(jnp.int32, arr.shape, axis)
+    coord = scale * i.astype(jnp.float32) + off_grid
+    fl = jnp.floor(coord)
+    frac = coord - fl
+    d = fl.astype(jnp.int32) - i
+    out = jnp.zeros_like(arr)
+    for k in range(d_lo, d_hi + 2):
+        rolled = jnp.roll(arr, -k, axis=axis)
+        src = i + k
+        valid = (src >= 0) & (src < n)
+        # rolled(k) is the LOW corner where d == k and the HIGH corner
+        # where d == k-1; invalid corners contribute zero while the
+        # partner keeps its weight (scipy grid-constant semantics).
+        w = jnp.where(d == k, 1.0 - frac, 0.0) + jnp.where(
+            d == k - 1, frac, 0.0
+        )
+        out = out + jnp.where(valid, w * rolled, 0.0)
     return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("output_shape", "in_shape", "kind", "bounds"),
+)
+def _triangular_apply_jit(
+    vol,
+    matrix,
+    offset,
+    output_shape: tuple[int, int, int],
+    in_shape: tuple[int, int, int],
+    kind: str,
+    bounds: tuple,
+):
+    """Exact trilinear warp for a triangular inverse map, gather-free.
+
+    A triangular map factors into three 1-D axis resamples whose
+    composition equals joint trilinear interpolation EXACTLY: each
+    pass's sampling coordinate depends only on output coordinates, and
+    tensor-product interpolation is separable in the triangular order
+    (z->y->x for lower-triangular, x->y->z for upper). Each 1-D pass
+    runs as a handful of masked global rolls (the integer shift
+    ``floor(in_a) - out_a`` of a near-identity transform takes only a
+    few values across the grid), so the whole warp is bandwidth-bound
+    copies — no gather. Oracle: scipy affine_transform order=1
+    grid-constant, machine precision (tests/test_register.py).
+    """
+    vol = vol.astype(jnp.float32)
+    work = tuple(max(s, o) for s, o in zip(in_shape, output_shape))
+    if tuple(vol.shape) != work:
+        pads = [(0, w - s) for s, w in zip(vol.shape, work)]
+        vol = jnp.pad(vol, pads)
+    matrix = matrix.astype(jnp.float32)
+    offset = offset.astype(jnp.float32)
+
+    axes = (0, 1, 2) if kind == "lower" else (2, 1, 0)
+    arr = vol
+    iotas = [
+        jax.lax.broadcasted_iota(jnp.int32, work, a).astype(jnp.float32)
+        for a in range(3)
+    ]
+    for a in axes:
+        off_grid = offset[a]
+        for j in range(3):
+            if j != a:
+                off_grid = off_grid + matrix[a, j] * iotas[j]
+        d_lo, d_hi = bounds[a]
+        arr = _shear_pass_1d(arr, a, matrix[a, a], off_grid, d_lo, d_hi)
+    return arr[tuple(slice(0, o) for o in output_shape)]
 
 
 @partial(jax.jit, static_argnames=("output_shape",))
@@ -146,11 +272,18 @@ def affine_apply(
     """Warp ``vol`` by the inverse map ``in = matrix @ out + offset`` (ZYX).
 
     Oracle: ``scipy.ndimage.affine_transform(vol, matrix, offset,
-    output_shape, order=1, mode='grid-constant')``. A concretely-
-    identity matrix (the ``pcc`` method's result and the refinement
-    guard's fallback) routes to the gather-free translation warp.
+    output_shape, order=1, mode='grid-constant')``. Fast-path
+    dispatch on a CONCRETE matrix:
+
+    - identity matrix -> gather-free translation warp (masked rolls);
+    - exactly triangular matrix (the ``pcc+refine`` default
+      parameterization) with a small per-axis shift range -> exact
+      sequential 1-D shear passes (masked rolls, still no gather);
+    - anything else (or a traced matrix) -> the one-shot trilinear
+      gather.
     """
     vol = jnp.asarray(vol)
+    in_shape = tuple(vol.shape)
     output_shape = tuple(output_shape or vol.shape)
     try:
         is_translation = bool(
@@ -160,8 +293,33 @@ def affine_apply(
         is_translation = False  # traced matrix: general path
     if is_translation:
         return _translate_apply_jit(
-            vol, jnp.asarray(offset, dtype=jnp.float32), output_shape
+            vol, jnp.asarray(offset, dtype=jnp.float32), output_shape,
+            in_shape,
         )
+    kind = triangular_kind(matrix)
+    if kind is not None:
+        try:
+            off_np = np.asarray(offset)
+        except (jax.errors.TracerArrayConversionError, TypeError):
+            off_np = None
+        if off_np is not None:
+            work = tuple(
+                max(s, o) for s, o in zip(in_shape, output_shape)
+            )
+            bounds = tuple(
+                _axis_shift_bounds(matrix, off_np, a, work)
+                for a in range(3)
+            )
+            if all(hi + 2 - lo <= _MAX_ROLLS_PER_AXIS for lo, hi in bounds):
+                return _triangular_apply_jit(
+                    vol,
+                    jnp.asarray(matrix, dtype=jnp.float32),
+                    jnp.asarray(offset, dtype=jnp.float32),
+                    output_shape,
+                    in_shape,
+                    kind,
+                    bounds,
+                )
     return _affine_apply_jit(
         vol, jnp.asarray(matrix), jnp.asarray(offset, dtype=jnp.float32), output_shape
     )
@@ -200,7 +358,9 @@ class RegistrationResult:
 
 @partial(
     jax.jit,
-    static_argnames=("iterations", "loss_name", "learning_rate", "down"),
+    static_argnames=(
+        "iterations", "loss_name", "learning_rate", "down", "param"
+    ),
 )
 def _refine_jit(
     fixed,
@@ -210,6 +370,7 @@ def _refine_jit(
     loss_name: str,
     learning_rate: float,
     down: int,
+    param: str = "triangular",
 ):
     fixed = fixed.astype(jnp.float32)
     moving = moving.astype(jnp.float32)
@@ -232,7 +393,13 @@ def _refine_jit(
     coord_scale = float(max(fixed.shape))
 
     def objective(params):
-        matrix = scale + params["dm"] / coord_scale
+        dm = params["dm"]
+        if param == "triangular":
+            # Lower-triangular refinement: the result applies through
+            # the exact gather-free shear path (see RegistrationSettings
+            # .parameterization).
+            dm = jnp.tril(dm)
+        matrix = scale + dm / coord_scale
         offset = params["off"]
         warped = _affine_apply_jit(moving, matrix, offset, out_shape)
         return loss_fn(warped, fixed_s)
@@ -259,7 +426,10 @@ def _refine_jit(
     # pre-update, which would let a diverging last step slip past the
     # caller's guard).
     final_loss = objective(params)
-    matrix = scale + params["dm"] / coord_scale
+    dm = params["dm"]
+    if param == "triangular":
+        dm = jnp.tril(dm)
+    matrix = scale + dm / coord_scale
     # Rescale to a full-resolution inverse map: out coords at full res are
     # (z, y, x) = (z_s, down*y_s, down*x_s) -> divide the y/x columns.
     col_scale = jnp.array([1.0, 1.0 / down, 1.0 / down], jnp.float32)
@@ -317,6 +487,7 @@ def estimate_registration(
         settings.loss,
         settings.learning_rate,
         settings.downsample_yx,
+        getattr(settings, "parameterization", "triangular"),
     )
     # NaN-safe: a non-finite refined loss must also fall back.
     if not (float(final_loss) <= float(seed_loss)):

@@ -108,3 +108,73 @@ def test_translation_fast_path_matches_scipy(rng):
             vol, np.eye(3), np.asarray(offset, np.float64)
         )
         np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_triangular_fast_path_matches_scipy_exactly(rng):
+    """A triangular inverse map applies through sequential 1-D shear
+    passes (masked rolls) and equals joint trilinear (the scipy
+    oracle) to machine precision — the exact gather-free path the
+    pcc+refine default parameterization rides."""
+    from shrimpy_tpu.ops.register import triangular_kind
+
+    vol = rng.random((12, 24, 20), dtype=np.float32) * 50.0
+    lower = np.array(
+        [[1.003, 0.0, 0.0],
+         [0.004, 0.998, 0.0],
+         [-0.002, 0.006, 1.002]], np.float32
+    )
+    upper = np.ascontiguousarray(lower.T)
+    for matrix in (lower, upper, np.diag([1.01, 0.99, 1.0]).astype(np.float32)):
+        assert triangular_kind(matrix) is not None
+        for offset in ([0.0, 0.0, 0.0], [2.3, -1.7, 0.4]):
+            ours = np.asarray(affine_apply(vol, matrix, offset))
+            oracle = affine_apply_reference_scipy(
+                vol, matrix, np.asarray(offset, np.float64)
+            )
+            err = np.abs(ours - oracle).max()
+            assert err <= 1e-4, (matrix.tolist(), offset, err)
+
+
+def test_triangular_fast_path_output_shape(rng):
+    """Grow/shrink output extents stay exact (the work grid covers
+    max(in, out) per axis before cropping)."""
+    vol = rng.random((10, 16, 14), dtype=np.float32) * 10.0
+    matrix = np.array(
+        [[1.01, 0.0, 0.0], [0.01, 0.99, 0.0], [0.0, -0.02, 1.0]], np.float32
+    )
+    offset = np.array([1.2, -0.7, 2.4], np.float32)
+    for out_shape in [(14, 20, 18), (6, 10, 8), (10, 16, 14)]:
+        ours = np.asarray(affine_apply(vol, matrix, offset, out_shape))
+        oracle = affine_apply_reference_scipy(vol, matrix, offset, out_shape)
+        assert np.abs(ours - oracle).max() <= 1e-4
+
+
+def test_translation_fast_path_shrink_output(rng):
+    """Regression: a smaller output with a positive offset must still
+    read source voxels beyond the output extent (the round-2 path
+    cropped the input first and zeroed them)."""
+    vol = rng.random((20, 30, 40), dtype=np.float32) * 10
+    offset = np.array([4.3, 2.1, -1.7], np.float32)
+    out_shape = (12, 20, 30)
+    ours = np.asarray(affine_apply(vol, np.eye(3, dtype=np.float32), offset, out_shape))
+    ref = affine_apply_reference_scipy(vol, np.eye(3), offset, out_shape)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_refine_triangular_parameterization_stays_triangular():
+    """The default pcc+refine parameterization produces an EXACTLY
+    triangular matrix (upper entries identically zero), so apply-time
+    dispatch stays on the gather-free shear path."""
+    from shrimpy_tpu.ops.register import triangular_kind
+
+    fixed = _scene((8.0, 16.0, 18.0))
+    shape = (16, 32, 32)
+    moving = gaussian_blob(shape, (9.5, 14.0, 21.0), (2.2, 3.3, 3.3), amplitude=100.0)
+    moving += gaussian_blob(shape, (6.2, 20.6, 15.5), (1.6, 2.2, 2.2), amplitude=60.0)
+    res = estimate_registration(
+        fixed, moving,
+        RegistrationSettings(method="pcc+refine", refine_iterations=40),
+    )
+    assert triangular_kind(res.matrix) is not None
+    warped = np.asarray(affine_apply(moving, res.matrix, res.offset))
+    assert float(ncc_loss(warped, fixed)) < 0.2
