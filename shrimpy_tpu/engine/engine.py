@@ -170,33 +170,71 @@ class AcquisitionEngine:
         if log_file:
             logger.info("acquisition log: %s", log_file)
 
-        positions = plan.resolve_positions(self.source.position_keys)
-        unknown = [p for p in positions if p not in self.source.position_keys]
-        if unknown:
-            raise ValueError(
-                f"plan positions {unknown} not in the source store "
-                f"(has {self.source.position_keys})"
+        ny, nx = self.source.shape_tczyx[3:]
+        # Positions: explicit list / CSV / generated well-plate grid
+        # (reference WellPlatePlan, mantis.yaml:16-35). Grid tiles all
+        # replay one source position at per-tile stage offsets.
+        grid: dict[str, object] | None = None
+        if plan.stage_positions is not None:
+            src_key = (
+                plan.stage_positions.source_position
+                or self.source.position_keys[0]
             )
-        if not self.source.store.is_plate and len(positions) > 1:
-            raise ValueError(
-                "a single-FOV source has exactly one position; got "
-                f"{positions}"
+            if src_key not in self.source.position_keys:
+                raise ValueError(
+                    f"stage_positions.source_position={src_key!r} not in "
+                    f"the source store (has {self.source.position_keys})"
+                )
+            generated = plan.stage_positions.generate(
+                (ny, nx), tuple(self.source.zyx_scale[1:])
             )
+            positions = [g.key for g in generated]
+            grid = {g.key: g for g in generated}
+            source_of = {g.key: src_key for g in generated}
+        else:
+            positions = plan.resolve_positions(self.source.position_keys)
+            unknown = [
+                p for p in positions if p not in self.source.position_keys
+            ]
+            if unknown:
+                raise ValueError(
+                    f"plan positions {unknown} not in the source store "
+                    f"(has {self.source.position_keys})"
+                )
+            if not self.source.store.is_plate and len(positions) > 1:
+                raise ValueError(
+                    "a single-FOV source has exactly one position; got "
+                    f"{positions}"
+                )
+            source_of = {p: p for p in positions}
         channels = (
             [c.name for c in plan.channels]
             if plan.channels
             else self.source.channel_names
         )
         chan_idx = [self.source.channel_index(c) for c in channels]
+        # Per-channel exposure emulation (ChannelPlan.exposure_ms):
+        # brightness scales with exposure relative to the recording's.
+        ch_exposure = (
+            [c.exposure_ms for c in plan.channels]
+            if plan.channels
+            else [plan.source_exposure_ms] * len(channels)
+        )
         src_z = self.source.shape_tczyx[2]
-        nz = plan.z.n_slices or src_z
-        if nz > src_z:
-            raise ValueError(
-                f"plan z.n_slices={nz} exceeds the source depth {src_z}"
-            )
-        ny, nx = self.source.shape_tczyx[3:]
+        src_z_um = float(self.source.zyx_scale[0])
+        z_idx = np.asarray(
+            plan.z.resolve_z_indices(src_z, src_z_um), dtype=np.int64
+        )
+        nz = len(z_idx)
+        out_z_um = plan.z.step_um if plan.z.step_um is not None else src_z_um
+        out_scale = (out_z_um, *self.source.zyx_scale[1:])
         n_t = plan.time.n_timepoints
         shape = (n_t, len(channels), nz, ny, nx)
+        camera = None
+        if plan.mode == "camera":
+            from shrimpy_tpu.engine.replay import ReplayCamera
+
+            camera = ReplayCamera(self.source, z_step_um=src_z_um)
 
         self._setup_tracking(plan, channels, output_dir, acq_name=final_name)
         if plan.refocus.enabled:
@@ -207,15 +245,18 @@ class AcquisitionEngine:
             self._restore_refocus_from_previous(output_dir, name, final_name)
         autofocus = DemoAutofocus(plan.autofocus, len(positions))
 
-        # Output store mirrors the source layout.
+        # Output store mirrors the source layout; a generated grid is
+        # always an HCS plate (its keys are row/col/fov).
         out_positions: dict[str, ngff.NgffPosition] = {}
-        if self.source.store.is_plate and len(positions) > 0:
+        if grid is not None or (
+            self.source.store.is_plate and len(positions) > 0
+        ):
             out_store = ngff.create_hcs(out_path, channel_names=channels)
             for key in positions:
                 row, col, fov = key.split("/")
                 pos = out_store.create_position(
                     row, col, fov, channel_names=channels,
-                    zyx_scale=self.source.zyx_scale,
+                    zyx_scale=out_scale,
                 )
                 pos.create_array(shape, dtype="float32")
                 out_positions[key] = pos
@@ -225,7 +266,7 @@ class AcquisitionEngine:
                 shape=shape,
                 dtype="float32",
                 channel_names=channels,
-                zyx_scale=self.source.zyx_scale,
+                zyx_scale=out_scale,
             )
             out_positions[positions[0]] = pos
 
@@ -260,6 +301,14 @@ class AcquisitionEngine:
                 t_pos_start = time.monotonic()
                 out_pos = out_positions[p_key]
                 offset = self._stage_offset_px(p_key)
+                if grid is not None:
+                    g = grid[p_key]
+                    offset = (
+                        offset[0],
+                        offset[1] + g.offset_px_yx[0],
+                        offset[2] + g.offset_px_yx[1],
+                    )
+                src_key = source_of[p_key]
                 if not autofocus.engage(t, p_idx):
                     # SkipEvent contract: zero-padded volumes on disk.
                     try:
@@ -273,13 +322,49 @@ class AcquisitionEngine:
                 if t == 0 and plan.autoexposure.enabled:
                     # Per-well exposure selection on the first visit
                     # (archive acq_engine.py:1414-1441).
-                    self._run_autoexposure(plan, p_key, chan_idx, channels)
+                    self._run_autoexposure(
+                        plan, p_key, chan_idx, channels, src_key=src_key
+                    )
                 if self._tracking is not None:
                     self._tracking.record_acquisition(t, p_key)
                 for ci, c_src in enumerate(chan_idx):
-                    vol = self.source.volume(
-                        p_key, t, c_src, offset_px_zyx=offset
-                    )[:nz].astype(np.float32)
+                    if camera is not None:
+                        # Frame-level event loop: one SequencedBurst per
+                        # (t, p, c) queues the z sweep; each snap pops
+                        # one slice exactly as a hardware-triggered
+                        # burst (reference replay_camera.py:470-521).
+                        from shrimpy_tpu.engine.replay import (
+                            AcqEvent,
+                            SequencedBurst,
+                        )
+
+                        camera.set_stage_offset_px(offset)
+                        camera.on_event(
+                            SequencedBurst(
+                                events=[
+                                    AcqEvent(
+                                        t=t,
+                                        channel=channels[ci],
+                                        position=src_key,
+                                        z_index=int(z),
+                                    )
+                                    for z in z_idx
+                                ]
+                            )
+                        )
+                        vol = np.stack(
+                            [camera.snap() for _ in range(nz)]
+                        ).astype(np.float32)
+                    else:
+                        vol = self.source.volume(
+                            src_key, t, c_src, offset_px_zyx=offset
+                        )[z_idx].astype(np.float32)
+                    exp_scale = (
+                        self._effective_exposure_ms(plan, p_key, ci, channels, ch_exposure)
+                        / plan.source_exposure_ms
+                    )
+                    if exp_scale != 1.0:
+                        vol = vol * np.float32(exp_scale)
                     out_pos.write((t, ci), vol)
                     n_volumes += 1
                     for hook in self.viewer_hooks:
@@ -295,7 +380,10 @@ class AcquisitionEngine:
                     plan.refocus.enabled
                     and t % plan.refocus.interval_timepoints == 0
                 ):
-                    self._run_refocus(plan, vol, t, p_key, channels, nz)
+                    self._run_refocus(
+                        plan, vol, t, p_key, channels, z_idx,
+                        src_key=src_key, offset=offset,
+                    )
                 visit_s = time.monotonic() - t_pos_start
                 if visit_s > plan.watchdog_s:
                     # Stall watchdog (archive acq_engine.py:1567-1616):
@@ -316,6 +404,20 @@ class AcquisitionEngine:
             "positions": positions,
             "channels": channels,
             "shape_tczyx": list(shape),
+            "mode": plan.mode,
+            "z_indices": [int(z) for z in z_idx],
+            "z_scale_um": float(out_z_um),
+            "channel_exposures_ms": {
+                c: e for c, e in zip(channels, ch_exposure)
+            },
+            "stage_position_grid": (
+                [
+                    [g.key, list(g.offset_px_yx)]
+                    for g in grid.values()
+                ]
+                if grid is not None
+                else None
+            ),
             "skipped_autofocus": [[t, p] for t, p in skipped],
             "interval_overruns": [[t, round(s, 3)] for t, s in overruns],
             "refocus_events": [[t, p, d] for t, p, d in self._refocus_events],
@@ -366,7 +468,24 @@ class AcquisitionEngine:
                 "restored refocus offsets from %s: %s", latest.name, self._refocus_z
             )
 
-    def _run_autoexposure(self, plan, p_key: str, chan_idx, channels) -> None:
+    def _effective_exposure_ms(
+        self, plan, p_key: str, ci: int, channels, ch_exposure
+    ) -> float:
+        """Exposure driving this (position, channel)'s brightness:
+        the autoexposure result (exposure x relative laser power) when
+        it selected one for this position's autoexposure channel, else
+        the ChannelPlan's declared exposure."""
+        ae = plan.autoexposure
+        if ae.enabled and p_key in self._exposures:
+            ae_name = ae.channel or channels[0]
+            if channels[ci] == ae_name:
+                exposure, power = self._exposures[p_key]
+                return exposure * (power / 10.0)
+        return ch_exposure[ci]
+
+    def _run_autoexposure(
+        self, plan, p_key: str, chan_idx, channels, *, src_key: str | None = None
+    ) -> None:
         from shrimpy_tpu.engine.autoexposure import (
             ALGORITHMS,
             AutoexposureSettings,
@@ -391,7 +510,7 @@ class AcquisitionEngine:
             if ae.channel is not None
             else chan_idx[0]
         )
-        base = self.source.volume(p_key, 0, c)
+        base = self.source.volume(src_key or p_key, 0, c)
         mid = base[base.shape[0] // 2].astype(np.float64)
         nominal_power = 10.0
 
@@ -412,7 +531,16 @@ class AcquisitionEngine:
         )
 
     def _run_refocus(
-        self, plan, last_vol, t: int, p_key: str, channels, nz: int
+        self,
+        plan,
+        last_vol,
+        t: int,
+        p_key: str,
+        channels,
+        z_idx,
+        *,
+        src_key: str | None = None,
+        offset: tuple[int, int, int] | None = None,
     ) -> None:
         from shrimpy_tpu.engine.autofocus import focus_from_transverse_band
 
@@ -432,8 +560,15 @@ class AcquisitionEngine:
         else:
             c = self.source.channel_index(metric_channel)
             vol = self.source.volume(
-                p_key, t, c, offset_px_zyx=self._stage_offset_px(p_key)
-            )[:nz]
+                src_key or p_key,
+                t,
+                c,
+                offset_px_zyx=(
+                    offset
+                    if offset is not None
+                    else self._stage_offset_px(p_key)
+                ),
+            )[z_idx]
         idx = focus_from_transverse_band(
             vol,
             pixel_size_um=self.source.zyx_scale[1],

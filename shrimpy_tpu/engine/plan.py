@@ -11,6 +11,7 @@ dict carrying the ``dynatrack`` config.
 from __future__ import annotations
 
 from pathlib import Path
+from typing import Literal
 
 import yaml
 from pydantic import BaseModel, ConfigDict, Field, model_validator
@@ -30,17 +31,74 @@ class TimePlan(BaseModel):
 
 
 class ChannelPlan(BaseModel):
+    """One acquired channel (reference ``mantis.yaml`` ``channels:``).
+
+    ``exposure_ms`` is honored in replay by brightness emulation: the
+    served volume is scaled by ``exposure_ms / source_exposure_ms``
+    (the source store is defined as recorded at the plan's
+    ``source_exposure_ms``), mirroring how a longer exposure collects
+    proportionally more photons. Autoexposure results override this
+    per position on the autoexposure channel.
+    """
+
     model_config = ConfigDict(extra="forbid")
 
     name: str
     exposure_ms: float = 10.0
 
+    @model_validator(mode="after")
+    def _check(self):
+        if not self.exposure_ms > 0:
+            raise ValueError("exposure_ms must be > 0")
+        return self
+
 
 class ZPlan(BaseModel):
+    """Z-range selection (reference ``mantis.yaml`` ``z_plan:``).
+
+    ``step_um`` selects a strided z subset of the source stack: the
+    stride is ``step_um / source_z_scale`` and must be a near-integer
+    multiple (replay serves recorded slices; a non-integer stride
+    would require resampling data that was never acquired — it errors
+    loudly instead). The output store's z scale records ``step_um``.
+    ``n_slices`` caps the slice count after striding.
+    """
+
     model_config = ConfigDict(extra="forbid")
 
     n_slices: int | None = None  # None = full source depth
     step_um: float | None = None  # None = source scale
+
+    @model_validator(mode="after")
+    def _check(self):
+        if self.step_um is not None and not self.step_um > 0:
+            raise ValueError("step_um must be > 0")
+        if self.n_slices is not None and self.n_slices < 1:
+            raise ValueError("n_slices must be >= 1")
+        return self
+
+    def resolve_z_indices(self, src_nz: int, src_z_um: float) -> list[int]:
+        """Source z indices to acquire, honoring step + count."""
+        if self.step_um is None:
+            stride = 1
+        else:
+            ratio = self.step_um / src_z_um
+            stride = int(round(ratio))
+            if stride < 1 or abs(ratio - stride) > 1e-3 * max(ratio, 1.0):
+                raise ValueError(
+                    f"z.step_um={self.step_um} is not an integer multiple "
+                    f"of the source z step {src_z_um} (ratio {ratio:.4f}); "
+                    "replay serves recorded slices only"
+                )
+        idx = list(range(0, src_nz, stride))
+        if self.n_slices is not None:
+            if self.n_slices > len(idx):
+                raise ValueError(
+                    f"plan z.n_slices={self.n_slices} exceeds the source "
+                    f"depth ({len(idx)} slices at step_um={self.step_um})"
+                )
+            idx = idx[: self.n_slices]
+        return idx
 
 
 class AutofocusPlan(BaseModel):
@@ -93,6 +151,133 @@ class AutoexposurePlan(BaseModel):
     settings: dict = Field(default_factory=dict)  # AutoexposureSettings kw
 
 
+class PlateSpec(BaseModel):
+    """Well-plate geometry (reference ``mantis.yaml`` ``stage_positions.
+    plate``). Spacing/size are recorded for provenance; replay content
+    is independent of absolute stage coordinates."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    rows: int
+    columns: int
+    name: str = ""
+    well_spacing: tuple[float, float] | None = None
+    well_size: tuple[float, float] | None = None
+
+    @model_validator(mode="after")
+    def _check(self):
+        if self.rows < 1 or self.columns < 1:
+            raise ValueError("plate rows/columns must be >= 1")
+        return self
+
+
+class WellPointsPlan(BaseModel):
+    """Per-well FOV grid (reference ``well_points_plan``: rows x columns
+    of FOVs with ``fov_width``/``fov_height`` um and fractional
+    ``overlap`` percent — negative overlap = gap between tiles)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    rows: int = 1
+    columns: int = 1
+    fov_height: float | None = None  # um; None = source FOV height
+    fov_width: float | None = None
+    overlap: tuple[float, float] = (0.0, 0.0)  # percent (y, x)
+
+    @model_validator(mode="after")
+    def _check(self):
+        if self.rows < 1 or self.columns < 1:
+            raise ValueError("well_points_plan rows/columns must be >= 1")
+        return self
+
+
+class StagePositionsPlan(BaseModel):
+    """WellPlatePlan-style generated stage positions (reference
+    ``mantis.yaml:16-35``): a plate, the selected wells, and an FOV
+    grid per well. Each generated FOV replays the source volume at a
+    (y, x) stage offset derived from the grid pitch, so neighboring
+    tiles show shifted (overlapping) views of the same sample — the
+    replay analogue of moving the xy stage between grid points.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    plate: PlateSpec
+    # Two index lists: selected row indices and column indices (the
+    # cross product is acquired), as in the reference YAML.
+    selected_wells: tuple[list[int], list[int]] | None = None
+    well_points_plan: WellPointsPlan = Field(default_factory=WellPointsPlan)
+    # The source-store position every generated tile replays (the grid
+    # is a simulated stage sweep over one recorded sample); None = the
+    # source's first position.
+    source_position: str | None = None
+
+    @model_validator(mode="after")
+    def _check(self):
+        if self.selected_wells is not None:
+            rows, cols = self.selected_wells
+            for r in rows:
+                if not 0 <= r < self.plate.rows:
+                    raise ValueError(f"selected well row {r} outside plate")
+            for c in cols:
+                if not 0 <= c < self.plate.columns:
+                    raise ValueError(f"selected well column {c} outside plate")
+        return self
+
+    def wells(self) -> list[tuple[int, int]]:
+        rows, cols = self.selected_wells or (
+            list(range(self.plate.rows)),
+            list(range(self.plate.columns)),
+        )
+        return [(r, c) for r in rows for c in cols]
+
+    def generate(
+        self, fov_shape_yx: tuple[int, int], scale_yx_um: tuple[float, float]
+    ) -> list["GeneratedPosition"]:
+        """All (well x grid) positions with per-tile pixel offsets.
+
+        Tile pitch is ``fov_size * (1 - overlap/100)`` per axis
+        (negative overlap = gap), converted to pixels via the source
+        scale; the grid is centered so the middle tile sees the
+        unshifted source.
+        """
+        wpp = self.well_points_plan
+        fh = wpp.fov_height or fov_shape_yx[0] * scale_yx_um[0]
+        fw = wpp.fov_width or fov_shape_yx[1] * scale_yx_um[1]
+        pitch_y = fh * (1.0 - wpp.overlap[0] / 100.0) / scale_yx_um[0]
+        pitch_x = fw * (1.0 - wpp.overlap[1] / 100.0) / scale_yx_um[1]
+        out = []
+        for wr, wc in self.wells():
+            row_name = chr(ord("A") + wr)
+            col_name = str(wc + 1)
+            fov = 0
+            for gr in range(wpp.rows):
+                for gc in range(wpp.columns):
+                    oy = int(round((gr - (wpp.rows - 1) / 2.0) * pitch_y))
+                    ox = int(round((gc - (wpp.columns - 1) / 2.0) * pitch_x))
+                    out.append(
+                        GeneratedPosition(
+                            key=f"{row_name}/{col_name}/{fov:06d}",
+                            well_row=wr,
+                            well_col=wc,
+                            offset_px_yx=(oy, ox),
+                        )
+                    )
+                    fov += 1
+        return out
+
+
+class GeneratedPosition(BaseModel):
+    """One stage-position grid point: output HCS key + replay offset."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    key: str  # output "row/col/fov"
+    well_row: int
+    well_col: int
+    offset_px_yx: tuple[int, int]
+
+
 class AcquisitionPlan(BaseModel):
     model_config = ConfigDict(extra="forbid")
 
@@ -103,6 +288,15 @@ class AcquisitionPlan(BaseModel):
     # Alternatively, a position-list CSV (io/platemap schema): HCS rows
     # select positions by their "row/col/fov" key.
     positions_csv: str | None = None
+    # Or a generated well-plate grid (reference WellPlatePlan).
+    stage_positions: StagePositionsPlan | None = None
+    # Brightness emulation baseline: the source recording's exposure.
+    source_exposure_ms: float = 10.0
+    # "volume" reads whole stacks from the replay source; "camera"
+    # drives frame-by-frame ReplayCamera.snap with SequencedBurst
+    # z-queues per (t, p, c) — the reference's actual event loop
+    # (reference replay_camera.py:470-521). Outputs are identical.
+    mode: Literal["volume", "camera"] = "volume"
     axis_order: str = "tpcz"
     autofocus: AutofocusPlan = Field(default_factory=AutofocusPlan)
     refocus: RefocusPlan = Field(default_factory=RefocusPlan)
@@ -116,9 +310,19 @@ class AcquisitionPlan(BaseModel):
     @model_validator(mode="after")
     def _check(self):
         if self.axis_order != "tpcz":
+            # Declared-and-rejected rather than silently ignored: the
+            # replay engine's loop nesting is t -> p -> c -> z only.
             raise ValueError("only axis_order='tpcz' is supported")
-        if self.positions is not None and self.positions_csv is not None:
-            raise ValueError("set positions or positions_csv, not both")
+        n_sources = sum(
+            x is not None
+            for x in (self.positions, self.positions_csv, self.stage_positions)
+        )
+        if n_sources > 1:
+            raise ValueError(
+                "set only one of positions / positions_csv / stage_positions"
+            )
+        if not self.source_exposure_ms > 0:
+            raise ValueError("source_exposure_ms must be > 0")
         return self
 
     def resolve_positions(self, available: list[str]) -> list[str]:

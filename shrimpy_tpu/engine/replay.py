@@ -157,6 +157,14 @@ class ReplayCamera:
         self._position = source.position_keys[0]
         self._z_queue: deque[int] = deque()
         self._event_driven = False
+        # Simulated stage offset applied to every served frame (the
+        # engine moves the "stage" here before each burst; tracking
+        # corrections + grid-tile offsets ride this, reference
+        # ``replay_camera.py:400-438``).
+        self._offset_px_zyx: tuple[int, int, int] = (0, 0, 0)
+
+    def set_stage_offset_px(self, offset_px_zyx: tuple[int, int, int]) -> None:
+        self._offset_px_zyx = tuple(int(v) for v in offset_px_zyx)
 
     # -- z-stage tracking ----------------------------------------------------
     def connect_z_stage(self, origin_um: float = 0.0) -> None:
@@ -207,7 +215,10 @@ class ReplayCamera:
     def snap(self) -> np.ndarray:
         """Serve the next frame; sequenced z-queues take precedence."""
         z = self._z_queue.popleft() if self._z_queue else self._z_index()
-        frame = self.source.frame(self._position, self._t, self._c, z)
+        frame = self.source.frame(
+            self._position, self._t, self._c, z,
+            offset_px_zyx=self._offset_px_zyx,
+        )
         if not self._event_driven:
             self._t += 1  # free-running auto-increment (``:338-340``)
         return frame
@@ -218,7 +229,10 @@ class ReplayCamera:
             return np.stack([self.snap() for _ in range(len(self._z_queue))])
         return np.stack(
             [
-                self.source.frame(self._position, self._t, self._c, z)
+                self.source.frame(
+                    self._position, self._t, self._c, z,
+                    offset_px_zyx=self._offset_px_zyx,
+                )
                 for z in range(self._nz)
             ]
         )

@@ -444,3 +444,145 @@ def test_unrelated_acquisition_does_not_seed_refocus(tmp_path, fov_source):
         (tmp_path / "out" / "plate_summary_metadata.json").read_text()
     )
     assert [e for e in summary["refocus_events"] if e[2] == 5] == []
+
+
+def test_z_step_um_strides_the_source(tmp_path, fov_source):
+    """ZPlan.step_um selects a strided z subset and records the step in
+    the output store's z scale + the summary (declared fields change
+    behavior — VERDICT round-2 item 4)."""
+    # Source z scale is 1.0 um (create_fov default) -> step 2.0 = stride 2.
+    plan = AcquisitionPlan(z={"step_um": 2.0})
+    out = AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+    pos = open_ngff(out).position()
+    assert pos.shape[2] == 2  # slices 0, 2 of 4
+    data = pos.read()
+    assert data[0, 0, 1, 0, 0] == coordinate_encoded_value(0, 0, 0, 2)
+    assert pos.zyx_scale[0] == pytest.approx(2.0)
+    summary = json.loads(
+        (tmp_path / "out" / "acq_summary_metadata.json").read_text()
+    )
+    assert summary["z_indices"] == [0, 2]
+    assert summary["z_scale_um"] == pytest.approx(2.0)
+
+
+def test_z_step_um_non_integer_stride_rejected(tmp_path, fov_source):
+    with pytest.raises(ValueError, match="integer multiple"):
+        AcquisitionEngine(fov_source).acquire(
+            tmp_path / "out", "acq", AcquisitionPlan(z={"step_um": 1.5})
+        )
+
+
+def test_channel_exposure_scales_brightness(tmp_path, fov_source):
+    """ChannelPlan.exposure_ms drives replay brightness emulation
+    relative to source_exposure_ms, per channel, and lands in the
+    summary."""
+    plan = AcquisitionPlan(
+        channels=[
+            {"name": "ch0", "exposure_ms": 20.0},
+            {"name": "ch1", "exposure_ms": 10.0},
+        ],
+        source_exposure_ms=10.0,
+    )
+    out = AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+    data = open_ngff(out).position().read()
+    base = coordinate_encoded_value(0, 0, 0, 1)
+    assert data[0, 0, 1, 0, 0] == pytest.approx(2.0 * base)
+    assert data[0, 1, 1, 0, 0] == pytest.approx(
+        coordinate_encoded_value(0, 0, 1, 1)
+    )
+    summary = json.loads(
+        (tmp_path / "out" / "acq_summary_metadata.json").read_text()
+    )
+    assert summary["channel_exposures_ms"] == {"ch0": 20.0, "ch1": 10.0}
+
+
+def test_stage_positions_grid_generates_offset_tiles(tmp_path, fov_source):
+    """A WellPlatePlan-style grid acquires (wells x grid) HCS positions,
+    each replaying the source at its tile's stage offset (reference
+    mantis.yaml:16-35)."""
+    plan = AcquisitionPlan(
+        stage_positions={
+            "plate": {"rows": 2, "columns": 3},
+            "selected_wells": [[1], [0, 2]],
+            "well_points_plan": {
+                "rows": 1,
+                "columns": 2,
+                # fov_width=16 px * 1 um, 50% overlap -> pitch 8 px; the
+                # 2-tile grid centers at +-4 px in x.
+                "overlap": [0.0, 50.0],
+            },
+        }
+    )
+    out = AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+    store = open_ngff(out)
+    keys = list(store.positions())
+    assert keys == ["B/1/000000", "B/1/000001", "B/3/000000", "B/3/000001"]
+    summary = json.loads(
+        (tmp_path / "out" / "acq_summary_metadata.json").read_text()
+    )
+    grid = dict((k, tuple(v)) for k, v in summary["stage_position_grid"])
+    assert grid["B/1/000000"] == (0, -4)
+    assert grid["B/1/000001"] == (0, 4)
+    # Tile content: the source volume rolled by minus the offset. The
+    # coordinate encoding varies only in z here, so verify via the
+    # source roll directly.
+    src = fov_source.volume("0", 0, 0)
+    tile = store.positions()["B/1/000001"].volume(0, 0)
+    np.testing.assert_array_equal(
+        np.asarray(tile), np.roll(src, -4, axis=2).astype(np.float32)
+    )
+
+
+def test_stage_positions_exclusive_with_positions():
+    with pytest.raises(ValueError, match="only one of"):
+        AcquisitionPlan(
+            positions=["0"],
+            stage_positions={"plate": {"rows": 1, "columns": 1}},
+        )
+
+
+def test_camera_mode_matches_volume_mode(tmp_path):
+    """Frame-sequenced acquisition (ReplayCamera.snap via SequencedBurst
+    z-queues) is voxel-identical to the volume path, including the
+    tracking stage-offset interplay (VERDICT round-2 item 6)."""
+    path = tmp_path / "src.zarr"
+    synthetic_blob_fov(
+        path,
+        shape_zyx=(8, 32, 32),
+        n_timepoints=3,
+        drift_zyx=(0.0, 1.5, -1.0),
+    )
+    source_v = ReplaySource(path)
+    track_meta = {"dynatrack": {
+        "input_channel": "BF", "tracking_channel": "BF",
+        "tracking_method": "pcc",
+    }}
+    plan_v = AcquisitionPlan(time={"n_timepoints": 3}, metadata=track_meta)
+    out_v = AcquisitionEngine(source_v).acquire(tmp_path / "ov", "acq", plan_v)
+    source_c = ReplaySource(path)
+    plan_c = AcquisitionPlan(
+        time={"n_timepoints": 3}, mode="camera", metadata=track_meta
+    )
+    out_c = AcquisitionEngine(source_c).acquire(tmp_path / "oc", "acq", plan_c)
+    data_v = open_ngff(out_v).position().read()
+    data_c = open_ngff(out_c).position().read()
+    np.testing.assert_array_equal(np.asarray(data_v), np.asarray(data_c))
+    summary = json.loads(
+        (tmp_path / "oc" / "acq_summary_metadata.json").read_text()
+    )
+    assert summary["mode"] == "camera"
+
+
+def test_camera_mode_with_z_stride_and_exposure(tmp_path, fov_source):
+    """Camera mode honors z striding and exposure scaling identically."""
+    plan = AcquisitionPlan(
+        mode="camera",
+        z={"step_um": 2.0},
+        channels=[{"name": "ch1", "exposure_ms": 5.0}],
+    )
+    out = AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+    data = open_ngff(out).position().read()
+    assert data.shape[1:3] == (1, 2)
+    assert data[0, 0, 1, 0, 0] == pytest.approx(
+        0.5 * coordinate_encoded_value(0, 0, 1, 2)
+    )
