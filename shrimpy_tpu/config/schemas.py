@@ -394,6 +394,32 @@ class DynaTrackConfig(BaseModel):
 # ---------------------------------------------------------------------------
 
 
+class IORetrySettings(BaseModel):
+    """Streaming-IO fault tolerance (the reference's retry layer,
+    reference ``shrimpy/robust_cmmcore.py:24-53``, applied to the
+    tensorstore read/write surface): each item read/write retries in
+    place; a persistently failing item is journaled failed-and-skipped
+    so one bad chunk cannot abort a plate run (reference
+    ``position_update.py:409-413`` contains per-item failures the same
+    way). Failed items are NOT marked done, so ``resume=True`` retries
+    them."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    attempts: int = 3
+    wait_s: float = 1.0
+    # False = first persistent failure aborts the run (strict mode).
+    contain_failures: bool = True
+
+    @model_validator(mode="after")
+    def _check(self):
+        if self.attempts < 1:
+            raise ValueError("attempts must be >= 1")
+        if self.wait_s < 0:
+            raise ValueError("wait_s must be >= 0")
+        return self
+
+
 class ReconstructSettings(BaseModel):
     """Settings for the ``reconstruct`` verb: which stages to run.
 
@@ -422,6 +448,7 @@ class ReconstructSettings(BaseModel):
     # of resharding to whole volumes per device. Forces the FFT RL
     # path — the Pallas/separable kernels are volume-local (SURVEY §5.7).
     shard_volumes: bool = False
+    io_retry: IORetrySettings = Field(default_factory=IORetrySettings)
 
     @model_validator(mode="after")
     def _check_shard_volumes(self) -> "ReconstructSettings":

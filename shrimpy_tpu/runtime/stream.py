@@ -146,15 +146,25 @@ def _as_output_dtype(batch: np.ndarray, dtype: str) -> np.ndarray:
 
 
 class _Progress:
-    """JSON-lines journal of completed work items (resume support)."""
+    """JSON-lines journal of completed work items (resume support).
+
+    Lines with a ``failed`` field record contained per-item IO failures
+    (:class:`shrimpy_tpu.config.schemas.IORetrySettings`); they do NOT
+    count as done, so a ``resume=True`` run retries exactly the failed
+    and missing items.
+    """
 
     def __init__(self, path: Path):
         self.path = path
         self.done: set[str] = set()
+        self.failed: list[dict] = []
         if path.exists():
             for line in path.read_text().splitlines():
                 try:
-                    self.done.add(json.loads(line)["key"])
+                    rec = json.loads(line)
+                    if "failed" in rec:
+                        continue
+                    self.done.add(rec["key"])
                 except (json.JSONDecodeError, KeyError):
                     continue
 
@@ -163,6 +173,12 @@ class _Progress:
             for it in items:
                 f.write(json.dumps({"key": it.key}) + "\n")
                 self.done.add(it.key)
+
+    def mark_failed(self, item: WorkItem, stage: str, error: str) -> None:
+        rec = {"key": item.key, "failed": stage, "error": error}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        self.failed.append(rec)
 
 
 def reconstruct_store(
@@ -288,18 +304,61 @@ def reconstruct_store(
     in_positions = in_store.positions()
     batches = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
 
-    #
+    # Streaming-IO fault tolerance (reference robust_cmmcore.py:24-53):
+    # every item read/write retries in place; persistent failures are
+    # journaled failed-and-skipped instead of aborting the run.
+    from shrimpy_tpu.utils.retry import robust_call
+
+    retry_cfg = settings.io_retry
 
     def start_reads(batch: list[WorkItem]):
-        return [
-            in_positions[it.position].read_async((it.t, it.c)) for it in batch
-        ]
+        # A synchronous failure at issue time counts as that item's
+        # first failed attempt: the prefetch slot holds None and
+        # read_item re-issues (and retries) at resolve time.
+        futs = []
+        for it in batch:
+            try:
+                futs.append(
+                    in_positions[it.position].read_async((it.t, it.c))
+                )
+            except Exception as e:  # noqa: BLE001 — per-item containment
+                logger.warning(
+                    "read issue failed for %s: %s (will retry)", it.key, e
+                )
+                futs.append(None)
+        return futs
 
-    # (items, write futures) for the batch whose writes are in flight.
-    # A batch is journaled as done ONLY after its own writes resolve —
-    # marking at issue time would let a crash leave journaled-but-never-
-    # committed holes that resume=True silently skips.
-    pending: tuple[list[WorkItem], list] | None = None
+    def read_item(it: WorkItem, fut) -> np.ndarray | None:
+        """Resolve one prefetched read; retries re-issue the read.
+        Returns None when the item persistently fails (contained)."""
+        state = {"fut": fut}
+
+        def once():
+            # A spent/failed prefetch slot (or a None from an issue-time
+            # failure) re-issues the read.
+            f = state.pop("fut", None)
+            if f is None:
+                f = in_positions[it.position].read_async((it.t, it.c))
+            return np.asarray(f.result(), dtype=np.float32)
+
+        try:
+            return robust_call(
+                once, attempts=retry_cfg.attempts, wait_s=retry_cfg.wait_s
+            )
+        except Exception as e:  # noqa: BLE001 — containment policy
+            if not retry_cfg.contain_failures:
+                raise
+            logger.error("read failed for %s after %d attempts: %s",
+                         it.key, retry_cfg.attempts, e)
+            progress.mark_failed(it, "read", str(e))
+            return None
+
+    # (items, write futures, host data) for the batch whose writes are
+    # in flight. A batch is journaled as done ONLY after its own writes
+    # resolve — marking at issue time would let a crash leave journaled-
+    # but-never-committed holes that resume=True silently skips. The
+    # host data is held so a failed write can retry synchronously.
+    pending: tuple[list[WorkItem], list, np.ndarray] | None = None
     read_futures = start_reads(batches[0]) if batches else []
     n_done = 0
     inflight: tuple | None = None  # (batch, device output) awaiting D2H
@@ -309,12 +368,36 @@ def reconstruct_store(
         nonlocal pending, n_done
         if pending is None:
             return
-        batch_written, futs = pending
-        for fut in futs:
-            fut.result()
+        batch_written, futs, data = pending
+        committed: list[WorkItem] = []
+        for it, fut, vol in zip(batch_written, futs, data):
+            # First attempt awaits the in-flight async future; retries
+            # re-issue the write synchronously (a failed future is spent).
+            state = {"fut": fut}
+
+            def once(it=it, vol=vol, state=state):
+                f = state.pop("fut", None)
+                if f is not None:
+                    f.result()
+                    return
+                positions_out[it.position].write_async(
+                    (it.t, it.c), vol
+                ).result()
+
+            try:
+                robust_call(
+                    once, attempts=retry_cfg.attempts, wait_s=retry_cfg.wait_s
+                )
+                committed.append(it)
+            except Exception as e:  # noqa: BLE001 — containment policy
+                if not retry_cfg.contain_failures:
+                    raise
+                logger.error("write failed for %s after %d attempts: %s",
+                             it.key, retry_cfg.attempts, e)
+                progress.mark_failed(it, "write", str(e))
         pending = None
-        progress.mark(batch_written)
-        n_done += len(batch_written)
+        progress.mark(committed)
+        n_done += len(committed)
         logger.info("reconstructed %d/%d volumes", n_done, len(todo))
 
     def retire(entry) -> None:
@@ -326,20 +409,35 @@ def reconstruct_store(
         with timer.stage("write"):
             flush_writes()
             out_cast = _as_output_dtype(out_host, settings.output_dtype)
-            pending = (
-                batch_done,
-                [
-                    positions_out[it.position].write_async((it.t, it.c), vol)
-                    for it, vol in zip(batch_done, out_cast)
-                ],
-            )
+            futs = []
+            for it, vol in zip(batch_done, out_cast):
+                try:
+                    futs.append(
+                        positions_out[it.position].write_async(
+                            (it.t, it.c), vol
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001 — per-item containment
+                    logger.warning(
+                        "write issue failed for %s: %s (will retry)",
+                        it.key, e,
+                    )
+                    futs.append(None)
+            pending = (batch_done, futs, out_cast)
 
     for bi, batch in enumerate(batches):
         with timer.stage("read"):
-            vols = [np.asarray(f.result(), dtype=np.float32) for f in read_futures]
+            vols = [
+                read_item(it, f) for it, f in zip(batch, read_futures)
+            ]
+            # Contained read failures drop their items from the batch.
+            batch = [it for it, v in zip(batch, vols) if v is not None]
+            vols = [v for v in vols if v is not None]
         # Prefetch the next batch while this one computes.
         if bi + 1 < len(batches):
             read_futures = start_reads(batches[bi + 1])
+        if not batch:
+            continue
 
         with timer.stage("h2d"):
             pad = batch_size - len(vols)
@@ -381,6 +479,9 @@ def reconstruct_store(
         "output": str(output_path),
         "volumes": n_done,
         "skipped_resume": len(items) - len(todo),
+        # Contained per-item IO failures (not marked done; resume=True
+        # retries them).
+        "failed": progress.failed,
         "raw_shape": raw_zyx,
         "out_shape": out_zyx,
         "out_voxel_um": tuple(float(v) for v in out_voxel),

@@ -321,3 +321,95 @@ def test_register_apply_translation_through_runtime(tmp_path, rng):
     ref = affine_apply_reference_scipy(
         vol, np.eye(3), np.asarray([1.5, -2.25, 3.0]))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+
+
+def _flaky(method, fail_times: dict):
+    """Wrap an NgffPosition method to fail the first N calls per key."""
+    def wrapper(self, index, *args, **kwargs):
+        k = tuple(index)
+        if fail_times.get(k, 0) > 0:
+            fail_times[k] -= 1
+            raise OSError(f"injected transient failure at {k}")
+        return method(self, index, *args, **kwargs)
+    return wrapper
+
+
+def test_io_retry_recovers_transient_failures(tmp_path, rng, monkeypatch):
+    """Transient read/write faults retry in place and the run completes
+    fully (reference robust_cmmcore.py:24-53)."""
+    from shrimpy_tpu.io.ngff import NgffPosition
+
+    path = tmp_path / "in.zarr"
+    pos = create_fov(path, shape=(2, 1, 8, 16, 16), dtype="float32")
+    for t in range(2):
+        pos.write((t, 0), rng.random((8, 16, 16), dtype=np.float32))
+
+    read_fails = {(0, 0): 2}   # first item: fail twice, succeed on 3rd
+    write_fails = {(1, 0): 1}  # second item: one write failure
+    monkeypatch.setattr(
+        NgffPosition, "read_async", _flaky(NgffPosition.read_async, read_fails)
+    )
+    monkeypatch.setattr(
+        NgffPosition, "write_async", _flaky(NgffPosition.write_async, write_fails)
+    )
+    settings = ReconstructSettings(
+        deskew=DESKEW, io_retry={"attempts": 3, "wait_s": 0.0}
+    )
+    summary = reconstruct_store(path, tmp_path / "out.zarr", settings)
+    assert summary["volumes"] == 2
+    assert summary["failed"] == []
+    assert read_fails == {(0, 0): 0} and write_fails == {(1, 0): 0}
+
+
+def test_io_persistent_failure_contained_and_resumable(tmp_path, rng, monkeypatch):
+    """A persistently failing item is journaled failed-and-skipped; the
+    run completes, and resume=True retries exactly that item (VERDICT
+    round-2 item 5)."""
+    from shrimpy_tpu.io.ngff import NgffPosition
+
+    path = tmp_path / "in.zarr"
+    pos = create_fov(path, shape=(3, 1, 8, 16, 16), dtype="float32")
+    for t in range(3):
+        pos.write((t, 0), rng.random((8, 16, 16), dtype=np.float32))
+
+    read_fails = {(1, 0): 10**6}  # t=1 always fails
+    monkeypatch.setattr(
+        NgffPosition, "read_async", _flaky(NgffPosition.read_async, read_fails)
+    )
+    settings = ReconstructSettings(
+        deskew=DESKEW, io_retry={"attempts": 2, "wait_s": 0.0}
+    )
+    summary = reconstruct_store(path, tmp_path / "out.zarr", settings)
+    assert summary["volumes"] == 2
+    assert len(summary["failed"]) == 1
+    assert summary["failed"][0]["key"] == "0|1|0"
+    assert summary["failed"][0]["failed"] == "read"
+    journal = (tmp_path / "out.zarr.progress.jsonl").read_text()
+    assert "injected transient failure" in journal
+
+    # Heal the store and resume: only the failed item is redone.
+    monkeypatch.undo()
+    summary2 = reconstruct_store(
+        path, tmp_path / "out.zarr", settings, resume=True
+    )
+    assert summary2["volumes"] == 1
+    assert summary2["skipped_resume"] == 2
+    assert summary2["failed"] == []
+
+
+def test_io_strict_mode_aborts(tmp_path, rng, monkeypatch):
+    from shrimpy_tpu.io.ngff import NgffPosition
+
+    path = tmp_path / "in.zarr"
+    pos = create_fov(path, shape=(1, 1, 8, 16, 16), dtype="float32")
+    pos.write((0, 0), rng.random((8, 16, 16), dtype=np.float32))
+    monkeypatch.setattr(
+        NgffPosition, "read_async",
+        _flaky(NgffPosition.read_async, {(0, 0): 10**6}),
+    )
+    settings = ReconstructSettings(
+        deskew=DESKEW,
+        io_retry={"attempts": 2, "wait_s": 0.0, "contain_failures": False},
+    )
+    with pytest.raises(OSError, match="injected"):
+        reconstruct_store(path, tmp_path / "out.zarr", settings)
