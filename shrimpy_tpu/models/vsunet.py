@@ -69,14 +69,21 @@ class UNet25DConfig(BaseModel):
 
 class UNeXt2Config(BaseModel):
     """Architecture knobs for the ``unext2`` variant (cytoland's
-    UNeXt2 surface, reference ``dynatrack_demo.yaml``
-    ``model_config`` block)."""
+    UNeXt2/fcmae surface, reference ``dynatrack_demo.yaml``
+    ``model_config`` block: ``encoder_blocks``, ``dims``,
+    ``stem_kernel_size``, ``decoder_conv_blocks``,
+    ``head_conv_expansion_ratio``)."""
 
     model_config = ConfigDict(extra="forbid")
 
     encoder_blocks: list[int] = [2, 2, 4]
     dims: list[int] = [48, 96, 192]
     decoder_conv_blocks: int = 1
+    # z extent of the 3-D stem kernel (and its stride): the z-window
+    # collapses into channels at the stem, cytoland-style. None = the
+    # full input window (one z level).
+    stem_kernel_z: int | None = None
+    head_conv_expansion_ratio: int = 4
 
     @model_validator(mode="after")
     def _check(self):
@@ -163,69 +170,197 @@ class VSUNet(nn.Module):
         )
 
 
-class _NeXtBlock(nn.Module):
-    """ConvNeXt residual block: depthwise 7x7 + pointwise 4x MLP.
+class _GRN(nn.Module):
+    """Global Response Normalization (ConvNeXt-V2).
 
-    Depthwise convs keep the HBM traffic low; the 4x pointwise pair is
-    two dense matmuls that tile straight onto the MXU.
+    ``nx = ||x||_2 over (H, W) per channel / mean over channels``;
+    ``out = gamma * x * nx + beta + x``. Channels-last, f32 stats.
     """
 
     dim: int
 
     @nn.compact
     def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        xf = x.astype(jnp.float32)
+        gx = jnp.sqrt(jnp.sum(xf * xf, axis=(1, 2), keepdims=True))
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        return (gamma * (xf * nx) + beta + xf).astype(x.dtype)
+
+
+def _gelu_exact(x):
+    """erf-based GELU (torch ``nn.GELU()`` default; timm/cytoland
+    ConvNeXt uses it — the tanh approximation differs by ~1e-3, which
+    would break weight-level checkpoint parity)."""
+    return nn.gelu(x, approximate=False)
+
+
+class _NeXtV2Block(nn.Module):
+    """ConvNeXt-V2 residual block: depthwise 7x7 -> LN -> pointwise 4x
+    -> GELU -> GRN -> pointwise back -> residual.
+
+    Depthwise convs keep the HBM traffic low; the 4x pointwise pair is
+    two dense matmuls that tile straight onto the MXU. Parameter names
+    (``dwconv``/``norm``/``pwconv1``/``grn``/``pwconv2``) follow
+    cytoland's ConvNeXt-V2 blocks so torch state dicts map one-to-one
+    (:mod:`shrimpy_tpu.models.torch_import`).
+    """
+
+    dim: int
+    compute_dtype: type = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
         y = nn.Conv(
-            self.dim, (7, 7), feature_group_count=self.dim, dtype=jnp.bfloat16
+            self.dim, (7, 7), feature_group_count=self.dim,
+            dtype=self.compute_dtype, name="dwconv",
         )(x)
-        y = nn.LayerNorm(dtype=jnp.float32)(y.astype(jnp.float32))
-        y = nn.Dense(4 * self.dim, dtype=jnp.bfloat16)(y.astype(jnp.bfloat16))
-        y = nn.gelu(y)
-        y = nn.Dense(self.dim, dtype=jnp.bfloat16)(y)
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+            y.astype(jnp.float32)
+        )
+        y = nn.Dense(
+            4 * self.dim, dtype=self.compute_dtype, name="pwconv1"
+        )(y.astype(self.compute_dtype))
+        y = _gelu_exact(y)
+        y = _GRN(4 * self.dim, name="grn")(y)
+        y = nn.Dense(self.dim, dtype=self.compute_dtype, name="pwconv2")(y)
         return x + y.astype(x.dtype)
 
 
-class VSUNeXt2(nn.Module):
-    """ConvNeXt-style 2.5-D UNet: (B, H, W, in_slices) -> (B, H, W, n_out).
+def _pixel_shuffle(x, r: int):
+    """Channels-last pixel shuffle with torch's channel ordering:
+    ``out[.., y*r+dy, x*r+dx, c] = in[.., y, x, c*r*r + dy*r + dx]``."""
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * r, w * r, c)
 
-    Mirrors cytoland's UNeXt2 structure (patchify stem, staged NeXt
-    blocks, upsample decoder with skip concats) at the parameter surface
-    of the reference's ``model_config`` block (``dynatrack_demo.yaml``).
+
+class _UpStage(nn.Module):
+    """Decoder stage: pixel-shuffle 2x upsample -> skip concat ->
+    projection -> NeXt-V2 blocks (cytoland ``UNeXt2UpStage`` role)."""
+
+    out_dim: int
+    conv_blocks: int
+    compute_dtype: type = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = nn.Conv(
+            self.out_dim * 4, (3, 3), dtype=self.compute_dtype,
+            name="upsample",
+        )(x)
+        x = _pixel_shuffle(x, 2)
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        x = nn.Conv(
+            self.out_dim, (3, 3), dtype=self.compute_dtype, name="proj"
+        )(x)
+        for j in range(self.conv_blocks):
+            x = _NeXtV2Block(
+                self.out_dim, self.compute_dtype, name=f"blocks_{j}"
+            )(x)
+        return x
+
+
+class VSUNeXt2(nn.Module):
+    """ConvNeXt-V2-style 2.5-D UNet: (B, H, W, in_slices) -> (B, H, W, n_out).
+
+    Mirrors cytoland's UNeXt2/fcmae structure (reference
+    ``dynatrack_demo.yaml`` ``model_config``; the torch side lives in
+    the external cytoland package the reference loads,
+    ``preprocessing.py:359-416``):
+
+    * 3-D stem: ``Conv3d(1, dims[0] // (D/kz), (kz, 4, 4), stride
+      same)`` over the z-window, z levels flattened into channels;
+    * encoder: ConvNeXt-V2 stages (GRN blocks) with LN + 2x2/s2
+      downsample layers between stages;
+    * decoder: pixel-shuffle upsample stages with skip concats and
+      NeXt-V2 blocks;
+    * head: 4x pixel-shuffle + GELU + 1x1 projection. DIVERGENCE: the
+      head emits one 2-D plane per sliding z-window (our 2.5-D
+      inference contract, :func:`_infer_volume_jit`) rather than
+      cytoland's voxel-stack head; PARITY.md records this.
+
+    Parameter naming matches the torch state-dict layout consumed by
+    :mod:`shrimpy_tpu.models.torch_import`.
     """
 
     n_out: int
     encoder_blocks: tuple[int, ...]
     dims: tuple[int, ...]
     decoder_conv_blocks: int = 1
+    stem_kernel_z: int | None = None
+    head_expansion: int = 4
+    # float32 for weight-level torch-checkpoint parity (the golden
+    # import test); bfloat16 (default) for TPU inference/training.
+    compute_dtype: type = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        x = x.astype(jnp.bfloat16)
-        # Patchify stem: 2x2 non-overlapping (stem_kernel_size analog).
-        x = nn.Conv(self.dims[0], (2, 2), strides=(2, 2), dtype=jnp.bfloat16)(x)
-        skips = []
-        for i, (n_blocks, dim) in enumerate(zip(self.encoder_blocks, self.dims)):
-            if i > 0:
-                x = nn.LayerNorm(dtype=jnp.float32)(
-                    x.astype(jnp.float32)
-                ).astype(jnp.bfloat16)
-                x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=jnp.bfloat16)(x)
-            for _ in range(n_blocks):
-                x = _NeXtBlock(dim)(x)
-            skips.append(x)
-        x = skips.pop()
-        for skip in reversed(skips):
-            b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-            for _ in range(self.decoder_conv_blocks):
-                x = _ConvBlock(skip.shape[-1])(x)
-        # Head: undo the stem's 2x patchify, then project.
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        x = _ConvBlock(self.dims[0])(x)
-        return nn.Conv(self.n_out, (1, 1), dtype=jnp.float32)(
-            x.astype(jnp.float32)
+        x = x.astype(self.compute_dtype)
+        b, h, w, d = x.shape
+        kz = self.stem_kernel_z or d
+        assert d % kz == 0, (
+            f"in_slices {d} must be a multiple of stem_kernel_z {kz}"
         )
+        z_levels = d // kz
+        assert self.dims[0] % z_levels == 0, (
+            f"dims[0]={self.dims[0]} must be divisible by the "
+            f"{z_levels} stem z levels"
+        )
+        # 3-D stem over (D, H, W): z levels flatten into channels.
+        xv = x.transpose(0, 3, 1, 2)[..., None]  # (B, D, H, W, 1)
+        xv = nn.Conv(
+            self.dims[0] // z_levels,
+            (kz, 4, 4),
+            strides=(kz, 4, 4),
+            dtype=self.compute_dtype,
+            name="stem",
+        )(xv)  # (B, z_levels, H/4, W/4, dims0/z_levels)
+        bb, zl, hh, ww, cc = xv.shape
+        # torch stem rearranges 'b c d h w -> b (c d) h w': channel-
+        # major over c, z-minor — transpose accordingly channels-last.
+        x = xv.transpose(0, 2, 3, 4, 1).reshape(bb, hh, ww, cc * zl)
+
+        skips = []
+        for i, (n_blocks, dim) in enumerate(
+            zip(self.encoder_blocks, self.dims)
+        ):
+            if i > 0:
+                x = nn.LayerNorm(
+                    dtype=jnp.float32, name=f"downsample_norm_{i}"
+                )(x.astype(jnp.float32)).astype(self.compute_dtype)
+                x = nn.Conv(
+                    dim, (2, 2), strides=(2, 2), dtype=self.compute_dtype,
+                    name=f"downsample_conv_{i}",
+                )(x)
+            for j in range(n_blocks):
+                x = _NeXtV2Block(
+                    dim, self.compute_dtype, name=f"stage_{i}_block_{j}"
+                )(x)
+            skips.append(x)
+
+        x = skips.pop()
+        for i, skip in enumerate(reversed(skips)):
+            x = _UpStage(
+                skip.shape[-1],
+                self.decoder_conv_blocks,
+                self.compute_dtype,
+                name=f"up_{i}",
+            )(x, skip)
+
+        # Head: 4x pixel-shuffle undoes the stem's spatial stride.
+        hw = max(self.n_out, self.dims[0] // self.head_expansion)
+        x = nn.Conv(
+            hw * 16, (3, 3), dtype=self.compute_dtype, name="head_upsample"
+        )(x)
+        x = _pixel_shuffle(x, 4)
+        x = _gelu_exact(x)
+        return nn.Conv(
+            self.n_out, (1, 1), dtype=jnp.float32, name="head_proj"
+        )(x.astype(jnp.float32))
 
 
 def build_model(settings: VSModelSettings) -> tuple[nn.Module, int]:
@@ -237,14 +372,29 @@ def build_model(settings: VSModelSettings) -> tuple[nn.Module, int]:
             VSUNet(n_out=n_out, base_width=arch.base_width, depth=arch.depth),
             arch.depth,
         )
+    kz = arch.stem_kernel_z or settings.in_slices
+    if settings.in_slices % kz:
+        raise ValueError(
+            f"in_slices={settings.in_slices} must be a multiple of "
+            f"stem_kernel_z={kz}"
+        )
+    z_levels = settings.in_slices // kz
+    if arch.dims[0] % z_levels:
+        raise ValueError(
+            f"dims[0]={arch.dims[0]} must be divisible by the "
+            f"{z_levels} stem z levels (in_slices / stem_kernel_z)"
+        )
     return (
         VSUNeXt2(
             n_out=n_out,
             encoder_blocks=tuple(arch.encoder_blocks),
             dims=tuple(arch.dims),
             decoder_conv_blocks=arch.decoder_conv_blocks,
+            stem_kernel_z=arch.stem_kernel_z,
+            head_expansion=arch.head_conv_expansion_ratio,
         ),
-        len(arch.dims),  # stem 2x + (stages-1) downsamples
+        # stem 4x (2^2) + one 2x per stage after the first.
+        len(arch.dims) + 1,
     )
 
 
@@ -366,6 +516,14 @@ class VirtualStainer:
         return VSModelSettings(**merged)
 
     def _load_ckpt(self, path: Path):
+        if path.suffix in {".ckpt", ".pt", ".pth"}:
+            # Torch-format cytoland checkpoint (the reference feeds
+            # these straight to cytoland, preprocessing.py:359-416);
+            # converted to flax params at load time.
+            from shrimpy_tpu.models.torch_import import import_torch_vsunet
+
+            logger.info("importing torch checkpoint %s", path)
+            return import_torch_vsunet(path, self.settings)
         import orbax.checkpoint as ocp
 
         with ocp.StandardCheckpointer() as ckptr:

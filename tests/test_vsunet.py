@@ -139,7 +139,7 @@ def test_unext2_predict_shapes(rng):
         in_slices=3, out_channels=["vs_nuclei"], batch_slices=2,
     )
     stainer = VirtualStainer(s)
-    assert stainer.pad_exp == 2  # stem 2x + 1 downsample
+    assert stainer.pad_exp == 3  # stem 4x + 1 downsample
     vol = rng.random((3, 32, 32), dtype=np.float32)
     preds = stainer.predict(vol)
     assert preds["vs_nuclei"].shape == (3, 32, 32)
