@@ -66,14 +66,16 @@ RL_ITERS = 20
 REPEATS = 3
 CHILD_TIMEOUT_S = 300.0
 
-# The fused-RL kernel's measured MXU floor on v5e (docs/kernels.md):
-# 3-pass bf16 (HIGH) block-tridiagonal x dots at 128-aligned K=384
-# windows bound the iteration at ~40 ms => ~0.70 GVox/s on this
-# algorithm at the production geometry. Carried in the headline JSON so
-# the record itself documents how close the number is to the model.
+# The fused-RL kernel's measured floor on v5e (docs/kernels.md round-3
+# bake-off): the staggered-carry K=256 x pass broke the round-2 ~40 ms
+# MXU floor; the kernel is now VPU/DMA-bound at ~35.4 ms/iter (dropping
+# a third of the x MXU passes moves it 1.4%). Carried in the headline
+# JSON so the record itself documents how close the number is to the
+# model.
 FLOOR_NOTE = (
-    "fused-RL MXU floor ~40 ms/iter (3-pass HIGH dots, 128-aligned x "
-    "windows) => ~0.70 GVox/s at (1201,256,1600); see docs/kernels.md"
+    "fused-RL floor ~35 ms/iter after the staggered K=256 x pass "
+    "(VPU/DMA-bound: 2-pass x dots gain only 1.4%); see docs/kernels.md "
+    "round-3 bake-off"
 )
 
 
@@ -511,12 +513,65 @@ def _config_replay(variant: str | None) -> dict:
     }
 
 
+def _config_nonsep(variant: str | None) -> dict:
+    """Config 6: RL-20 with a beyond-extended-rank PSF — the FFT-path
+    cliff, recorded so the non-separable exposure has a number (the
+    separable tiers cover rank<=10; heavier aberration routes here,
+    ops/deconv.py FFT fallback). The PSF is a strongly tilted
+    anisotropic Gaussian (zy+yx shear) whose separable rank exceeds
+    max_extended_terms."""
+    import jax
+    import jax.numpy as jnp
+
+    from shrimpy_tpu.config import DeconvolveSettings
+    from shrimpy_tpu.ops.deconv import plan_separable_terms, richardson_lucy
+
+    # Tilted PSF: rotate the Gaussian's principal axes out of the
+    # (z, y, x) grid axes. exp(-q(z,y,x)/2) with cross terms is not a
+    # product of 1-D factors; strong tilt pushes the SVD rank high.
+    zz, yy, xx = np.meshgrid(
+        np.arange(15) - 7.0, np.arange(31) - 15.0, np.arange(31) - 15.0,
+        indexing="ij",
+    )
+    zr = zz + 0.6 * yy
+    yr = yy + 0.5 * xx
+    psf = np.exp(
+        -0.5 * ((zr / 1.5) ** 2 + (yr / 2.5) ** 2 + (xx / 5.0) ** 2)
+    ).astype(np.float32)
+    psf /= psf.sum()
+    settings = DeconvolveSettings(iterations=RL_ITERS, algorithm="fft")
+    # Document that this PSF genuinely exceeds the separable tiers.
+    plan = plan_separable_terms(
+        psf, DeconvolveSettings(iterations=RL_ITERS)
+    )
+
+    shape = tuple(int(v) for v in (variant or "128,2888,1600").split(","))
+    vol = jax.random.uniform(
+        jax.random.key(0), shape, jnp.float32, 0.0, 100.0
+    )
+    best = _time_best(
+        lambda: _sync(richardson_lucy(vol, psf, settings)), repeats=1
+    )
+    return {
+        "name": "rl20_nonseparable_fft",
+        "shape": shape,
+        "iterations": RL_ITERS,
+        "psf_separable": plan is not None,
+        "gvox_per_s": round(int(np.prod(shape)) / best / 1e9, 4),
+        "seconds": round(best, 4),
+        "note": "non-separable-PSF cliff: XLA TPU FFT is ~14x off the "
+        "bandwidth roofline (docs/kernels.md); separable tiers cover "
+        "rank<=10 PSFs at the headline rate",
+    }
+
+
 _CONFIG_FNS = {
     "deskew": _config_deskew,
     "rl20": _config_rl20,
     "register": _config_register,
     "plate": _config_plate,
     "replay": _config_replay,
+    "nonsep": _config_nonsep,
 }
 
 # Per-config geometry fallbacks, each attempt its own bounded child.
@@ -526,6 +581,7 @@ _CONFIG_VARIANTS: dict[str, list[str | None]] = {
     "register": [None],
     "plate": [None],
     "replay": [None],
+    "nonsep": ["128,2888,1600", "128,1444,800"],
 }
 
 
@@ -619,7 +675,7 @@ def main() -> None:
     print(json.dumps({**headline, "configs": []}), flush=True)
 
     configs = []
-    for name in ("deskew", "rl20", "register", "plate", "replay"):
+    for name in ("deskew", "rl20", "register", "plate", "replay", "nonsep"):
         if remaining() < 60.0:
             configs.append({"name": name, "skipped": "budget"})
             continue
