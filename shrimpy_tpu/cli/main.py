@@ -314,9 +314,26 @@ def track(input, config_path, output):
                    "(PNG previews under <output>/preview).")
 @click.option("--viewer-cache-mb", type=float, default=512.0, show_default=True,
               help="Shared-memory ring budget for the viewer.")
-def replay(input, output_dir, name, plan_path, viewer, viewer_cache_mb):
+@click.option("--microscope", default="mantis", show_default=True,
+              help="Registered microscope profile (see `microscopes`).")
+def replay(input, output_dir, name, plan_path, viewer, viewer_cache_mb,
+           microscope):
     """Replay a pre-acquired dataset through the acquisition engine
     (hardware-free demo mode, the reference's ReplayCamera role)."""
+    from shrimpy_tpu.config.microscopes import get_microscope
+
+    try:
+        profile = get_microscope(microscope)
+    except KeyError as exc:
+        raise click.ClickException(str(exc)) from None
+    if not profile.implemented:
+        # The reference answers `shrimpy acquire isim` the same way
+        # (cli/acquire.py:150-163) — a seam, not a silent wrong run.
+        click.echo(click.style(
+            f"{profile.name} acquisition is not yet implemented. "
+            "Coming soon!", fg="yellow",
+        ))
+        return
     from shrimpy_tpu.engine import AcquisitionEngine, AcquisitionPlan, ReplaySource
 
     source = ReplaySource(input)
@@ -711,6 +728,28 @@ def info(input):
             "dtype": str(pos.dtype),
             "channels": pos.channel_names,
             "zyx_scale_um": list(pos.zyx_scale),
+        }
+    click.echo(json.dumps(out, indent=2))
+
+
+@cli.command()
+def microscopes():
+    """List registered microscope profiles (the extension seam:
+    downstream packages add instruments via
+    ``shrimpy_tpu.config.microscopes.register_microscope``)."""
+    from shrimpy_tpu.config.microscopes import (
+        available_microscopes,
+        get_microscope,
+    )
+
+    out = {}
+    for name in available_microscopes():
+        p = get_microscope(name)
+        out[name] = {
+            "description": p.description,
+            "implemented": p.implemented,
+            "ls_angle_deg": p.ls_angle_deg,
+            "arms": p.arms,
         }
     click.echo(json.dumps(out, indent=2))
 

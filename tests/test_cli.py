@@ -83,6 +83,56 @@ def test_replay_verb(runner, tmp_path):
     assert (tmp_path / "out" / "demo_summary_metadata.json").exists()
 
 
+def test_microscope_seam(runner, tmp_path):
+    """The second-microscope extension seam (reference
+    cli/acquire.py:150-163 + shrimpy/isim/): listing, the isim
+    coming-soon stub, unknown-name rejection, and registration."""
+    import json as _json
+
+    result = runner.invoke(cli, ["microscopes"])
+    assert result.exit_code == 0, result.output
+    listing = _json.loads(result.output)
+    assert listing["mantis"]["implemented"] is True
+    assert listing["mantis"]["ls_angle_deg"] == 30.0
+    assert listing["isim"]["implemented"] is False
+
+    # isim: friendly stub, no acquisition attempted (input not touched).
+    synthetic_blob_fov(tmp_path / "s.zarr", n_timepoints=1, shape_zyx=(4, 16, 16))
+    result = runner.invoke(cli, [
+        "replay", str(tmp_path / "s.zarr"), "-o", str(tmp_path / "o"),
+        "--microscope", "isim",
+    ])
+    assert result.exit_code == 0, result.output
+    assert "not yet implemented" in result.output
+    assert not (tmp_path / "o").exists()
+
+    # Unknown microscope: loud error listing what exists.
+    result = runner.invoke(cli, [
+        "replay", str(tmp_path / "s.zarr"), "-o", str(tmp_path / "o2"),
+        "--microscope", "nope",
+    ])
+    assert result.exit_code != 0
+    assert "registered: isim, mantis" in result.output
+
+    # Registration seam: a downstream profile becomes dispatchable.
+    from shrimpy_tpu.config.microscopes import (
+        MicroscopeProfile,
+        _REGISTRY,
+        register_microscope,
+    )
+
+    register_microscope(MicroscopeProfile(name="bench-scope", ls_angle_deg=25.0))
+    try:
+        result = runner.invoke(cli, [
+            "replay", str(tmp_path / "s.zarr"), "-o", str(tmp_path / "o3"),
+            "-n", "d", "--microscope", "bench-scope",
+        ])
+        assert result.exit_code == 0, result.output
+        assert (tmp_path / "o3" / "d.zarr").exists()
+    finally:
+        _REGISTRY.pop("bench-scope", None)
+
+
 def test_register_verb(runner, tmp_path):
     from shrimpy_tpu.io.ngff import create_fov
     from shrimpy_tpu.io.synthetic import gaussian_blob
