@@ -169,13 +169,17 @@ class DeconvolveSettings(BaseModel):
     # set every backend's cost (and push z radius past the fused/linear
     # kernels' bounds). Relative to the PSF max; 0 disables.
     psf_crop_tol: float = 1e-5
-    # Extended-rank ceiling tried before falling back to FFT: the fused
-    # kernel's per-term marginal cost keeps rank-10 separable iterations
-    # faster than the FFT path (~8x a rank-1 iteration on v5e). Applies
-    # to both the strict tier (aberrated-but-clean PSFs often need rank
-    # 7-10) and the denoise tier (which stops at the first sufficient
-    # rank anyway).
-    max_extended_terms: int = 10
+    # Extended-rank ceiling tried before falling back to FFT. Measured
+    # on v5e at the production carry (scripts/bench_rank.py, docs/
+    # kernels.md rank-vs-FFT memo): the fused kernel costs 35.3 ms/iter
+    # at rank 1 + 27.6 ms per additional term (linear through rank 16),
+    # while an FFT iteration costs ~2.7 ns/voxel (~1.6 s at the
+    # production grid — where it actually OOMs single-chip), putting
+    # the true crossover near rank 56. 24 keeps >2x margin while
+    # bounding compile time and vmem. Applies to both the strict tier
+    # (aberrated-but-clean PSFs often need rank 7-10) and the denoise
+    # tier (which stops at the first sufficient rank anyway).
+    max_extended_terms: int = 24
     # MXU matmul precision for the separable path. TPU default matmuls
     # are bf16 (1e-2 error over 20 iterations — fails the 1e-3 parity
     # budget); "high" (bf16x3) measures 6e-5 at ~3x default cost,

@@ -244,8 +244,10 @@ def plan_separable_terms(
     1. strict decomposition within ``separable_tol`` (exact fast path);
     2. strict decomposition at extended rank (``max_extended_terms``):
        structured/aberrated PSFs often need rank 7-10, and the fused
-       kernel's per-term marginal cost keeps rank-10 separable faster
-       than the FFT path (~8x a rank-1 iteration on v5e) — logged;
+       kernel's measured per-term marginal cost (27.6 ms/iter/term at
+       the production carry vs an FFT iteration's ~1.6 s there — true
+       crossover near rank 56, docs/kernels.md) keeps every extended
+       rank far below the FFT path — logged;
     3. if that fails and ``psf_denoise != 'off'``: rank-K truncation
        (up to extended rank, stopping at the first K that suffices),
        accepted when the discarded residual is below
@@ -273,15 +275,15 @@ def plan_separable_terms(
             logger.warning(
                 "PSF needs extended rank %d (> max_separable_terms=%d) to "
                 "reach tol=%g; separable path with per-iteration cost "
-                "~%dx rank-1 (still below the FFT path's ~8x)",
+                "~0.8x rank-1 per term (FFT crossover ~rank 56, measured)",
                 len(terms), settings.max_separable_terms,
-                settings.separable_tol, len(terms),
+                settings.separable_tol,
             )
             return terms
     if settings.psf_denoise == "off":
         logger.warning(
             "PSF not separable within tol=%g and psf_denoise='off': using "
-            "the FFT path (~8x a rank-1 separable iteration on TPU)",
+            "the FFT path (~45x a rank-1 separable iteration, measured)",
             settings.separable_tol,
         )
         return None
@@ -305,7 +307,7 @@ def plan_separable_terms(
     logger.warning(
         "PSF rank-%d residual %.2e exceeds psf_denoise_max_residual=%g "
         "(non-separable structure beyond extended rank): using the FFT "
-        "path (~8x a rank-1 separable iteration on TPU)",
+        "path (~45x a rank-1 separable iteration, measured)",
         len(terms),
         residual,
         settings.psf_denoise_max_residual,
