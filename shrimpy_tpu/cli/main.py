@@ -365,6 +365,41 @@ def replay(input, output_dir, name, plan_path, viewer, viewer_cache_mb,
     click.echo(str(out))
 
 
+@cli.command(name="replay-dual")
+@click.argument("config", type=click.Path(exists=True))
+@click.option("-o", "--output-dir", required=True, type=click.Path())
+@click.option("-n", "--name", default="replay", show_default=True)
+def replay_dual(config, output_dir, name):
+    """Dual-instance replay: every arm acquires simultaneously on its
+    own engine + store, synchronized per timepoint and sharing one
+    stage (the reference's two-MM-instance production topology,
+    reference ``mantis/archive/pycromanager/acq_engine.py:98-183``).
+
+    CONFIG is a YAML with an ``arms:`` mapping of
+    ``{name: {input: <store>, plan: {...}}}`` plus an optional
+    ``barrier_timeout_s``.
+    """
+    import yaml as _yaml
+
+    from shrimpy_tpu.engine.dual import DualArmAcquisition, DualReplayConfig
+    from shrimpy_tpu.engine.replay import ReplaySource
+
+    cfg = DualReplayConfig(**_yaml.safe_load(Path(config).read_text()))
+    arms = {
+        arm: (ReplaySource(a.input), a.plan) for arm, a in cfg.arms.items()
+    }
+    session = DualArmAcquisition(
+        arms, barrier_timeout_s=cfg.barrier_timeout_s
+    )
+    results = session.run(output_dir, name)
+    failed = [r for r in results.values() if r.error]
+    click.echo(json.dumps({a: r.model_dump() for a, r in results.items()}))
+    if failed:
+        raise click.ClickException(
+            f"{len(failed)}/{len(results)} arms failed"
+        )
+
+
 @cli.group()
 def plan():
     """Author and validate acquisition plans (the headless counterpart
@@ -526,16 +561,23 @@ def measure_psf(input, psf_out, geometry, ls_angle_deg, threshold_percentile):
               help="[--live] Initial deskew-preview light-sheet angle.")
 @click.option("--px-to-scan-ratio", type=float, default=None,
               help="[--live] Initial deskew-preview pixel/scan ratio.")
+@click.option("--serve", type=int, default=None, metavar="PORT",
+              help="Serve the previews + controls to browsers on "
+                   "127.0.0.1:PORT (0 = pick a free port) — the "
+                   "graphical counterpart of the reference napari "
+                   "viewer, usable over an SSH port-forward.")
 def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
-            px_to_scan_ratio):
+            px_to_scan_ratio, serve):
     """Watch a (possibly growing) store: progress stats + preview PNGs.
 
     The headless counterpart of the reference's live napari viewer
-    (reference ``shrimpy/viewer/_napari_process.py``).
+    (reference ``shrimpy/viewer/_napari_process.py``); add ``--serve``
+    for an actual browser GUI over the same control files.
     """
     if live:
         _monitor_live(
-            input, preview_dir, interval, once, ls_angle_deg, px_to_scan_ratio
+            input, preview_dir, interval, once, ls_angle_deg,
+            px_to_scan_ratio, serve,
         )
         return
     import time as _time
@@ -549,6 +591,7 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
 
     out_dir = Path(preview_dir) if preview_dir else Path(input) / "_preview"
     out_dir.mkdir(parents=True, exist_ok=True)
+    web = _start_web(out_dir, serve)
     in_path = Path(input)
     # Reconstruction outputs carry a progress journal sidecar; a
     # growing acquisition store doesn't, but its written chunks are on
@@ -594,14 +637,30 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
                     dpi=72, bbox_inches="tight",
                 )
                 plt.close(fig)
+        if web is not None:
+            # Surface the progress table on the web page's /state pane.
+            (out_dir / "state.json").write_text(json.dumps(status, indent=2))
         click.echo(json.dumps(status))
         if once:
             break
         _time.sleep(interval)
+    if web is not None:
+        web.stop()
+
+
+def _start_web(out_dir, serve):
+    """Start the browser UI against a preview dir (None = off)."""
+    if serve is None:
+        return None
+    from shrimpy_tpu.viewer.web import MonitorWebServer
+
+    web = MonitorWebServer(out_dir, port=serve).start()
+    click.echo(json.dumps({"web_ui": web.url}))
+    return web
 
 
 def _monitor_live(input, preview_dir, interval, once, ls_angle_deg,
-                  px_to_scan_ratio):
+                  px_to_scan_ratio, serve=None):
     """Attach-mode live monitor: ring descriptor + volumes.jsonl tail.
 
     Ports the reference napari process's live behaviors (follow-latest
@@ -641,6 +700,7 @@ def _monitor_live(input, preview_dir, interval, once, ls_angle_deg,
             "use plain `monitor <store>` on the output store instead"
         ) from e
     monitor = LiveMonitor(ring, out_dir, deskew=deskew)
+    web = _start_web(out_dir, serve)
     try:
         while True:
             for msg in tail.poll():
@@ -657,6 +717,8 @@ def _monitor_live(input, preview_dir, interval, once, ls_angle_deg,
                 break
             _time.sleep(interval)
     finally:
+        if web is not None:
+            web.stop()
         ring.close()
 
 

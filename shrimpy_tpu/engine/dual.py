@@ -1,0 +1,178 @@
+"""Dual-instance acquisition: two arms, one stage, one clock.
+
+The mantis production engine runs TWO Micro-Manager instances — the
+label-free arm and the light-sheet arm — acquiring simultaneously,
+coordinated by NI-DAQ hardware triggers off one timepoint loop and one
+physical stage (reference
+``shrimpy/mantis/archive/pycromanager/acq_engine.py:98-183`` for the
+dual instances over ZMQ ports 4827/5827, ``:601-687`` for the DAQ
+counter chain that starts both cameras, ``:1373-1519`` for the shared
+t→p loop). This module emulates that topology hardware-free:
+
+* each arm is a full :class:`AcquisitionEngine` with its OWN replay
+  source and OWN output store (the two instances), run on its own
+  thread (the reference's two acquisition processes);
+* a :class:`threading.Barrier` at every timepoint boundary stands in
+  for the DAQ trigger: no arm enters timepoint ``t`` until every arm
+  finished ``t-1`` — and the barrier's timeout is the stall detector
+  (reference ``:1547-1616``): one stuck arm breaks the barrier and
+  aborts the whole run instead of letting the arms drift apart;
+* one shared :class:`PositionStore` is the one physical stage: the
+  tracking arm's DynaTrack corrections shift every arm's subsequent
+  volumes (the reference applies ``xyz_positions_shift`` to both
+  acquisitions since both image the same wells).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from pathlib import Path
+
+from pydantic import BaseModel, ConfigDict, Field, model_validator
+
+from shrimpy_tpu.engine.engine import AcquisitionEngine
+from shrimpy_tpu.engine.plan import AcquisitionPlan
+from shrimpy_tpu.engine.replay import ReplaySource
+from shrimpy_tpu.tracking.position import PositionStore
+
+logger = logging.getLogger(__name__)
+
+
+class ArmConfig(BaseModel):
+    """One acquisition arm: its source dataset and its plan."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    input: str
+    plan: AcquisitionPlan = Field(default_factory=AcquisitionPlan)
+
+
+class DualReplayConfig(BaseModel):
+    """YAML surface for a dual-arm replay session (``arms:`` mapping,
+    same shape as the reconstruction side's ``ReconstructArms``)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    arms: dict[str, ArmConfig]
+    # Stall detector: how long one arm may wait for the others at a
+    # timepoint boundary before the run aborts (reference sequence
+    # stall watchdog, archive acq_engine.py:1547-1616).
+    barrier_timeout_s: float = 120.0
+
+    @model_validator(mode="after")
+    def _check(self):
+        if len(self.arms) < 2:
+            raise ValueError(
+                "a dual-arm session needs at least two arms; use plain "
+                "`replay` for one"
+            )
+        n_t = {a.plan.time.n_timepoints for a in self.arms.values()}
+        if len(n_t) != 1:
+            raise ValueError(
+                f"arms must share one timepoint loop; got n_timepoints={n_t}"
+            )
+        return self
+
+
+class ArmResult(BaseModel):
+    name: str
+    output: str | None = None
+    error: str | None = None
+
+
+class DualArmAcquisition:
+    """Run every arm's engine concurrently under one barrier + stage."""
+
+    def __init__(
+        self,
+        arms: dict[str, tuple[ReplaySource, AcquisitionPlan]],
+        *,
+        barrier_timeout_s: float = 120.0,
+        viewer_hooks: dict[str, list] | None = None,
+    ):
+        if len(arms) < 2:
+            raise ValueError("need >= 2 arms")
+        n_t = {plan.time.n_timepoints for _, plan in arms.values()}
+        if len(n_t) != 1:
+            raise ValueError(f"arms disagree on n_timepoints: {n_t}")
+        self.arms = arms
+        self.stage = PositionStore()
+        self.barrier = threading.Barrier(len(arms))
+        self.barrier_timeout_s = barrier_timeout_s
+        self.viewer_hooks = viewer_hooks or {}
+
+    def run(self, output_dir: str | Path, name: str) -> dict[str, ArmResult]:
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        # Resolve ONE auto-increment for the whole family so a re-run
+        # moves every arm together (per-arm increments could pair
+        # plate_labelfree.zarr with plate_1_lightsheet.zarr).
+        final = name
+        i = 1
+        while any(
+            (output_dir / f"{final}_{arm}.zarr").exists() for arm in self.arms
+        ):
+            final = f"{name}_{i}"
+            i += 1
+
+        results: dict[str, ArmResult] = {}
+        threads = []
+
+        def run_arm(arm: str, source: ReplaySource, plan: AcquisitionPlan):
+            def on_timepoint(t: int) -> None:
+                # The DAQ-trigger stand-in. A broken barrier (another
+                # arm died or stalled past the timeout) aborts this arm
+                # too — the arms never drift out of lockstep.
+                self.barrier.wait(timeout=self.barrier_timeout_s)
+
+            engine = AcquisitionEngine(
+                source,
+                viewer_hooks=self.viewer_hooks.get(arm),
+                position_store=self.stage,
+                timepoint_hook=on_timepoint,
+            )
+            try:
+                out = engine.acquire(output_dir, f"{final}_{arm}", plan)
+                results[arm] = ArmResult(name=arm, output=str(out))
+            except threading.BrokenBarrierError:
+                results[arm] = ArmResult(
+                    name=arm,
+                    error="aborted: timepoint barrier broken (another arm "
+                          "stalled or failed)",
+                )
+                logger.error("arm %s aborted at the timepoint barrier", arm)
+            except Exception as e:
+                # Break the barrier so the other arms abort instead of
+                # waiting out the stall timeout on a dead partner.
+                self.barrier.abort()
+                results[arm] = ArmResult(name=arm, error=repr(e))
+                logger.exception("arm %s failed", arm)
+
+        for arm, (source, plan) in self.arms.items():
+            th = threading.Thread(
+                target=run_arm, args=(arm, source, plan),
+                name=f"arm-{arm}", daemon=True,
+            )
+            threads.append(th)
+            th.start()
+        for th in threads:
+            th.join()
+
+        summary = {
+            "name": final,
+            "arms": {
+                arm: results.get(
+                    arm, ArmResult(name=arm, error="thread died")
+                ).model_dump()
+                for arm in self.arms
+            },
+            "stage_final_um": {
+                k: [pos.x, pos.y, pos.z]
+                for k, pos in self.stage.snapshot().items()
+            },
+        }
+        with open(output_dir / f"{final}_dualarm_summary.json", "w") as f:
+            json.dump(summary, f, indent=2)
+        return results

@@ -71,9 +71,19 @@ class AcquisitionEngine:
         source: ReplaySource,
         *,
         viewer_hooks: list | None = None,
+        position_store: PositionStore | None = None,
+        timepoint_hook=None,
     ):
         self.source = source
         self.viewer_hooks = viewer_hooks or []
+        # Dual-arm seams (engine/dual.py): a SHARED stage store so one
+        # arm's tracking corrections move every arm (the reference's two
+        # MM instances drive one physical stage, archive
+        # acq_engine.py:98-183), and a per-timepoint hook where the
+        # coordinator places its start-of-timepoint barrier (the DAQ
+        # trigger that starts both cameras together, :601-687).
+        self._position_store = position_store
+        self.timepoint_hook = timepoint_hook
         self._tracking: PositionUpdateManager | None = None
         self._tracker: Tracker | None = None
         self._track_channel_idx: int | None = None
@@ -127,7 +137,11 @@ class AcquisitionEngine:
             debug_writer=debug_writer,
         )
         self._track_channel_idx = channels.index(track_source_channel)
-        store = PositionStore()
+        store = (
+            self._position_store
+            if self._position_store is not None
+            else PositionStore()
+        )
 
         def updater(stack: np.ndarray, t: int, p: str) -> np.ndarray:
             if preprocessor is not None:
@@ -297,6 +311,11 @@ class AcquisitionEngine:
                         "interval (latency budget exceeded)",
                         t, now - due, plan.time.interval_s,
                     )
+            if self.timepoint_hook is not None:
+                # Dual-arm barrier point: tracking for t-1 has drained
+                # (the shared stage is settled) and pacing is honored;
+                # every arm enters timepoint t together.
+                self.timepoint_hook(t)
             for p_idx, p_key in enumerate(positions):
                 t_pos_start = time.monotonic()
                 out_pos = out_positions[p_key]
@@ -593,11 +612,20 @@ class AcquisitionEngine:
         """Current corrected stage position -> pixel offset (ZYX),
         including accumulated remote-refocus z."""
         z_extra = self._refocus_z.get(p_key, 0)
-        if self._tracking is None:
+        # A shared stage store (dual-arm) feeds offsets even to an arm
+        # that runs no tracking of its own: the tracking arm's
+        # corrections move this arm too.
+        store = (
+            self._tracking.store
+            if self._tracking is not None
+            else self._position_store
+        )
+        if store is None:
             return (z_extra, 0, 0)
-        pos = self._tracking.store.get(p_key)
+        pos = store.get(p_key)
         if pos is None:
-            self._tracking.store.set(p_key, 0.0, 0.0, 0.0)
+            if self._tracking is not None:
+                store.set(p_key, 0.0, 0.0, 0.0)
             return (z_extra, 0, 0)
         sz, sy, sx = self.source.zyx_scale
         return (

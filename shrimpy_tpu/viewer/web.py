@@ -1,0 +1,245 @@
+"""Browser surface for the live monitor — the graphical viewer.
+
+The reference ships an interactive napari GUI (reference
+``shrimpy/viewer/_napari_process.py:53-515`` and
+``shrimpy/widgets/mantis_acquisition_widget.py``): follow-latest with a
+scrubbable time slider, a Home button to resume following, per-channel
+contrast, and an editable deskew-geometry panel that re-renders the
+side view live. A headless TPU pod has no Qt, so this module serves the
+same controls to any browser over HTTP instead — a thin graphical skin
+over the monitor's file protocol:
+
+* the page polls ``/state`` (``state.json``) and ``/images`` and shows
+  the monitor's rendered PNGs, refreshing only when a file's mtime
+  moves;
+* the Follow checkbox / timepoint slider POST ``/view`` which writes
+  ``view.json`` — exactly what a user could do by hand, so scripts and
+  the browser never fight over a private channel;
+* the deskew panel POSTs ``/deskew`` → ``deskew.json``;
+* "re-stretch contrast" POSTs ``{"contrast": "refresh"}``.
+
+The server binds localhost by default and is stdlib-only
+(``http.server``): nothing to install on a pod, works through an SSH
+port-forward, and the files remain the source of truth — killing the
+server loses nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+_PAGE = """<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>shrimpy-tpu monitor</title>
+<style>
+  body { font-family: system-ui, sans-serif; margin: 1rem; background: #111;
+         color: #ddd; }
+  h1 { font-size: 1.1rem; font-weight: 600; }
+  .controls { display: flex; gap: 1.5rem; align-items: center;
+              flex-wrap: wrap; padding: .6rem .8rem; background: #1c1c1c;
+              border-radius: 8px; margin-bottom: 1rem; }
+  .controls label { display: flex; gap: .4rem; align-items: center; }
+  input[type=number] { width: 5.5rem; background: #111; color: #ddd;
+                       border: 1px solid #444; border-radius: 4px;
+                       padding: .15rem .3rem; }
+  button { background: #2a4d69; color: #eee; border: 0; border-radius: 4px;
+           padding: .3rem .7rem; cursor: pointer; }
+  button:hover { background: #36618a; }
+  .imgs { display: flex; flex-wrap: wrap; gap: 1rem; }
+  .imgs figure { margin: 0; }
+  .imgs img { max-width: 640px; border-radius: 6px; background: #000; }
+  figcaption { font-size: .8rem; color: #999; padding-top: .2rem; }
+  #state { font-family: monospace; font-size: .75rem; color: #8a8;
+           white-space: pre-wrap; }
+</style>
+</head>
+<body>
+<h1>shrimpy-tpu live monitor</h1>
+<div class="controls">
+  <label><input type="checkbox" id="follow" checked> follow latest</label>
+  <label>t <input type="number" id="t" min="0" value="0"></label>
+  <button id="apply">apply</button>
+  <button id="home">home (follow)</button>
+  <button id="restretch">re-stretch contrast</button>
+  <label>angle <input type="number" id="angle" step="0.5"></label>
+  <label>px/scan <input type="number" id="ratio" step="0.001"></label>
+  <button id="geom">set geometry</button>
+</div>
+<div class="imgs" id="imgs"></div>
+<div id="state"></div>
+<script>
+const mtimes = {};
+async function post(url, body) {
+  await fetch(url, {method: "POST", body: JSON.stringify(body)});
+}
+function viewBody() {
+  return {follow: document.getElementById("follow").checked,
+          t: parseInt(document.getElementById("t").value || "0")};
+}
+document.getElementById("apply").onclick = () => post("/view", viewBody());
+document.getElementById("home").onclick = () => {
+  document.getElementById("follow").checked = true;
+  post("/view", {follow: true});
+};
+document.getElementById("restretch").onclick = () =>
+  post("/view", Object.assign(viewBody(), {contrast: "refresh"}));
+document.getElementById("geom").onclick = () => {
+  const a = parseFloat(document.getElementById("angle").value);
+  const r = parseFloat(document.getElementById("ratio").value);
+  if (!isNaN(a) && !isNaN(r))
+    post("/deskew", {ls_angle_deg: a, px_to_scan_ratio: r});
+};
+async function tick() {
+  try {
+    const imgs = await (await fetch("/images")).json();
+    const box = document.getElementById("imgs");
+    for (const {name, mtime} of imgs) {
+      let fig = document.getElementById("fig-" + name);
+      if (!fig) {
+        fig = document.createElement("figure");
+        fig.id = "fig-" + name;
+        const im = document.createElement("img");
+        const cap = document.createElement("figcaption");
+        cap.textContent = name;
+        fig.appendChild(im); fig.appendChild(cap);
+        box.appendChild(fig);
+      }
+      if (mtimes[name] !== mtime) {
+        mtimes[name] = mtime;
+        fig.querySelector("img").src = "/img/" + name + "?v=" + mtime;
+      }
+    }
+    const state = await (await fetch("/state")).json();
+    document.getElementById("state").textContent =
+      JSON.stringify(state, null, 1);
+  } catch (e) { /* server gone or not ready; keep polling */ }
+  setTimeout(tick, 1000);
+}
+tick();
+</script>
+</body>
+</html>
+"""
+
+
+def _atomic_write(path: Path, text: str) -> None:
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(text)
+    os.replace(tmp, path)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # The serving directory rides on the server object (one handler
+    # class per server instance would leak; an attribute does not).
+    server: "MonitorWebServer"
+
+    def log_message(self, fmt, *args):  # route http.server chatter to logging
+        logger.debug("web: " + fmt, *args)
+
+    def _send(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("Cache-Control", "no-store")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, obj, code: int = 200) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        path = self.path.split("?", 1)[0]
+        root = self.server.out_dir
+        if path == "/":
+            self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+        elif path == "/state":
+            try:
+                self._send(
+                    200,
+                    (root / "state.json").read_bytes(),
+                    "application/json",
+                )
+            except OSError:
+                self._send_json({})
+        elif path == "/images":
+            imgs = [
+                {"name": p.name, "mtime": p.stat().st_mtime}
+                for p in sorted(root.glob("*.png"))
+            ]
+            self._send_json(imgs)
+        elif path.startswith("/img/"):
+            name = path[len("/img/"):]
+            # Serve only flat PNG names out of out_dir — no traversal.
+            if "/" in name or name != Path(name).name or not name.endswith(".png"):
+                self._send_json({"error": "bad name"}, 404)
+                return
+            try:
+                self._send(200, (root / name).read_bytes(), "image/png")
+            except OSError:
+                self._send_json({"error": "not found"}, 404)
+        else:
+            self._send_json({"error": "not found"}, 404)
+
+    def do_POST(self) -> None:  # noqa: N802 (http.server API)
+        path = self.path.split("?", 1)[0]
+        targets = {"/view": "view.json", "/deskew": "deskew.json"}
+        if path not in targets:
+            self._send_json({"error": "not found"}, 404)
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(body, dict):
+                raise ValueError("control body must be a JSON object")
+        except (ValueError, json.JSONDecodeError) as e:
+            self._send_json({"error": str(e)}, 400)
+            return
+        _atomic_write(self.server.out_dir / targets[path], json.dumps(body))
+        self._send_json({"ok": True})
+
+
+class MonitorWebServer(ThreadingHTTPServer):
+    """Serve a monitor preview directory to browsers.
+
+    ``port=0`` picks an ephemeral port; read it back from ``.port``
+    after construction. ``start()`` serves on a daemon thread.
+    """
+
+    daemon_threads = True
+
+    def __init__(self, out_dir: str | Path, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.out_dir = Path(out_dir)
+        super().__init__((host, port), _Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.server_address[1]
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.server_address[0]}:{self.port}/"
+
+    def start(self) -> "MonitorWebServer":
+        self._thread = threading.Thread(
+            target=self.serve_forever, name="monitor-web", daemon=True
+        )
+        self._thread.start()
+        logger.info("monitor web UI at %s", self.url)
+        return self
+
+    def stop(self) -> None:
+        self.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self.server_close()

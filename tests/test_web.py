@@ -1,0 +1,133 @@
+"""Browser surface for the monitor (viewer/web.py).
+
+The reference's graphical viewer is a napari process
+(reference ``shrimpy/viewer/_napari_process.py``); ours is an HTTP
+page over the monitor's control files. These tests drive the server
+with urllib — no browser needed — and check that the controls land in
+exactly the files the headless monitor reads.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from shrimpy_tpu.viewer.web import MonitorWebServer
+
+
+@pytest.fixture()
+def server(tmp_path):
+    srv = MonitorWebServer(tmp_path, port=0).start()
+    yield srv, tmp_path
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(srv.url.rstrip("/") + path, timeout=5) as r:
+        return r.status, r.read()
+
+
+def _post(srv, path, body):
+    req = urllib.request.Request(
+        srv.url.rstrip("/") + path, data=json.dumps(body).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=5) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_page_and_empty_state(server):
+    srv, _ = server
+    status, body = _get(srv, "/")
+    assert status == 200
+    assert b"shrimpy-tpu" in body and b"re-stretch" in body
+    status, body = _get(srv, "/state")
+    assert status == 200 and json.loads(body) == {}
+
+
+def test_state_passthrough(server):
+    srv, root = server
+    (root / "state.json").write_text(json.dumps({"follow": True, "evicted": 2}))
+    _, body = _get(srv, "/state")
+    assert json.loads(body)["evicted"] == 2
+
+
+def test_images_listing_and_fetch(server):
+    srv, root = server
+    png = b"\x89PNG\r\n\x1a\nfakebody"
+    (root / "live_p0_GFP.png").write_bytes(png)
+    _, body = _get(srv, "/images")
+    listing = json.loads(body)
+    assert [e["name"] for e in listing] == ["live_p0_GFP.png"]
+    assert listing[0]["mtime"] > 0
+    _, body = _get(srv, "/img/live_p0_GFP.png")
+    assert body == png
+
+
+def test_img_rejects_traversal_and_non_png(server):
+    srv, root = server
+    (root / "state.json").write_text("{}")
+    for bad in ["/img/../state.json", "/img/state.json", "/img/a%2f..%2fb.png"]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(srv, bad)
+        assert e.value.code == 404
+
+
+def test_post_view_writes_control_file(server):
+    srv, root = server
+    status, resp = _post(srv, "/view", {"follow": False, "t": 3})
+    assert status == 200 and resp == {"ok": True}
+    assert json.loads((root / "view.json").read_text()) == {
+        "follow": False, "t": 3,
+    }
+    # The contrast-refresh knob rides the same file.
+    _post(srv, "/view", {"follow": True, "contrast": "refresh"})
+    assert json.loads((root / "view.json").read_text())["contrast"] == "refresh"
+
+
+def test_post_deskew_writes_geometry(server):
+    srv, root = server
+    _post(srv, "/deskew", {"ls_angle_deg": 32.0, "px_to_scan_ratio": 0.4})
+    geo = json.loads((root / "deskew.json").read_text())
+    assert geo == {"ls_angle_deg": 32.0, "px_to_scan_ratio": 0.4}
+
+
+def test_post_rejects_bad_bodies(server):
+    srv, _ = server
+    req = urllib.request.Request(
+        srv.url.rstrip("/") + "/view", data=b"not json", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=5)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/view", ["not", "an", "object"])
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/nope", {})
+    assert e.value.code == 404
+
+
+def test_controls_reach_live_monitor(server, tmp_path):
+    """A browser POST must land where LiveMonitor.refresh_controls looks."""
+    import numpy as np
+
+    from shrimpy_tpu.viewer.live import LiveMonitor
+    from shrimpy_tpu.viewer.ring import FrameRing
+
+    srv, root = server
+    ring = FrameRing(None, n_slots=4, frame_shape=(8, 8))
+    try:
+        mon = LiveMonitor(ring, root)
+        _post(srv, "/view", {"follow": False, "t": 1})
+        assert mon.refresh_controls() is True
+        assert mon.follow is False and mon.pinned_t == 1
+        _post(srv, "/deskew", {"ls_angle_deg": 31.0, "px_to_scan_ratio": 0.39})
+        assert mon.refresh_controls() is True
+        assert mon.deskew is not None
+        assert np.isclose(mon.deskew.ls_angle_deg, 31.0)
+    finally:
+        ring.close()
