@@ -115,16 +115,38 @@ def shared_options(f):
 
 @cli.command()
 @shared_options
-@click.option("--ls-angle-deg", type=float, default=30.0, show_default=True)
+@click.option("--ls-angle-deg", type=float, default=None,
+              help="Light-sheet tilt; default = the microscope "
+                   "profile's angle.")
 @click.option("--px-to-scan-ratio", type=float, default=None)
 @click.option("--keep-overhang", is_flag=True)
 @click.option("--average-n-slices", type=int, default=1, show_default=True)
+@click.option("--microscope", default="mantis", show_default=True,
+              help="Profile supplying the instrument's optical "
+                   "defaults (see `microscopes`).")
 def deskew(
     input, output, devices, space, batch, resume, profile_dir,
     ls_angle_deg, px_to_scan_ratio, keep_overhang, average_n_slices,
+    microscope,
 ):
     """Deskew every volume of an OME-Zarr store."""
     from shrimpy_tpu.config import DeskewSettings, ReconstructSettings
+    from shrimpy_tpu.config.microscopes import get_microscope
+
+    if ls_angle_deg is None:
+        # The instrument's geometry is profile knowledge (reference
+        # seeds LS_ANGLE_DEG per microscope); a profile without one
+        # cannot deskew by default.
+        try:
+            prof = get_microscope(microscope)
+        except KeyError as exc:
+            raise click.ClickException(str(exc)) from None
+        if prof.ls_angle_deg is None:
+            raise click.ClickException(
+                f"microscope {microscope!r} declares no light-sheet "
+                "angle; pass --ls-angle-deg"
+            )
+        ls_angle_deg = prof.ls_angle_deg
 
     settings = ReconstructSettings(
         deskew=DeskewSettings(
@@ -369,7 +391,10 @@ def replay(input, output_dir, name, plan_path, viewer, viewer_cache_mb,
 @click.argument("config", type=click.Path(exists=True))
 @click.option("-o", "--output-dir", required=True, type=click.Path())
 @click.option("-n", "--name", default="replay", show_default=True)
-def replay_dual(config, output_dir, name):
+@click.option("--microscope", default="mantis", show_default=True,
+              help="Profile whose arm inventory the config must match "
+                   "(see `microscopes`).")
+def replay_dual(config, output_dir, name, microscope):
     """Dual-instance replay: every arm acquires simultaneously on its
     own engine + store, synchronized per timepoint and sharing one
     stage (the reference's two-MM-instance production topology,
@@ -381,10 +406,29 @@ def replay_dual(config, output_dir, name):
     """
     import yaml as _yaml
 
+    from shrimpy_tpu.config.microscopes import get_microscope
     from shrimpy_tpu.engine.dual import DualArmAcquisition, DualReplayConfig
     from shrimpy_tpu.engine.replay import ReplaySource
 
+    try:
+        profile = get_microscope(microscope)
+    except KeyError as exc:
+        raise click.ClickException(str(exc)) from None
+    if not profile.implemented:
+        click.echo(click.style(
+            f"{profile.name} acquisition is not yet implemented. "
+            "Coming soon!", fg="yellow",
+        ))
+        return
     cfg = DualReplayConfig(**_yaml.safe_load(Path(config).read_text()))
+    if profile.arms and set(cfg.arms) != set(profile.arms):
+        # The arm inventory is instrument knowledge: the mantis has
+        # exactly a label-free and a light-sheet arm — a config naming
+        # anything else is pointed at the wrong microscope.
+        raise click.ClickException(
+            f"config arms {sorted(cfg.arms)} do not match microscope "
+            f"{profile.name!r} arms {sorted(profile.arms)}"
+        )
     arms = {
         arm: (ReplaySource(a.input), a.plan) for arm, a in cfg.arms.items()
     }
@@ -591,7 +635,7 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
 
     out_dir = Path(preview_dir) if preview_dir else Path(input) / "_preview"
     out_dir.mkdir(parents=True, exist_ok=True)
-    web = _start_web(out_dir, serve)
+    web = _start_web(out_dir, serve, live=False)
     in_path = Path(input)
     # Reconstruction outputs carry a progress journal sidecar; a
     # growing acquisition store doesn't, but its written chunks are on
@@ -648,13 +692,13 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
         web.stop()
 
 
-def _start_web(out_dir, serve):
+def _start_web(out_dir, serve, *, live):
     """Start the browser UI against a preview dir (None = off)."""
     if serve is None:
         return None
     from shrimpy_tpu.viewer.web import MonitorWebServer
 
-    web = MonitorWebServer(out_dir, port=serve).start()
+    web = MonitorWebServer(out_dir, port=serve, live=live).start()
     click.echo(json.dumps({"web_ui": web.url}))
     return web
 
@@ -700,7 +744,7 @@ def _monitor_live(input, preview_dir, interval, once, ls_angle_deg,
             "use plain `monitor <store>` on the output store instead"
         ) from e
     monitor = LiveMonitor(ring, out_dir, deskew=deskew)
-    web = _start_web(out_dir, serve)
+    web = _start_web(out_dir, serve, live=True)
     try:
         while True:
             for msg in tail.poll():

@@ -30,10 +30,11 @@ class MicroscopeProfile(BaseModel):
     name: str
     description: str = ""
     implemented: bool = True
-    # Light-sheet geometry defaults seeded into DeskewSettings when the
-    # user gives none (reference dynatrack_demo.yaml deskew block).
+    # Light-sheet tilt: the default for `deskew --ls-angle-deg` when
+    # the user gives none (reference seeds LS_ANGLE_DEG per scope).
     ls_angle_deg: float | None = None
-    # Arm naming convention for dual-arm reconstruction (PARITY 2.13).
+    # The instrument's arm inventory: `replay-dual` rejects configs
+    # whose arm names don't match (PARITY 2.13).
     arms: list[str] = []
 
 

@@ -534,8 +534,13 @@ class AcquisitionEngine:
         nominal_power = 10.0
 
         def acquire(exposure_ms, laser_power):
-            # Replay emulation: brightness scales with exposure x power.
-            scale = (exposure_ms / settings.default_exposure_ms) * (
+            # Replay camera model: recorded brightness corresponds to
+            # the SOURCE recording's exposure (plan.source_exposure_ms)
+            # at nominal power. The same model drives the written
+            # volumes via _effective_exposure_ms — using any other
+            # baseline here would make autoexposure pick an operating
+            # point the replay then renders at a different brightness.
+            scale = (exposure_ms / plan.source_exposure_ms) * (
                 laser_power / nominal_power
             )
             return mid * scale
@@ -598,7 +603,12 @@ class AcquisitionEngine:
         if idx is None:
             logger.warning("refocus: no prominent focus at t=%d p=%s", t, p_key)
             return
-        delta = idx - vol.shape[0] // 2
+        # The metric ran on the STRIDED stack (z_idx may skip source
+        # slices under ZPlan.step_um), but _refocus_z is applied as a
+        # SOURCE-slice roll — convert strided-slice drift to source
+        # slices or every correction under-corrects by the stride.
+        z_stride = int(z_idx[1] - z_idx[0]) if len(z_idx) > 1 else 1
+        delta = (idx - vol.shape[0] // 2) * z_stride
         if delta:
             self._refocus_z[p_key] = self._refocus_z.get(p_key, 0) + int(delta)
             self._refocus_events.append((t, p_key, int(delta)))

@@ -151,6 +151,17 @@ class AutoexposurePlan(BaseModel):
     settings: dict = Field(default_factory=dict)  # AutoexposureSettings kw
 
 
+def _plate_row_name(idx: int) -> str:
+    """Plate row letters: A..Z then AA, AB, ... (1536-well plates have
+    32 rows; bare ``chr(ord('A')+idx)`` yields '[' at row 26)."""
+    name = ""
+    idx += 1  # bijective base-26 ('A' = 1)
+    while idx > 0:
+        idx, rem = divmod(idx - 1, 26)
+        name = chr(ord("A") + rem) + name
+    return name
+
+
 class PlateSpec(BaseModel):
     """Well-plate geometry (reference ``mantis.yaml`` ``stage_positions.
     plate``). Spacing/size are recorded for provenance; replay content
@@ -188,6 +199,14 @@ class WellPointsPlan(BaseModel):
     def _check(self):
         if self.rows < 1 or self.columns < 1:
             raise ValueError("well_points_plan rows/columns must be >= 1")
+        for ov in self.overlap:
+            # >= 100% collapses the tile pitch to zero (every FOV an
+            # identical unshifted replay) or reverses the grid — a
+            # typo like 110 for 11.0 must error, not run to completion.
+            if ov >= 100.0:
+                raise ValueError(
+                    f"well_points_plan overlap must be < 100%; got {ov}"
+                )
         return self
 
 
@@ -248,7 +267,7 @@ class StagePositionsPlan(BaseModel):
         pitch_x = fw * (1.0 - wpp.overlap[1] / 100.0) / scale_yx_um[1]
         out = []
         for wr, wc in self.wells():
-            row_name = chr(ord("A") + wr)
+            row_name = _plate_row_name(wr)
             col_name = str(wc + 1)
             fov = 0
             for gr in range(wpp.rows):

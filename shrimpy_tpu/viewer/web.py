@@ -26,9 +26,11 @@ server loses nothing.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import os
+import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -73,11 +75,25 @@ _PAGE = """<!DOCTYPE html>
   <label>angle <input type="number" id="angle" step="0.5"></label>
   <label>px/scan <input type="number" id="ratio" step="0.001"></label>
   <button id="geom">set geometry</button>
+  <span id="mode-note" style="color:#c96"></span>
 </div>
 <div class="imgs" id="imgs"></div>
 <div id="state"></div>
 <script>
 const mtimes = {};
+// Store-mode monitor renders progress previews only; the scrub/
+// contrast/geometry control files are read by `monitor --live` alone,
+// so a non-live server greys the controls out instead of accepting
+// clicks that change nothing.
+fetch("/meta").then(r => r.json()).then(meta => {
+  if (!meta.live) {
+    for (const id of ["follow", "t", "apply", "home", "restretch",
+                      "angle", "ratio", "geom"])
+      document.getElementById(id).disabled = true;
+    document.getElementById("mode-note").textContent =
+      "store mode: interactive controls need `monitor --live`";
+  }
+});
 async function post(url, body) {
   await fetch(url, {method: "POST", body: JSON.stringify(body)});
 }
@@ -132,9 +148,20 @@ tick();
 
 
 def _atomic_write(path: Path, text: str) -> None:
-    tmp = path.with_name(path.name + ".tmp")
-    tmp.write_text(text)
-    os.replace(tmp, path)
+    # Unique tmp per writer: handler threads run concurrently
+    # (ThreadingHTTPServer), and two POSTs sharing one fixed tmp name
+    # could publish a truncated file between write and replace.
+    fd, tmp = tempfile.mkstemp(
+        prefix=path.name + ".", suffix=".tmp", dir=path.parent
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -161,6 +188,8 @@ class _Handler(BaseHTTPRequestHandler):
         root = self.server.out_dir
         if path == "/":
             self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+        elif path == "/meta":
+            self._send_json({"live": self.server.live})
         elif path == "/state":
             try:
                 self._send(
@@ -217,8 +246,11 @@ class MonitorWebServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, out_dir: str | Path, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, *, live: bool = True):
         self.out_dir = Path(out_dir)
+        # Store-mode monitors never read the control files; the page
+        # greys its controls out when this is False.
+        self.live = live
         super().__init__((host, port), _Handler)
         self._thread: threading.Thread | None = None
 

@@ -460,3 +460,70 @@ def test_plan_validate_against_store(tmp_path, runner):
     result = runner.invoke(cli, ["plan", "validate", str(invalid)])
     assert result.exit_code != 0
     assert "invalid plan" in result.output
+
+
+def test_deskew_angle_defaults_from_microscope_profile(runner, tmp_path):
+    """MicroscopeProfile.ls_angle_deg is load-bearing: with no
+    --ls-angle-deg, the deskew verb takes the profile's angle, and a
+    profile without one errors instead of silently using 30."""
+    from shrimpy_tpu.config.microscopes import (
+        MicroscopeProfile,
+        register_microscope,
+        _REGISTRY,
+    )
+
+    synthetic_ls_stack(tmp_path / "ls.zarr", raw_shape_szx=(32, 24, 16))
+    result = runner.invoke(cli, [
+        "deskew", str(tmp_path / "ls.zarr"), "-o", str(tmp_path / "o.zarr"),
+        "--px-to-scan-ratio", "0.386", "--microscope", "isim",
+    ])
+    assert result.exit_code != 0
+    assert "declares no light-sheet angle" in result.output
+
+    register_microscope(MicroscopeProfile(
+        name="steep-scope", ls_angle_deg=45.0,
+    ))
+    try:
+        result = runner.invoke(cli, [
+            "deskew", str(tmp_path / "ls.zarr"),
+            "-o", str(tmp_path / "o45.zarr"),
+            "--px-to-scan-ratio", "0.386", "--microscope", "steep-scope",
+        ])
+        assert result.exit_code == 0, result.output
+        # 45-degree geometry: different output z extent than 30-degree.
+        result30 = runner.invoke(cli, [
+            "deskew", str(tmp_path / "ls.zarr"),
+            "-o", str(tmp_path / "o30.zarr"),
+            "--px-to-scan-ratio", "0.386",
+        ])
+        assert result30.exit_code == 0, result30.output
+        z45 = open_ngff(tmp_path / "o45.zarr").position().shape[2]
+        z30 = open_ngff(tmp_path / "o30.zarr").position().shape[2]
+        assert z45 != z30
+    finally:
+        _REGISTRY.pop("steep-scope", None)
+
+
+def test_replay_dual_rejects_wrong_arm_names(runner, tmp_path):
+    """MicroscopeProfile.arms is load-bearing: replay-dual rejects a
+    config whose arms don't match the instrument's inventory."""
+    synthetic_blob_fov(tmp_path / "a.zarr", n_timepoints=1, shape_zyx=(4, 16, 16))
+    cfg = tmp_path / "dual.yml"
+    cfg.write_text(
+        "arms:\n"
+        f"  left: {{input: {tmp_path}/a.zarr}}\n"
+        f"  right: {{input: {tmp_path}/a.zarr}}\n"
+    )
+    result = runner.invoke(cli, [
+        "replay-dual", str(cfg), "-o", str(tmp_path / "o"),
+    ])
+    assert result.exit_code != 0
+    assert "do not match microscope" in result.output
+
+    # isim gets the coming-soon stub before any config parsing.
+    result = runner.invoke(cli, [
+        "replay-dual", str(cfg), "-o", str(tmp_path / "o"),
+        "--microscope", "isim",
+    ])
+    assert result.exit_code == 0, result.output
+    assert "not yet implemented" in result.output

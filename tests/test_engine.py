@@ -586,3 +586,107 @@ def test_camera_mode_with_z_stride_and_exposure(tmp_path, fov_source):
     assert data[0, 0, 1, 0, 0] == pytest.approx(
         0.5 * coordinate_encoded_value(0, 0, 1, 2)
     )
+
+
+def test_refocus_corrects_in_source_slices_under_z_stride(tmp_path):
+    """With ZPlan.step_um striding z, the refocus metric runs on the
+    strided stack but the correction must be applied in SOURCE slices —
+    an un-scaled delta under-corrects by the stride factor (round-3
+    review finding)."""
+    from scipy import ndimage
+
+    from shrimpy_tpu.io.ngff import create_fov
+
+    rng2 = np.random.default_rng(2)
+    nz, ny, nx = 16, 48, 48
+    sharp = rng2.random((ny, nx)).astype(np.float32)
+    in_focus = 12  # source slices; stride 2 puts it exactly on-grid
+    stack = np.stack([
+        ndimage.gaussian_filter(sharp, abs(z - in_focus) * 0.9 + 0.01)
+        for z in range(nz)
+    ])
+    pos = create_fov(tmp_path / "src.zarr", shape=(2, 1, nz, ny, nx),
+                     dtype="float32", channel_names=["BF"],
+                     zyx_scale=(0.25, 0.116, 0.116))
+    for t in range(2):
+        pos.write((t, 0), stack)
+
+    source = ReplaySource(tmp_path / "src.zarr")
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 2},
+        z={"step_um": 0.5},  # stride 2 -> 8 acquired slices
+        refocus={"enabled": True, "interval_timepoints": 1},
+    )
+    engine = AcquisitionEngine(source)
+    out = engine.acquire(tmp_path / "out", "rf", plan)
+
+    summary = json.loads(
+        (tmp_path / "out" / "rf_summary_metadata.json").read_text()
+    )
+    # Strided stack: slices z=0,2..14, center idx 4 (source 8); sharpest
+    # strided idx 6 (source 12) -> strided delta +2 -> SOURCE delta +4.
+    assert summary["refocus_events"][0][2] == 4
+
+    # t=1 served with the source roll: in-focus lands at strided center.
+    data = open_ngff(out).position().read()
+    from shrimpy_tpu.engine.autofocus import focus_from_transverse_band
+    idx1 = focus_from_transverse_band(data[1, 0], pixel_size_um=0.116)
+    assert idx1 == 4
+
+
+def test_autoexposure_model_matches_replay_brightness(tmp_path, fov_source):
+    """The AE simulation and the replay brightness emulation must share
+    one camera model: the written AE-channel brightness lands in the
+    band AE converged to, even when the plan's source exposure differs
+    from the algorithm's default exposure (round-3 review finding)."""
+    target = None  # derived from the source below
+    src_mid = fov_source.volume("0", 0, 0)
+    v = float(np.mean(src_mid[src_mid.shape[0] // 2]))
+    target = 3.0 * v
+    plan = AcquisitionPlan(
+        source_exposure_ms=20.0,
+        autoexposure={
+            "enabled": True,
+            "algorithm": "mean_intensity",
+            "settings": {
+                "min_intensity": 0.9 * target,
+                "max_intensity": 1.1 * target,
+                "target_intensity": target,
+                "default_exposure_ms": 10.0,
+                "max_exposure_ms": 500.0,
+            },
+        },
+    )
+    eng = AcquisitionEngine(fov_source)
+    out = eng.acquire(tmp_path / "out", "ae", plan)
+    data = open_ngff(out).position().read()
+    mid = data[0, 0, data.shape[2] // 2]
+    assert 0.9 * target <= float(np.mean(mid)) <= 1.1 * target
+
+
+def test_plate_row_names_past_z():
+    from shrimpy_tpu.engine.plan import _plate_row_name
+
+    assert [_plate_row_name(i) for i in (0, 1, 25, 26, 27, 51, 52)] == [
+        "A", "B", "Z", "AA", "AB", "AZ", "BA",
+    ]
+    # A 32-row (1536-well) plate generates valid row keys end to end.
+    plan = AcquisitionPlan(
+        stage_positions={
+            "plate": {"rows": 32, "columns": 1},
+            "selected_wells": [[31], [0]],
+        }
+    )
+    gen = plan.stage_positions.generate((16, 16), (1.0, 1.0))
+    assert gen[0].key == "AF/1/000000"
+
+
+def test_overlap_at_or_above_100_is_rejected():
+    with pytest.raises(ValueError, match="overlap"):
+        AcquisitionPlan(
+            stage_positions={
+                "plate": {"rows": 1, "columns": 1},
+                "well_points_plan": {"rows": 1, "columns": 2,
+                                     "overlap": [0.0, 100.0]},
+            }
+        )

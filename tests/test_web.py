@@ -131,3 +131,46 @@ def test_controls_reach_live_monitor(server, tmp_path):
         assert np.isclose(mon.deskew.ls_angle_deg, 31.0)
     finally:
         ring.close()
+
+
+def test_meta_reports_live_mode(tmp_path):
+    srv = MonitorWebServer(tmp_path, port=0, live=False).start()
+    try:
+        _, body = _get(srv, "/meta")
+        assert json.loads(body) == {"live": False}
+    finally:
+        srv.stop()
+    srv2 = MonitorWebServer(tmp_path, port=0).start()
+    try:
+        _, body = _get(srv2, "/meta")
+        assert json.loads(body) == {"live": True}
+    finally:
+        srv2.stop()
+
+
+def test_concurrent_posts_never_publish_torn_controls(server):
+    """ThreadingHTTPServer handles POSTs concurrently; hammering one
+    control file must always leave valid JSON on disk (round-3 review
+    finding: a shared fixed tmp name could publish truncated files)."""
+    import threading
+
+    srv, root = server
+    errors = []
+
+    def hammer(i):
+        try:
+            for k in range(25):
+                _post(srv, "/view", {"follow": bool(k % 2), "t": i * 100 + k})
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    view = json.loads((root / "view.json").read_text())  # must parse
+    assert set(view) == {"follow", "t"}
+    # No orphaned tmp files left behind.
+    assert not list(root.glob("view.json.*.tmp"))
