@@ -188,7 +188,7 @@ def _run_headline(raw_shape) -> dict:
     # hosts do not pay — at a ~750 ms volume that is a 5% tax on the
     # transport, not the chip. The scan carries only a scalar, so the
     # program's HBM peak is one volume's pipeline, same as N=1.
-    n_loop = 4
+    n_loop = 6
 
     @jax.jit
     def run(key):
@@ -533,7 +533,7 @@ def _config_replay(variant: str | None) -> dict:
 def _config_nonsep(variant: str | None) -> dict:
     """Config 6: RL-20 with a beyond-extended-rank PSF — the FFT-path
     cliff, recorded so the non-separable exposure has a number (the
-    separable tiers cover rank<=10; heavier aberration routes here,
+    separable tiers cover rank<=24; heavier aberration routes here,
     ops/deconv.py FFT fallback). The PSF is a strongly tilted
     anisotropic Gaussian (zy+yx shear) whose separable rank exceeds
     max_extended_terms."""
@@ -550,8 +550,12 @@ def _config_nonsep(variant: str | None) -> dict:
         np.arange(15) - 7.0, np.arange(31) - 15.0, np.arange(31) - 15.0,
         indexing="ij",
     )
-    zr = zz + 0.6 * yy
-    yr = yy + 0.5 * xx
+    # 0.6/0.5 shears became separable when the extended-rank cap rose
+    # to 24 (rank 21 with 3.3e-2 residual — the tier now covers them);
+    # 0.9/0.8 leaves an 8.7e-2 rank-24 residual, genuinely beyond the
+    # tier, so this entry really measures the FFT route.
+    zr = zz + 0.9 * yy
+    yr = yy + 0.8 * xx
     psf = np.exp(
         -0.5 * ((zr / 1.5) ** 2 + (yr / 2.5) ** 2 + (xx / 5.0) ** 2)
     ).astype(np.float32)
@@ -578,7 +582,9 @@ def _config_nonsep(variant: str | None) -> dict:
         "seconds": round(best, 4),
         "note": "non-separable-PSF cliff: XLA TPU FFT is ~14x off the "
         "bandwidth roofline (docs/kernels.md); separable tiers cover "
-        "rank<=10 PSFs at the headline rate",
+        "rank<=24 PSFs at ~27.6 ms/iter/term; the production carry "
+        "(128,2888,1600) OOMs this single-chip FFT path outright — "
+        "shard_volumes (distributed slab FFT) is the route there",
     }
 
 
@@ -598,7 +604,12 @@ _CONFIG_VARIANTS: dict[str, list[str | None]] = {
     "register": [None],
     "plate": [None],
     "replay": [None],
-    "nonsep": ["128,2888,1600", "128,1444,800"],
+    # Production carry deliberately NOT attempted: the FFT path OOMs
+    # there every time (measured round 3 — 5-smooth padded grids + XLA
+    # FFT work buffers exceed HBM; the note in the config entry records
+    # it), and the doomed attempt costs minutes of compile before the
+    # real measurement.
+    "nonsep": ["128,1444,800"],
 }
 
 
