@@ -374,6 +374,9 @@ def replay(input, output_dir, name, plan_path, viewer, viewer_cache_mb,
             frame_shape=(ny, nx),
             cache_mb=viewer_cache_mb,
             preview_dir=Path(output_dir) / "preview",
+            # Ring floor: at least one whole volume must stay resident
+            # or the seq check evicts everything (feeder.py).
+            n_z=source.shape_tczyx[2],
         )
         feeder.start()
         hooks.append(feeder.on_volume)

@@ -36,10 +36,27 @@ class ViewerFeeder:
         cache_mb: float = 512.0,
         preview_dir: str | Path | None = None,
         preview_interval_s: float = 0.5,
+        n_z: int | None = None,
     ):
         self.frame_shape = tuple(frame_shape)
         self.n_slots = FrameRing.slots_for_budget(cache_mb, self.frame_shape)
+        if n_z is not None and self.n_slots < n_z + 1:
+            # A ring smaller than one volume self-evicts: writing nz
+            # consecutive planes into fewer slots laps the volume's own
+            # head, so the monitor's seq check rejects EVERY volume and
+            # no preview ever renders. The budget is advisory; one
+            # resident volume (+1 slot of slack) is the correctness
+            # floor (production geometry: 1201 planes x 1.6 MB beats
+            # the default 512 MB budget).
+            floor = n_z + 1
+            logger.warning(
+                "viewer cache_mb=%.0f holds only %d frames < one "
+                "%d-plane volume; growing the ring to %d slots",
+                cache_mb, self.n_slots, n_z, floor,
+            )
+            self.n_slots = floor
         self.ring: FrameRing | None = None
+        self._oversize_warned = False
         self.preview_dir = Path(preview_dir) if preview_dir else None
         self.preview_interval_s = preview_interval_s
         self._queue: mp.Queue | None = None
@@ -116,6 +133,19 @@ class ViewerFeeder:
         """Engine viewer hook: publish each z-plane + a volume message."""
         try:
             if self.ring is None or self._queue is None:
+                return
+            if vol.shape[0] > self.n_slots:
+                # Publishing would lap the volume's own head slots and
+                # the monitor would reject it anyway — skip it loudly
+                # instead of burning ring bandwidth on garbage.
+                if not self._oversize_warned:
+                    self._oversize_warned = True
+                    logger.warning(
+                        "volume has %d planes but the ring holds %d — "
+                        "previews skipped; raise cache_mb or pass n_z",
+                        vol.shape[0], self.n_slots,
+                    )
+                self.dropped += 1
                 return
             seq0 = self._seq
             slots = []

@@ -72,6 +72,42 @@ def test_feeder_never_raises_without_start():
     assert feeder.dropped == 0
 
 
+def test_feeder_ring_floor_grows_to_hold_one_volume():
+    """A ring smaller than one volume self-evicts (writing nz planes laps
+    the volume's own head), so ``n_z`` raises the slot count to nz+1
+    regardless of the MB budget."""
+    from shrimpy_tpu.viewer.feeder import ViewerFeeder
+
+    # 0.001 MB holds only 2 frames of (8, 16) f32; n_z=10 needs 11.
+    feeder = ViewerFeeder(frame_shape=(8, 16), cache_mb=0.001, n_z=10)
+    assert feeder.n_slots == 11
+    # A budget already above the floor is respected unchanged.
+    roomy = ViewerFeeder(frame_shape=(8, 16), cache_mb=1.0, n_z=10)
+    assert roomy.n_slots == FrameRing.slots_for_budget(1.0, (8, 16))
+
+
+def test_feeder_skips_oversize_volumes_instead_of_lapping():
+    """Without n_z, a volume taller than the ring is dropped (counted)
+    rather than written: publishing it would overwrite its own head
+    slots and the monitor's seq check would reject it anyway."""
+    from shrimpy_tpu.viewer.feeder import ViewerFeeder
+
+    feeder = ViewerFeeder(frame_shape=(4, 4), cache_mb=0.0001)  # 2 slots
+    feeder.ring = FrameRing(None, n_slots=feeder.n_slots, frame_shape=(4, 4))
+    ctx_queue = __import__("multiprocessing").get_context("spawn").Queue(4)
+    feeder._queue = ctx_queue
+    try:
+        feeder.on_volume(np.zeros((5, 4, 4), np.float32), 0, "0", "BF")
+        assert feeder.dropped == 1
+        assert feeder._seq == 0  # nothing written to the ring
+        # A fitting volume still publishes normally afterwards.
+        feeder.on_volume(np.zeros((2, 4, 4), np.float32), 0, "0", "BF")
+        assert feeder._seq == 2
+    finally:
+        feeder.ring.close()
+        ctx_queue.cancel_join_thread()
+
+
 def test_deskew_preview_matches_volume_deskew(rng):
     """The row-gather preview equals the corresponding lab z-plane of a
     full volume deskew (up to the interpolation convention)."""
