@@ -251,18 +251,26 @@ class VolumeIndexTail:
 
     def poll(self) -> list[dict]:
         try:
-            with open(self.path) as f:
+            with open(self.path, "rb") as f:
                 f.seek(self._offset)
                 chunk = f.read()
-                self._offset = f.tell()
         except FileNotFoundError:
             return []
+        # Hold back a torn tail (a line the feeder is mid-append on):
+        # the offset advances only past complete lines, so the partial
+        # line is re-read WHOLE next poll. Advancing past it would split
+        # the line across two polls — each fragment unparseable — and
+        # silently lose that volume message.
+        nl = chunk.rfind(b"\n")
+        if nl < 0:
+            return []
+        self._offset += nl + 1
         msgs = []
-        for line in chunk.splitlines():
+        for line in chunk[: nl + 1].splitlines():
             try:
                 msgs.append(json.loads(line))
             except json.JSONDecodeError:
-                continue  # torn tail write; re-read next poll
+                continue  # genuinely corrupt line (crash mid-write)
         return msgs
 
 

@@ -108,6 +108,27 @@ def test_feeder_skips_oversize_volumes_instead_of_lapping():
         ctx_queue.cancel_join_thread()
 
 
+def test_volume_index_tail_rereads_torn_line(tmp_path):
+    """A partially-appended volumes.jsonl line must be delivered WHOLE
+    once completed, not split across polls (each fragment unparseable)."""
+    import json as _json
+
+    from shrimpy_tpu.viewer.live import VolumeIndexTail
+
+    path = tmp_path / "volumes.jsonl"
+    tail = VolumeIndexTail(path)
+    full = _json.dumps({"t": 0, "p": "0", "channel": "BF"}) + "\n"
+    torn = _json.dumps({"t": 1, "p": "0", "channel": "BF"}) + "\n"
+    with open(path, "w") as f:
+        f.write(full + torn[:10])  # feeder mid-append on line 2
+    msgs = tail.poll()
+    assert [m["t"] for m in msgs] == [0]
+    with open(path, "a") as f:
+        f.write(torn[10:])  # append completes
+    msgs = tail.poll()
+    assert [m["t"] for m in msgs] == [1]
+
+
 def test_deskew_preview_matches_volume_deskew(rng):
     """The row-gather preview equals the corresponding lab z-plane of a
     full volume deskew (up to the interpolation convention)."""
