@@ -240,27 +240,30 @@ def _config_deskew(variant: str | None) -> dict:
         average_n_slices=3,
     )
     raw_shape = tuple(int(v) for v in (variant or "300,2048,2048").split(","))
-    raw = jax.random.uniform(
-        jax.random.key(0), raw_shape, jnp.float32, 0.0, 100.0
-    )
 
     # Amortize over N calls inside ONE jit program: a single call is
     # dominated by the axon tunnel's per-dispatch latency (~40 ms),
-    # which real TPU hosts do not pay.
+    # which real TPU hosts do not pay. Generate the raw volume INSIDE
+    # the program (headline rationale): at (300, 2048, 2048) the raw
+    # stack is ~5 GB and the deskewed output ~7.2 GB — a host-resident
+    # input pinned across the scan pushes the program past HBM.
     n_loop = 5
 
     @jax.jit
-    def loop(raw):
+    def loop(key):
         def body(acc, i):
-            out = deskew_volume_pallas(
-                raw + i.astype(jnp.float32) * 1e-6, settings
+            raw = jax.random.uniform(
+                jax.random.fold_in(key, i), raw_shape, jnp.float32,
+                0.0, 100.0,
             )
+            out = deskew_volume_pallas(raw, settings)
             return acc + jnp.sum(out), None
 
         acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_loop))
         return acc
 
-    best = _time_best(lambda: float(loop(raw))) / n_loop
+    key = jax.random.key(0)
+    best = _time_best(lambda: float(loop(key))) / n_loop
     out_shape, _ = get_deskewed_shape(raw_shape, settings)
     return {
         "name": "deskew_single_stack",

@@ -127,8 +127,21 @@ def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict
     # at the production geometry, err 0.64 — small volumes fit in one
     # span and never exercised the clamp).
     s_first = s0[:, ::BLOCK_Y].reshape(nzb, bz_raw, nyb).min(axis=1)
-    s_lo = ((np.clip(s_first, 0, None) // 8) * 8).astype(np.int32)
-    ns_eff = max(ns_eff, int(s_lo.max()) + span)
+    s_lo = (np.clip(s_first, 0, None) // 8) * 8
+    # keep_overhang output rows past the sampled scan extent map to
+    # s >= ns: their taps carry only zero weights (the valid masks
+    # below), so their bands need no real data. Clamp every band start
+    # to round_up(ns, 8) - span instead of zero-padding the raw volume
+    # out to s_lo.max() + span — at a (300, 2048, 2048) raw stack the
+    # overhang padding alone was a 17.8 GB HBM allocation (OOM). The
+    # clamp target is 8-aligned (span is a multiple of 8) and coverage
+    # is exact: a valid tap has s0 <= ns - 1 <= ns8 - 1 = clamped
+    # start + span - 1, and clamping only lowers a start, never above a
+    # block's minimum tap — unlike the round-2 `ns - span` clamp, whose
+    # non-aligned quantization shifted bands off the final raw rows.
+    ns8 = _round_up(ns, 8)
+    s_lo = np.minimum(s_lo, max(ns8 - span, 0)).astype(np.int32)
+    ns_eff = max(ns_eff, ns8)
 
     # Interpolation weights with validity masks (zero outside the raw
     # scan extent or outside the DMA'd band — matches the XLA/scipy

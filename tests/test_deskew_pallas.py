@@ -60,6 +60,32 @@ def test_pallas_beads_land_correctly():
         assert patch.max() > 0.3 * out.max()
 
 
+def test_overhang_bands_clamp_to_scan_extent(rng):
+    """keep_overhang output rows past the sampled scan extent carry
+    only zero-weight taps, so their DMA bands clamp into the raw scan
+    extent instead of zero-padding the raw volume out to the overhang
+    (the padding alone was a 17.8 GB OOM at the (300, 2048, 2048) bench
+    geometry). A long scan makes the overhang span several y blocks:
+    both all-invalid and partially-valid bands must match the XLA
+    gather path exactly."""
+    from shrimpy_tpu.ops.deskew_pallas import _plan, _round_up
+
+    raw = rng.random((180, 64, 64), dtype=np.float32) * 100.0
+    s = DeskewSettings(
+        ls_angle_deg=30.0, px_to_scan_ratio=0.386, keep_overhang=True
+    )
+    plan = _plan(raw.shape, s)
+    assert plan["ns_eff"] <= max(_round_up(180, 8), plan["span"])
+    ours = np.asarray(deskew_volume_pallas(raw, s, interpret=True))
+    xla = np.asarray(deskew_volume(raw, s))
+    assert ours.shape == xla.shape
+    # Relative criterion: at this scan length the two paths' f32
+    # coordinate roundoff differs by ~1.5e-5 relative (pre-existing,
+    # measured identical before/after the band clamp).
+    err = np.abs(ours - xla).max() / np.abs(xla).max()
+    assert err <= 1e-4, f"rel err {err:.2e}"
+
+
 def test_band_clamp_regression_long_scan(rng):
     """Scan extents much longer than one band span, with
     (ns - span) % 8 != 0: the last y-block's band must still include
