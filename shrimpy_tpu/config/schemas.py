@@ -203,6 +203,19 @@ class DeconvolveSettings(BaseModel):
     # 3-pass (HIGH) tail. RL is a fixed-point iteration: the exact tail
     # contracts the cheap phase's trajectory error away. 0 = all HIGH.
     fused_low_precision_iters: int = 0
+    # Layout of the FFT fallback path (non-separable PSFs):
+    # * "fft3": plain 3-D rFFT update on the padded 5-smooth grid —
+    #   simple, but XLA's 3-D transform working set OOMs single-chip at
+    #   the production carry (128, 2888, 1600);
+    # * "fft2z": the same circular update with the z axis taken OUT of
+    #   the transform — batched 2-D rFFTs over (y, x) plus an explicit
+    #   banded circular sum over z (the PSF is only kz voxels wide in
+    #   z), streamed in z chunks of ``fft_z_chunk`` slices. Identical
+    #   math on the identical grid; the chunking bounds the FFT working
+    #   set so the production carry fits in HBM.
+    # "auto" = fft2z for 3-D volumes, fft3 otherwise.
+    fft_backend: Literal["auto", "fft3", "fft2z"] = "auto"
+    fft_z_chunk: int = 8
 
     @model_validator(mode="after")
     def _check(self) -> "DeconvolveSettings":
@@ -210,6 +223,8 @@ class DeconvolveSettings(BaseModel):
             raise ValueError("iterations must be >= 1")
         if self.fused_low_precision_iters < 0:
             raise ValueError("fused_low_precision_iters must be >= 0")
+        if self.fft_z_chunk < 1:
+            raise ValueError("fft_z_chunk must be >= 1")
         return self
 
 

@@ -121,6 +121,164 @@ def _rl_jit(
     return est[crop]
 
 
+def _fft2z_chunk(grid_z: int, requested: int) -> int:
+    """Largest divisor of ``grid_z`` that is <= ``requested`` (>= 1).
+
+    The z-banded FFT path streams z in equal chunks; grid z lengths are
+    5-smooth so a small divisor always exists.
+    """
+    best = 1
+    for d in range(1, min(requested, grid_z) + 1):
+        if grid_z % d == 0:
+            best = d
+    return best
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "grid", "pads", "epsilon", "pad_mode", "z_chunk"
+    ),
+)
+def _rl_fft2z_jit(
+    image: jnp.ndarray,
+    psf: jnp.ndarray,
+    *,
+    iterations: int,
+    grid: tuple[int, int, int],
+    pads: tuple[tuple[int, int], ...],
+    epsilon: float,
+    pad_mode: str,
+    z_chunk: int,
+):
+    """RL on the fft grid with the z axis outside the transform.
+
+    Mathematically identical to :func:`_rl_jit` on the identical padded
+    grid: the 3-D circular convolution factors as, per output plane z,
+
+        conv[z] = sum_{dz=-rz..rz} kz[dz] * conv2_yx(est[(z-dz) mod Gz])
+
+    because the embedded PSF occupies only ``kz = 2*rz+1`` z planes.  In
+    the (y, x) Fourier domain that is a banded circular sum over per-
+    plane OTFs ``H[dz] = rfft2(embed_yx(psf[rz+dz]))``:
+
+        Conv^[z] = sum_dz H[dz] . Est^[(z-dz) mod Gz]
+        Corr^[z] = sum_dz conj(H[dz]) . Ratio^[(z+dz) mod Gz]   (adjoint)
+
+    Why: XLA's single-chip 3-D FFT working set OOMs at the production
+    carry (128, 2888, 1600).  Here every FFT is a batched 2-D transform
+    over ``z_chunk`` planes, so the FFT scratch is bounded by the chunk;
+    the only full-grid buffers are est, data and ONE (Gz+2rz)-plane
+    spectral buffer that the ratio overwrites in place (a rolling rz-row
+    halo carries the est rows the band still needs).  Peak HBM at the
+    production carry is ~10 GB vs >16 GB for the 3-D transform.
+
+    Non-separable fallback of the deconvolution stage (reference
+    ``shrimpy/dynatrack/preprocessing.py`` routes heavy PSFs to a
+    generic FFT deconvolution; same role here, bounded for TPU HBM).
+    """
+    gz, gy, gx = grid
+    gxr = gx // 2 + 1
+    kz = int(psf.shape[0])
+    rz = kz // 2
+    c = z_chunk
+    n_chunks = gz // c
+    assert n_chunks * c == gz, (gz, c)
+
+    image = image.astype(jnp.float32)
+    padded = jnp.pad(image, pads, mode=pad_mode)
+    data = jnp.maximum(padded, 0.0)
+    est0 = jnp.maximum(padded, epsilon)
+
+    # Per-z-plane OTFs: psf plane rz+dz embedded at the (y, x) origin
+    # (same roll convention as _embed_psf, so DC carries no phase).
+    psf = psf.astype(jnp.float32)
+    psf = psf / jnp.sum(psf)
+    planes = jnp.pad(
+        psf,
+        ((0, 0), (0, gy - psf.shape[1]), (0, gx - psf.shape[2])),
+    )
+    planes = jnp.roll(
+        planes,
+        (-(psf.shape[1] // 2), -(psf.shape[2] // 2)),
+        axis=(1, 2),
+    )
+    hband = jnp.fft.rfftn(planes, axes=(1, 2))  # (kz, gy, gxr)
+    hconj = jnp.conj(hband)
+
+    def rfft2_chunks(vol):
+        """(gz, gy, gx) -> (gz + 2rz, gy, gxr) spectral buffer whose
+        first/last rz planes are circular wrap copies (so banded reads
+        never index out of bounds)."""
+
+        def body(i, hat):
+            ch = jax.lax.dynamic_slice_in_dim(vol, i * c, c, 0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                hat, jnp.fft.rfftn(ch, axes=(1, 2)), rz + i * c, 0
+            )
+
+        hat = jnp.zeros((gz + 2 * rz, gy, gxr), jnp.complex64)
+        hat = jax.lax.fori_loop(0, n_chunks, body, hat)
+        return _wrap_copies(hat)
+
+    def _wrap_copies(hat):
+        if rz == 0:
+            return hat
+        hat = hat.at[:rz].set(hat[gz : gz + rz])
+        return hat.at[gz + rz :].set(hat[rz : 2 * rz])
+
+    def band(window, taps):
+        """sum_t taps[t] * window[t : t+c] over the kz static taps."""
+        acc = taps[0] * jax.lax.dynamic_slice_in_dim(window, 0, c, 0)
+        for t in range(1, kz):
+            acc = acc + taps[t] * jax.lax.dynamic_slice_in_dim(
+                window, t, c, 0
+            )
+        return acc
+
+    def step(est, _):
+        hat = rfft2_chunks(est)
+
+        # Half-step 1: conv -> ratio; Ratio^ overwrites Est^ in place,
+        # a rolling rz-plane halo keeps the Est rows later chunks read.
+        def body_b(i, carry):
+            hat, halo = carry
+            upper = jax.lax.dynamic_slice_in_dim(hat, rz + i * c, c + rz, 0)
+            window = jnp.concatenate([halo, upper], axis=0)
+            # conv[z=ic+s] = sum_dz kz[dz] est[z-dz]; window row s+rz-dz
+            # => taps in reversed hband order.
+            acc = band(window, hband[::-1])
+            conv = jnp.fft.irfftn(acc, s=(gy, gx), axes=(1, 2))
+            dchunk = jax.lax.dynamic_slice_in_dim(data, i * c, c, 0)
+            ratio = dchunk / jnp.maximum(conv, epsilon)
+            new_halo = jax.lax.dynamic_slice_in_dim(window, c, rz, 0)
+            hat = jax.lax.dynamic_update_slice_in_dim(
+                hat, jnp.fft.rfftn(ratio, axes=(1, 2)), rz + i * c, 0
+            )
+            return hat, new_halo
+
+        hat, _ = jax.lax.fori_loop(0, n_chunks, body_b, (hat, hat[:rz]))
+        hat = _wrap_copies(hat)
+
+        # Half-step 2: corr[z=ic+s] = sum_dz kz[dz] ratio[z+dz]; window
+        # row s+rz+dz => conj taps in natural order.  Read-only on hat.
+        def body_c(i, est):
+            window = jax.lax.dynamic_slice_in_dim(hat, i * c, c + 2 * rz, 0)
+            corr = jnp.fft.irfftn(
+                band(window, hconj), s=(gy, gx), axes=(1, 2)
+            )
+            echunk = jax.lax.dynamic_slice_in_dim(est, i * c, c, 0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                est, echunk * corr, i * c, 0
+            )
+
+        return jax.lax.fori_loop(0, n_chunks, body_c, est), None
+
+    est, _ = jax.lax.scan(step, est0, None, length=iterations)
+    crop = tuple(slice(lo, lo + n) for (lo, _), n in zip(pads, image.shape))
+    return est[crop]
+
+
 # ---------------------------------------------------------------------------
 # Separable fast path: RL as circulant banded-matrix products on the MXU
 # ---------------------------------------------------------------------------
@@ -906,6 +1064,25 @@ def richardson_lucy(
         )
 
     grid, pads = _padded_grid_shape(tuple(image.shape), tuple(psf_np.shape))
+    fft_backend = settings.fft_backend
+    if fft_backend == "auto":
+        fft_backend = "fft2z" if image.ndim == 3 else "fft3"
+    if fft_backend == "fft2z" and image.ndim != 3:
+        raise ValueError(
+            f"fft_backend='fft2z' needs a 3-D volume (got {image.ndim}-D); "
+            "use fft_backend='fft3'"
+        )
+    if fft_backend == "fft2z":
+        return _rl_fft2z_jit(
+            image,
+            jnp.asarray(psf_np),
+            iterations=iters,
+            grid=grid,
+            pads=pads,
+            epsilon=settings.epsilon,
+            pad_mode=settings.pad_mode,
+            z_chunk=_fft2z_chunk(grid[0], settings.fft_z_chunk),
+        )
     return _rl_jit(
         image,
         jnp.asarray(psf_np),

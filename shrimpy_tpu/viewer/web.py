@@ -200,10 +200,12 @@ class _Handler(BaseHTTPRequestHandler):
             except OSError:
                 self._send_json({})
         elif path == "/images":
-            imgs = [
-                {"name": p.name, "mtime": p.stat().st_mtime}
-                for p in sorted(root.glob("*.png"))
-            ]
+            imgs = []
+            for p in sorted(root.glob("*.png")):
+                try:
+                    imgs.append({"name": p.name, "mtime": p.stat().st_mtime})
+                except OSError:
+                    continue  # unlinked between glob and stat (eviction)
             self._send_json(imgs)
         elif path.startswith("/img/"):
             name = path[len("/img/"):]

@@ -72,6 +72,80 @@ def test_settings_validation():
         DeconvolveSettings(unknown_key=1)
 
 
+def test_fft2z_matches_fft3_exactly(rng):
+    """fft2z (z-banded 2-D FFTs) is the SAME circular update on the
+    SAME padded grid as fft3 — only float32 op order differs, so the
+    two backends must agree far inside the 1e-3 parity budget."""
+    truth, psf, blurred = _blurred_scene(rng)
+    fft3 = np.asarray(richardson_lucy(
+        blurred, psf,
+        DeconvolveSettings(algorithm="fft", fft_backend="fft3"),
+        iterations=10,
+    ))
+    fft2z = np.asarray(richardson_lucy(
+        blurred, psf,
+        DeconvolveSettings(algorithm="fft", fft_backend="fft2z"),
+        iterations=10,
+    ))
+    rel = np.abs(fft2z - fft3).max() / np.abs(fft3).max()
+    assert rel <= 2e-4, f"fft2z vs fft3 relative max abs err {rel:.2e}"
+
+
+def test_fft2z_chunk_size_does_not_change_results(rng):
+    """Any z chunking (including chunk=1 and a non-divisor request that
+    gets rounded to a divisor) computes the same banded update."""
+    truth, psf, blurred = _blurred_scene(rng)
+    outs = [
+        np.asarray(richardson_lucy(
+            blurred, psf,
+            DeconvolveSettings(
+                algorithm="fft", fft_backend="fft2z", fft_z_chunk=zc
+            ),
+            iterations=5,
+        ))
+        for zc in (1, 7, 64)
+    ]
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=2e-5, atol=1e-5)
+
+
+def test_fft2z_single_plane_psf_band(rng):
+    """kz == 1 (rz == 0, zero-width halo) exercises the degenerate band:
+    per-plane 2-D deconvolution must still match the fft3 oracle."""
+    vol = (rng.random((6, 24, 32), dtype=np.float32) * 100 + 1.0)
+    psf = np.asarray(gaussian_psf((1, 9, 9), (1.0, 1.5, 1.5)))
+    fft3 = np.asarray(richardson_lucy(
+        vol, psf, DeconvolveSettings(algorithm="fft", fft_backend="fft3"),
+        iterations=5,
+    ))
+    fft2z = np.asarray(richardson_lucy(
+        vol, psf, DeconvolveSettings(algorithm="fft", fft_backend="fft2z"),
+        iterations=5,
+    ))
+    rel = np.abs(fft2z - fft3).max() / np.abs(fft3).max()
+    assert rel <= 2e-4, rel
+
+
+def test_fft2z_requires_3d():
+    img = np.ones((32, 32), dtype=np.float32)
+    u = np.arange(5, dtype=np.float64) - 2
+    psf = np.exp(-0.5 * (u[:, None] ** 2 + u[None, :] ** 2)).astype(
+        np.float32
+    )
+    psf /= psf.sum()
+    with pytest.raises(ValueError, match="fft2z"):
+        richardson_lucy(
+            img, psf,
+            DeconvolveSettings(algorithm="fft", fft_backend="fft2z"),
+            iterations=2,
+        )
+    # auto on 2-D silently uses fft3 (fft2z is a 3-D layout).
+    out = np.asarray(richardson_lucy(
+        img, psf, DeconvolveSettings(algorithm="fft"), iterations=2,
+    ))
+    assert out.shape == img.shape
+
+
 def test_even_length_psf_axes_are_padded_to_odd(rng):
     """Even PSF axes have no symmetric centre: flipped taps are NOT the
     adjoint (one-voxel offset), so the separable backends diverged from
