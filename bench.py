@@ -585,9 +585,11 @@ def _config_nonsep(variant: str | None) -> dict:
         "seconds": round(best, 4),
         "note": "non-separable-PSF cliff: XLA TPU FFT is ~14x off the "
         "bandwidth roofline (docs/kernels.md); separable tiers cover "
-        "rank<=24 PSFs at ~27.6 ms/iter/term; the production carry "
-        "(128,2888,1600) OOMs this single-chip FFT path outright — "
-        "shard_volumes (distributed slab FFT) is the route there",
+        "rank<=24 PSFs at ~27.6 ms/iter/term; the fft2z backend "
+        "(z-banded 2-D FFTs, auto default) bounds FFT scratch so even "
+        "the production carry fits single-chip (~10 GB; fft3's 3-D "
+        "transform OOMs there); shard_volumes (distributed slab FFT) "
+        "covers volumes past single-chip HBM",
     }
 
 
@@ -607,12 +609,12 @@ _CONFIG_VARIANTS: dict[str, list[str | None]] = {
     "register": [None],
     "plate": [None],
     "replay": [None],
-    # Production carry deliberately NOT attempted: the FFT path OOMs
-    # there every time (measured round 3 — 5-smooth padded grids + XLA
-    # FFT work buffers exceed HBM; the note in the config entry records
-    # it), and the doomed attempt costs minutes of compile before the
-    # real measurement.
-    "nonsep": ["128,1444,800"],
+    # The production carry is attempted FIRST since the fft2z backend
+    # (z-banded 2-D FFTs, ~10 GB peak) landed: the 3-D-transform OOM
+    # that forced the smaller fallback applied to fft_backend="fft3"
+    # only (docs/kernels.md). The smaller geometry remains the bounded
+    # fallback if the big child blows its time budget.
+    "nonsep": ["128,2888,1600", "128,1444,800"],
 }
 
 

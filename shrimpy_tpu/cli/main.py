@@ -380,13 +380,24 @@ def replay(input, output_dir, name, plan_path, viewer, viewer_cache_mb,
         )
         feeder.start()
         hooks.append(feeder.on_volume)
+    from shrimpy_tpu.engine.control import RunControl
+
+    control = RunControl(Path(output_dir) / "run_control.json")
+    click.echo(
+        f"run control: {control.path} "
+        '(write {"command": "pause" | "run" | "abort"})'
+    )
+    engine = AcquisitionEngine(source, viewer_hooks=hooks)
     try:
-        out = AcquisitionEngine(source, viewer_hooks=hooks).acquire(
-            output_dir, name, plan
-        )
+        out = engine.acquire(output_dir, name, plan, run_control=control)
     finally:
         if feeder is not None:
             feeder.stop()
+    if engine.aborted_at is not None:
+        click.echo(click.style(
+            f"aborted at t={engine.aborted_at[0]} (partial output kept)",
+            fg="yellow",
+        ))
     click.echo(str(out))
 
 
@@ -435,8 +446,16 @@ def replay_dual(config, output_dir, name, microscope):
     arms = {
         arm: (ReplaySource(a.input), a.plan) for arm, a in cfg.arms.items()
     }
+    from shrimpy_tpu.engine.control import RunControl
+
+    control = RunControl(Path(output_dir) / "run_control.json")
+    click.echo(
+        f"run control: {control.path} "
+        '(write {"command": "pause" | "run" | "abort"}; applies to '
+        "every arm at the timepoint barrier)"
+    )
     session = DualArmAcquisition(
-        arms, barrier_timeout_s=cfg.barrier_timeout_s
+        arms, barrier_timeout_s=cfg.barrier_timeout_s, run_control=control
     )
     results = session.run(output_dir, name)
     failed = [r for r in results.values() if r.error]
@@ -638,8 +657,10 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
 
     out_dir = Path(preview_dir) if preview_dir else Path(input) / "_preview"
     out_dir.mkdir(parents=True, exist_ok=True)
-    web = _start_web(out_dir, serve, live=False)
     in_path = Path(input)
+    # A store-mode monitor usually points at <output_dir>/<name>.zarr;
+    # the engine's run-control file sits beside the store.
+    web = _start_web(out_dir, serve, live=False, near=[in_path.parent])
     # Reconstruction outputs carry a progress journal sidecar; a
     # growing acquisition store doesn't, but its written chunks are on
     # disk. Both are O(positions)/O(written chunks) per tick — never
@@ -695,14 +716,30 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
         web.stop()
 
 
-def _start_web(out_dir, serve, *, live):
-    """Start the browser UI against a preview dir (None = off)."""
+def _start_web(out_dir, serve, *, live, near=None):
+    """Start the browser UI against a preview dir (None = off).
+
+    ``near`` are directories to search for a running acquisition's
+    ``run_control.json`` (engine/control.py): when found, the page's
+    pause/resume/abort buttons drive that run.
+    """
     if serve is None:
         return None
     from shrimpy_tpu.viewer.web import MonitorWebServer
 
-    web = MonitorWebServer(out_dir, port=serve, live=live).start()
-    click.echo(json.dumps({"web_ui": web.url}))
+    run_control = None
+    for d in near or ():
+        cand = Path(d) / "run_control.json"
+        if cand.exists():
+            run_control = cand
+            break
+    web = MonitorWebServer(
+        out_dir, port=serve, live=live, run_control=run_control
+    ).start()
+    click.echo(json.dumps({
+        "web_ui": web.url,
+        "run_control": str(run_control) if run_control else None,
+    }))
     return web
 
 
@@ -747,7 +784,12 @@ def _monitor_live(input, preview_dir, interval, once, ls_angle_deg,
             "use plain `monitor <store>` on the output store instead"
         ) from e
     monitor = LiveMonitor(ring, out_dir, deskew=deskew)
-    web = _start_web(out_dir, serve, live=True)
+    # `replay --viewer -o OUT` puts the ring under OUT/preview and the
+    # run-control file in OUT itself; when attaching to either path the
+    # control file is in the ring dir's parent (or the input itself).
+    web = _start_web(
+        out_dir, serve, live=True, near=[in_path, ring_dir.parent]
+    )
     try:
         while True:
             for msg in tail.poll():

@@ -1,5 +1,6 @@
 """Acquisition engine (demo/replay mode): event loop, autofocus, output."""
 
+from shrimpy_tpu.engine.control import AbortRun, RunControl  # noqa: F401
 from shrimpy_tpu.engine.dual import (  # noqa: F401
     DualArmAcquisition,
     DualReplayConfig,

@@ -80,6 +80,9 @@ class ArmResult(BaseModel):
     name: str
     output: str | None = None
     error: str | None = None
+    # True when run control aborted this arm mid-run (its output store
+    # holds the volumes acquired before the cut).
+    aborted: bool = False
 
 
 class DualArmAcquisition:
@@ -91,6 +94,7 @@ class DualArmAcquisition:
         *,
         barrier_timeout_s: float = 120.0,
         viewer_hooks: dict[str, list] | None = None,
+        run_control=None,
     ):
         if len(arms) < 2:
             raise ValueError("need >= 2 arms")
@@ -102,6 +106,11 @@ class DualArmAcquisition:
         self.barrier = threading.Barrier(len(arms))
         self.barrier_timeout_s = barrier_timeout_s
         self.viewer_hooks = viewer_hooks or {}
+        # ONE shared RunControl: pause/abort applies to every arm at
+        # its pre-barrier timepoint checkpoint, so the arms pause and
+        # abort in lockstep (engine/control.py; the engine skips its
+        # position-level checkpoints when a timepoint_hook is set).
+        self.run_control = run_control
 
     def run(self, output_dir: str | Path, name: str) -> dict[str, ArmResult]:
         output_dir = Path(output_dir)
@@ -134,8 +143,18 @@ class DualArmAcquisition:
                 timepoint_hook=on_timepoint,
             )
             try:
-                out = engine.acquire(output_dir, f"{final}_{arm}", plan)
-                results[arm] = ArmResult(name=arm, output=str(out))
+                out = engine.acquire(
+                    output_dir, f"{final}_{arm}", plan,
+                    run_control=self.run_control,
+                )
+                aborted = engine.aborted_at is not None
+                results[arm] = ArmResult(
+                    name=arm, output=str(out), aborted=aborted
+                )
+                if aborted:
+                    # Release any partner still waiting at the barrier
+                    # instead of letting it ride out the stall timeout.
+                    self.barrier.abort()
             except threading.BrokenBarrierError:
                 results[arm] = ArmResult(
                     name=arm,

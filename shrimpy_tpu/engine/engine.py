@@ -31,6 +31,7 @@ import numpy as np
 
 from shrimpy_tpu.config.schemas import DynaTrackConfig
 from shrimpy_tpu.engine.autofocus import DemoAutofocus
+from shrimpy_tpu.engine.control import AbortRun, RunControl
 from shrimpy_tpu.engine.plan import AcquisitionPlan
 from shrimpy_tpu.engine.replay import ReplaySource
 from shrimpy_tpu.io import ngff
@@ -92,6 +93,8 @@ class AcquisitionEngine:
         self._refocus_events: list[tuple[int, str, int]] = []
         # Per-position (exposure_ms, laser_power) from autoexposure.
         self._exposures: dict[str, tuple[float, float]] = {}
+        # [t, position | None] where run control aborted the last run.
+        self.aborted_at: list | None = None
 
     # -- setup ---------------------------------------------------------------
     def _setup_tracking(
@@ -158,6 +161,8 @@ class AcquisitionEngine:
         output_dir: str | Path,
         name: str,
         plan: AcquisitionPlan,
+        *,
+        run_control: RunControl | None = None,
     ) -> Path:
         t_start = time.monotonic()
         # Per-run state: one engine instance may run several
@@ -170,6 +175,7 @@ class AcquisitionEngine:
         self._refocus_z = {}
         self._refocus_events = []
         self._exposures = {}
+        self.aborted_at = None
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         final_name = resolve_acquisition_name(output_dir, name)
@@ -287,8 +293,30 @@ class AcquisitionEngine:
         skipped: list[tuple[int, str]] = []
         overruns: list[tuple[int, float]] = []
         n_volumes = 0
+        # Run control (pause/resume/abort, engine/control.py): honored
+        # at safe boundaries only — before a timepoint (always, and
+        # BEFORE the dual-arm barrier hook so paused arms never burn the
+        # barrier's stall timeout) and before each position visit
+        # (single-arm only: mid-timepoint pauses would desynchronize
+        # barrier-coupled arms). Paused time is excluded from the
+        # timepoint pacing clock. Reference: run/pause through the Qt
+        # widget (mantis_acquisition_widget.py:604-657), sequence abort
+        # (archive acq_engine.py:1547-1616).
+        aborted_at: list | None = None
+        paused_s = 0.0
         t_loop_start = time.monotonic()
         for t in range(n_t):
+            if run_control is not None:
+                try:
+                    dt = run_control.checkpoint()
+                except AbortRun:
+                    aborted_at = [t, None]
+                    break
+                # Paused time must not count against the timepoint
+                # cadence (or the first post-pause timepoint records a
+                # giant overrun and every later one is "due" already).
+                paused_s += dt
+                t_loop_start += dt
             # Backpressure: timepoint-t tracking completes before t+1
             # events execute (reference mantis_engine.py:194-209).
             if self._tracking is not None and t > 0:
@@ -317,6 +345,21 @@ class AcquisitionEngine:
                 # every arm enters timepoint t together.
                 self.timepoint_hook(t)
             for p_idx, p_key in enumerate(positions):
+                if (
+                    run_control is not None
+                    and self.timepoint_hook is None
+                    and p_idx > 0
+                ):
+                    # Position-boundary control point (single-arm only:
+                    # a mid-timepoint pause on one barrier-coupled arm
+                    # would burn the partner's barrier stall timeout).
+                    try:
+                        dt = run_control.checkpoint()
+                    except AbortRun:
+                        aborted_at = [t, p_key]
+                        break
+                    paused_s += dt
+                    t_loop_start += dt
                 t_pos_start = time.monotonic()
                 out_pos = out_positions[p_key]
                 offset = self._stage_offset_px(p_key)
@@ -412,7 +455,17 @@ class AcquisitionEngine:
                         "watchdog: position %s at t=%d took %.1fs (> %.0fs)",
                         p_key, t, visit_s, plan.watchdog_s,
                     )
+            if aborted_at is not None:
+                break
 
+        self.aborted_at = aborted_at
+        if aborted_at is not None:
+            logger.warning(
+                "acquisition %s aborted by run control at t=%d%s "
+                "(volumes so far remain on disk; summary records the cut)",
+                final_name, aborted_at[0],
+                f" position={aborted_at[1]}" if aborted_at[1] else "",
+            )
         if self._tracking is not None:
             self._tracking.drain_pending()
             self._tracking.shutdown()
@@ -444,6 +497,8 @@ class AcquisitionEngine:
                 p: [e, pw] for p, (e, pw) in self._exposures.items()
             },
             "volumes_acquired": n_volumes,
+            "aborted_at": aborted_at,
+            "paused_s": round(paused_s, 3),
             "wall_time_s": round(time.monotonic() - t_start, 3),
         }
         with open(output_dir / f"{final_name}_summary_metadata.json", "w") as f:

@@ -77,6 +77,13 @@ _PAGE = """<!DOCTYPE html>
   <button id="geom">set geometry</button>
   <span id="mode-note" style="color:#c96"></span>
 </div>
+<div class="controls" id="runbox">
+  <span>acquisition:</span>
+  <button id="pause">pause</button>
+  <button id="resume">resume</button>
+  <button id="abort" style="background:#6b2a2a">abort</button>
+  <span id="run-note" style="color:#c96"></span>
+</div>
 <div class="imgs" id="imgs"></div>
 <div id="state"></div>
 <script>
@@ -93,7 +100,22 @@ fetch("/meta").then(r => r.json()).then(meta => {
     document.getElementById("mode-note").textContent =
       "store mode: interactive controls need `monitor --live`";
   }
+  if (!meta.run_control) {
+    for (const id of ["pause", "resume", "abort"])
+      document.getElementById(id).disabled = true;
+    document.getElementById("run-note").textContent =
+      "no running acquisition attached (run_control.json not found)";
+  }
 });
+document.getElementById("pause").onclick = () =>
+  post("/run", {command: "pause"});
+document.getElementById("resume").onclick = () =>
+  post("/run", {command: "run"});
+document.getElementById("abort").onclick = () => {
+  if (confirm("Abort the running acquisition? Volumes written so far " +
+              "are kept; the run cannot be resumed."))
+    post("/run", {command: "abort"});
+};
 async function post(url, body) {
   await fetch(url, {method: "POST", body: JSON.stringify(body)});
 }
@@ -189,7 +211,10 @@ class _Handler(BaseHTTPRequestHandler):
         if path == "/":
             self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
         elif path == "/meta":
-            self._send_json({"live": self.server.live})
+            self._send_json({
+                "live": self.server.live,
+                "run_control": self.server.run_control is not None,
+            })
         elif path == "/state":
             try:
                 self._send(
@@ -223,7 +248,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
         path = self.path.split("?", 1)[0]
         targets = {"/view": "view.json", "/deskew": "deskew.json"}
-        if path not in targets:
+        if path not in targets and path != "/run":
             self._send_json({"error": "not found"}, 404)
             return
         try:
@@ -233,6 +258,25 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError("control body must be a JSON object")
         except (ValueError, json.JSONDecodeError) as e:
             self._send_json({"error": str(e)}, 400)
+            return
+        if path == "/run":
+            # Pause/resume/abort the attached acquisition by writing
+            # its run_control.json (engine/control.py protocol).
+            if self.server.run_control is None:
+                self._send_json({"error": "no acquisition attached"}, 409)
+                return
+            from shrimpy_tpu.engine.control import COMMANDS
+
+            if body.get("command") not in COMMANDS:
+                self._send_json(
+                    {"error": f"command must be one of {list(COMMANDS)}"}, 400
+                )
+                return
+            _atomic_write(
+                self.server.run_control,
+                json.dumps({"command": body["command"]}),
+            )
+            self._send_json({"ok": True})
             return
         _atomic_write(self.server.out_dir / targets[path], json.dumps(body))
         self._send_json({"ok": True})
@@ -248,11 +292,16 @@ class MonitorWebServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, out_dir: str | Path, host: str = "127.0.0.1",
-                 port: int = 0, *, live: bool = True):
+                 port: int = 0, *, live: bool = True,
+                 run_control: str | Path | None = None):
         self.out_dir = Path(out_dir)
         # Store-mode monitors never read the control files; the page
         # greys its controls out when this is False.
         self.live = live
+        # Target of the pause/resume/abort buttons: a running
+        # acquisition's run_control.json (engine/control.py). None
+        # greys those buttons out (nothing to control).
+        self.run_control = Path(run_control) if run_control else None
         super().__init__((host, port), _Handler)
         self._thread: threading.Thread | None = None
 

@@ -1,0 +1,235 @@
+"""Run control: pause / resume / abort (engine/control.py).
+
+The reference pauses/resumes a live acquisition through the Qt widget
+(reference ``shrimpy/mantis/mantis_acquisition_widget.py:604-657``) and
+aborts stalled sequences in the archived engine (reference
+``shrimpy/mantis/archive/pycromanager/acq_engine.py:1547-1616``). Here
+the control surface is a watched JSON file honored at safe boundaries.
+"""
+
+import json
+import threading
+import time
+
+import pytest
+
+from shrimpy_tpu.engine import AcquisitionEngine, AcquisitionPlan, ReplaySource
+from shrimpy_tpu.engine.control import AbortRun, RunControl
+from shrimpy_tpu.io.ngff import open_ngff
+from shrimpy_tpu.io.synthetic import (
+    coordinate_encoded_fov,
+    coordinate_encoded_plate,
+)
+
+
+@pytest.fixture()
+def fov_source(tmp_path):
+    coordinate_encoded_fov(tmp_path / "src.zarr", shape=(4, 1, 4, 16, 16))
+    return ReplaySource(tmp_path / "src.zarr")
+
+
+# -- RunControl unit ---------------------------------------------------------
+
+def test_checkpoint_passes_through_when_running():
+    control = RunControl()
+    assert control.checkpoint() == 0.0
+
+
+def test_abort_raises_and_wins_over_pause():
+    control = RunControl(poll_s=0.01)
+    control.pause()
+    control.abort()
+    with pytest.raises(AbortRun):
+        control.checkpoint()
+
+
+def test_pause_blocks_until_resume_and_reports_duration():
+    control = RunControl(poll_s=0.01)
+    control.pause()
+    timer = threading.Timer(0.15, control.resume)
+    timer.start()
+    paused = control.checkpoint()
+    timer.join()
+    assert paused >= 0.1
+
+
+def test_file_commands_are_picked_up(tmp_path):
+    path = tmp_path / "run_control.json"
+    control = RunControl(path, poll_s=0.01)
+    assert json.loads(path.read_text()) == {"command": "run"}
+
+    def write(cmd):
+        path.write_text(json.dumps({"command": cmd}))
+
+    write("pause")
+    timer = threading.Timer(0.15, write, args=("run",))
+    timer.start()
+    assert control.checkpoint() >= 0.1
+    timer.join()
+    write("abort")
+    with pytest.raises(AbortRun):
+        control.checkpoint()
+
+
+def test_stale_abort_resets_but_pause_is_honored(tmp_path):
+    path = tmp_path / "run_control.json"
+    path.write_text(json.dumps({"command": "abort"}))
+    control = RunControl(path)
+    # A stale abort from a previous run must not kill a new run on
+    # arrival; the file is reset to "run".
+    assert control.checkpoint() == 0.0
+    assert json.loads(path.read_text()) == {"command": "run"}
+
+    path.write_text(json.dumps({"command": "pause"}))
+    control2 = RunControl(path, poll_s=0.01)
+    # Start-paused IS honored.
+    assert control2.command == "pause"
+
+
+def test_garbage_file_is_ignored(tmp_path):
+    path = tmp_path / "run_control.json"
+    control = RunControl(path, poll_s=0.01)
+    path.write_text("not json{{")
+    assert control.checkpoint() == 0.0
+    path.write_text(json.dumps({"command": "definitely-not-a-command"}))
+    assert control.checkpoint() == 0.0
+
+
+def test_request_validates():
+    with pytest.raises(ValueError):
+        RunControl().request("halt")
+
+
+# -- engine integration ------------------------------------------------------
+
+def test_abort_between_timepoints(tmp_path, fov_source):
+    control = RunControl()
+    hit = []
+
+    def hook(t):
+        hit.append(t)
+        if t == 2:
+            control.abort()
+
+    engine = AcquisitionEngine(fov_source, timepoint_hook=hook)
+    plan = AcquisitionPlan(time={"n_timepoints": 4})
+    out = engine.acquire(tmp_path / "out", "acq", plan, run_control=control)
+
+    # The hook at t=2 aborted; the t=3 checkpoint (pre-hook) caught it.
+    assert engine.aborted_at == [3, None]
+    assert hit == [0, 1, 2]
+    summary = json.loads(
+        (tmp_path / "out" / "acq_summary_metadata.json").read_text()
+    )
+    assert summary["aborted_at"] == [3, None]
+    assert summary["volumes_acquired"] == 3
+    # Volumes up to the abort are on disk; t=3 stays zero-filled.
+    data = open_ngff(out).position().read()
+    assert data[2].max() > 0
+    assert data[3].max() == 0
+
+
+def test_abort_at_position_boundary(tmp_path):
+    coordinate_encoded_plate(
+        tmp_path / "plate.zarr",
+        n_positions=2,
+        shape_tczyx=(2, 1, 3, 12, 12),
+    )
+    source = ReplaySource(tmp_path / "plate.zarr")
+    control = RunControl()
+
+    def hook(vol, t, p, channel):
+        # Abort after the FIRST position's volume of t=1; the engine
+        # must cut at the next position boundary, not mid-visit.
+        if t == 1:
+            control.abort()
+
+    engine = AcquisitionEngine(source, viewer_hooks=[hook])
+    plan = AcquisitionPlan(time={"n_timepoints": 2})
+    out = engine.acquire(tmp_path / "out", "acq", plan, run_control=control)
+    assert engine.aborted_at is not None
+    t_cut, p_cut = engine.aborted_at
+    assert (t_cut, p_cut) == (1, "0/1/001")
+    store = open_ngff(out)
+    # First position completed t=1, second position did not.
+    assert store.positions()["0/0/000"].read()[1].max() > 0
+    assert store.positions()["0/1/001"].read()[1].max() == 0
+
+
+def test_pause_excluded_from_pacing(tmp_path, fov_source):
+    control = RunControl(poll_s=0.01)
+
+    resumer = []
+
+    def hook(t):
+        if t == 0:
+            control.pause()
+            # Resume only after the t=1 checkpoint has measurably
+            # blocked (generous margin for slow CI boxes).
+            timer = threading.Timer(0.6, control.resume)
+            timer.start()
+            resumer.append(timer)
+
+    engine = AcquisitionEngine(fov_source, timepoint_hook=hook)
+    # interval_s far below the pause: if paused time counted against
+    # the cadence, every post-pause timepoint would log an overrun.
+    plan = AcquisitionPlan(time={"n_timepoints": 3, "interval_s": 0.05})
+    engine.acquire(tmp_path / "out", "acq", plan, run_control=control)
+    resumer[0].join()
+    summary = json.loads(
+        (tmp_path / "out" / "acq_summary_metadata.json").read_text()
+    )
+    assert summary["aborted_at"] is None
+    assert summary["paused_s"] >= 0.2
+    assert summary["interval_overruns"] == []
+
+
+def test_abort_via_file_from_another_thread(tmp_path, fov_source):
+    path = tmp_path / "run_control.json"
+    control = RunControl(path, poll_s=0.01)
+    seen = []
+
+    def hook(t):
+        seen.append(t)
+        if t == 1:
+            path.write_text(json.dumps({"command": "abort"}))
+
+    engine = AcquisitionEngine(fov_source, timepoint_hook=hook)
+    plan = AcquisitionPlan(time={"n_timepoints": 4})
+    engine.acquire(tmp_path / "out", "acq", plan, run_control=control)
+    assert engine.aborted_at == [2, None]
+
+
+def test_dual_arm_shared_abort(tmp_path):
+    from shrimpy_tpu.engine.dual import DualArmAcquisition
+
+    for arm in ("a", "b"):
+        coordinate_encoded_fov(
+            tmp_path / f"{arm}.zarr", shape=(4, 1, 3, 12, 12)
+        )
+    control = RunControl(poll_s=0.01)
+    plan = AcquisitionPlan(time={"n_timepoints": 4})
+
+    def lf_hook(vol, t, p, channel):
+        # One arm requests the abort mid-timepoint; BOTH arms must cut
+        # at their next pre-barrier checkpoint (t=2).
+        if t == 1:
+            control.abort()
+
+    session = DualArmAcquisition(
+        {
+            "lf": (ReplaySource(tmp_path / "a.zarr"), plan),
+            "ls": (
+                ReplaySource(tmp_path / "b.zarr"), plan.model_copy(deep=True)
+            ),
+        },
+        barrier_timeout_s=30.0,
+        viewer_hooks={"lf": [lf_hook]},
+        run_control=control,
+    )
+    results = session.run(tmp_path / "out", "dual")
+    # Both arms stop: cleanly at their pre-barrier checkpoint, or
+    # released by the aborting partner's barrier.abort().
+    for r in results.values():
+        assert r.aborted or (r.error and "barrier" in r.error), r
+    assert any(r.aborted for r in results.values()), results

@@ -137,13 +137,13 @@ def test_meta_reports_live_mode(tmp_path):
     srv = MonitorWebServer(tmp_path, port=0, live=False).start()
     try:
         _, body = _get(srv, "/meta")
-        assert json.loads(body) == {"live": False}
+        assert json.loads(body) == {"live": False, "run_control": False}
     finally:
         srv.stop()
     srv2 = MonitorWebServer(tmp_path, port=0).start()
     try:
         _, body = _get(srv2, "/meta")
-        assert json.loads(body) == {"live": True}
+        assert json.loads(body) == {"live": True, "run_control": False}
     finally:
         srv2.stop()
 
@@ -174,3 +174,35 @@ def test_concurrent_posts_never_publish_torn_controls(server):
     assert set(view) == {"follow", "t"}
     # No orphaned tmp files left behind.
     assert not list(root.glob("view.json.*.tmp"))
+
+
+def test_run_control_endpoint(tmp_path):
+    """POST /run drives a running acquisition's run_control.json
+    (engine/control.py protocol); without one attached it's a 409 and
+    the page's meta reports it."""
+    target = tmp_path / "out" / "run_control.json"
+    target.parent.mkdir()
+    srv = MonitorWebServer(tmp_path, port=0, run_control=target).start()
+    try:
+        _, meta = _post(srv, "/view", {})  # warm-up, any POST works
+        status, body = _get(srv, "/meta")
+        assert json.loads(body)["run_control"] is True
+        status, body = _post(srv, "/run", {"command": "pause"})
+        assert status == 200 and body == {"ok": True}
+        assert json.loads(target.read_text()) == {"command": "pause"}
+        status, body = _post(srv, "/run", {"command": "abort"})
+        assert json.loads(target.read_text()) == {"command": "abort"}
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/run", {"command": "explode"})
+        assert e.value.code == 400
+    finally:
+        srv.stop()
+
+
+def test_run_control_absent_is_409(server):
+    srv, _ = server
+    status, body = _get(srv, "/meta")
+    assert json.loads(body)["run_control"] is False
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/run", {"command": "pause"})
+    assert e.value.code == 409
