@@ -626,6 +626,8 @@ def _child_main(argv: list[str]) -> None:
     elif argv[0] == "--config":
         variant = argv[2] if len(argv) > 2 else None
         print(json.dumps(_CONFIG_FNS[argv[1]](variant)))
+    elif argv[0] == "--parity":
+        print(json.dumps({"parity_err": _parity_check()}))
     else:
         raise SystemExit(f"unknown child args: {argv}")
 
@@ -669,7 +671,16 @@ def main() -> None:
     def child_timeout(margin: float = 30.0) -> float:
         return min(CHILD_TIMEOUT_S, remaining() - margin)
 
-    parity = _parity_check()
+    # Parity runs in a BOUNDED child too: a wedged device tunnel must
+    # not hang the parent before the headline line is printed (round
+    # 2's record was lost to exactly that failure mode). A timeout
+    # leaves parity_err null in the record rather than no record.
+    parity = None
+    payload, timed_out = _run_child(["--parity"], min(180.0, child_timeout()))
+    if payload is None and timed_out and remaining() > CHILD_TIMEOUT_S:
+        payload, _ = _run_child(["--parity"], min(180.0, child_timeout()))
+    if payload is not None:
+        parity = payload.get("parity_err")
 
     # Headline: best-first, stop at the first geometry that measures.
     value = 0.0
@@ -700,7 +711,7 @@ def main() -> None:
         "vs_baseline": round(value / 1.0, 4),
         "raw_shape": used,
         "out_shape": out_zyx,
-        "parity_err": round(parity, 8),
+        "parity_err": round(parity, 8) if parity is not None else None,
         "floor_note": FLOOR_NOTE,
     }
     # Insurance line: if the configs below blow the driver's clock, the
