@@ -64,7 +64,10 @@ class LiveMonitor:
         # Per-channel contrast limits, frozen at first render so
         # brightness stays comparable across timepoints (reference
         # auto-contrasts per channel, _napari_process.py:416-433).
+        # contrast_mode "auto" opts back into the reference's
+        # per-update re-stretch (view.json {"contrast_mode": "auto"}).
         self.contrast: dict[str, tuple[float, float]] = {}
+        self.contrast_mode = "freeze"
         self._dirty: set[tuple[str, str]] = set()
         self._controls_mtime: dict[str, float] = {}
         self._last_drawn: dict[str, int] = {}
@@ -94,6 +97,14 @@ class LiveMonitor:
             # deliberate divergence from the reference's per-update
             # auto-contrast (``_napari_process.py:416-433``, PARITY.md).
             if view.get("contrast") == "refresh" and self.contrast:
+                self.contrast.clear()
+                changed = True
+            # ``{"contrast_mode": "auto"}`` re-stretches EVERY render —
+            # the reference's default behavior; "freeze" (our default)
+            # restores comparable-across-t limits.
+            mode = view.get("contrast_mode")
+            if mode in ("auto", "freeze") and mode != self.contrast_mode:
+                self.contrast_mode = mode
                 self.contrast.clear()
                 changed = True
         geo = self._read_control("deskew.json")
@@ -195,7 +206,7 @@ class LiveMonitor:
         return True
 
     def _contrast_limits(self, channel: str, vol: np.ndarray) -> tuple[float, float]:
-        if channel not in self.contrast:
+        if self.contrast_mode == "auto" or channel not in self.contrast:
             lo, hi = np.percentile(vol, [1.0, 99.7])
             if hi <= lo:
                 hi = lo + 1.0

@@ -72,6 +72,7 @@ _PAGE = """<!DOCTYPE html>
   <button id="apply">apply</button>
   <button id="home">home (follow)</button>
   <button id="restretch">re-stretch contrast</button>
+  <label><input type="checkbox" id="autoc"> auto-contrast</label>
   <label>angle <input type="number" id="angle" step="0.5"></label>
   <label>px/scan <input type="number" id="ratio" step="0.001"></label>
   <button id="geom">set geometry</button>
@@ -95,7 +96,7 @@ const mtimes = {};
 fetch("/meta").then(r => r.json()).then(meta => {
   if (!meta.live) {
     for (const id of ["follow", "t", "apply", "home", "restretch",
-                      "angle", "ratio", "geom"])
+                      "autoc", "angle", "ratio", "geom"])
       document.getElementById(id).disabled = true;
     document.getElementById("mode-note").textContent =
       "store mode: interactive controls need `monitor --live`";
@@ -121,7 +122,9 @@ async function post(url, body) {
 }
 function viewBody() {
   return {follow: document.getElementById("follow").checked,
-          t: parseInt(document.getElementById("t").value || "0")};
+          t: parseInt(document.getElementById("t").value || "0"),
+          contrast_mode: document.getElementById("autoc").checked
+            ? "auto" : "freeze"};
 }
 document.getElementById("apply").onclick = () => post("/view", viewBody());
 document.getElementById("home").onclick = () => {
@@ -130,6 +133,8 @@ document.getElementById("home").onclick = () => {
 };
 document.getElementById("restretch").onclick = () =>
   post("/view", Object.assign(viewBody(), {contrast: "refresh"}));
+document.getElementById("autoc").onchange = () =>
+  post("/view", viewBody());
 document.getElementById("geom").onclick = () => {
   const a = parseFloat(document.getElementById("angle").value);
   const r = parseFloat(document.getElementById("ratio").value);

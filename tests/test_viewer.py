@@ -295,6 +295,33 @@ def test_live_contrast_refresh_control(live):
     assert monitor.contrast["BF"][1] > bf0[1]  # re-stretched to t=1
 
 
+def test_live_contrast_mode_auto(live):
+    """{"contrast_mode": "auto"} re-stretches every render (the
+    reference's per-update auto-contrast, _napari_process.py:416-433);
+    switching back to "freeze" re-freezes at the next render."""
+    import json as _json
+
+    ring, monitor, out = live
+    seq = _push_volume(ring, monitor, 0, t=0, channel="BF", value=10.0)
+    monitor.render_dirty()
+    bf0 = monitor.contrast["BF"]
+    (out / "view.json").write_text(_json.dumps({"contrast_mode": "auto"}))
+    assert monitor.refresh_controls()
+    seq = _push_volume(ring, monitor, seq, t=1, channel="BF", value=9000.0)
+    monitor.render_dirty()
+    assert monitor.contrast["BF"][1] > bf0[1]  # re-stretched to t=1
+    bf1 = monitor.contrast["BF"]
+    (out / "view.json").write_text(_json.dumps({"contrast_mode": "freeze"}))
+    assert monitor.refresh_controls()
+    seq = _push_volume(ring, monitor, seq, t=2, channel="BF", value=10.0)
+    monitor.render_dirty()
+    frozen = monitor.contrast["BF"]
+    _push_volume(ring, monitor, seq, t=3, channel="BF", value=5000.0)
+    monitor.render_dirty()
+    assert monitor.contrast["BF"] == frozen  # frozen again
+    assert frozen[1] < bf1[1]
+
+
 def test_live_volume_granularity_eviction(live):
     """A volume lapped by the ring is never rendered half-overwritten:
     the monitor falls back to the newest still-resident volume
