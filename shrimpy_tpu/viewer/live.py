@@ -41,6 +41,31 @@ from shrimpy_tpu.viewer.ring import FrameRing
 logger = logging.getLogger(__name__)
 
 
+# Channel-name substring -> display colormap; first match wins, default
+# gray (reference ``_napari_process.py:447-460`` maps gfp/fitc ->
+# green, mcherry/rhodamine -> magenta, dapi -> blue). matplotlib has no
+# black-to-single-color maps built in, so they are constructed once.
+_CHANNEL_COLORMAPS: tuple[tuple[tuple[str, ...], str, tuple], ...] = (
+    (("gfp", "fitc"), "shrimpy_green", (0.0, 1.0, 0.0)),
+    (("mcherry", "rhodamine"), "shrimpy_magenta", (1.0, 0.0, 1.0)),
+    (("dapi",), "shrimpy_blue", (0.2, 0.4, 1.0)),
+)
+
+
+def colormap_for_channel(name: str):
+    """matplotlib colormap for a channel name (case-insensitive
+    substring match, reference ``_napari_process.py:454-460``)."""
+    from matplotlib.colors import LinearSegmentedColormap
+
+    lowered = name.lower()
+    for keys, cmap_name, rgb in _CHANNEL_COLORMAPS:
+        if any(k in lowered for k in keys):
+            return LinearSegmentedColormap.from_list(
+                cmap_name, [(0.0, 0.0, 0.0), rgb]
+            )
+    return "gray"
+
+
 class LiveMonitor:
     """Render live previews from a frame ring + volume messages."""
 
@@ -221,14 +246,15 @@ class LiveMonitor:
 
         panels = 2 + (self.deskew is not None)
         fig, axes = plt.subplots(1, panels, figsize=(4 * panels, 4))
-        axes[0].imshow(vol[vol.shape[0] // 2], cmap="gray", vmin=lo, vmax=hi)
+        cmap = colormap_for_channel(channel)
+        axes[0].imshow(vol[vol.shape[0] // 2], cmap=cmap, vmin=lo, vmax=hi)
         axes[0].set_title(f"p={p} {channel} t={t} mid")
         axes[1].imshow(vol.max(axis=0), cmap="magma", vmin=lo, vmax=hi)
         axes[1].set_title("max projection")
         if self.deskew is not None:
             row = self.tilt_row if self.tilt_row is not None else vol.shape[1] // 2
             side = deskew_preview_plane(vol[:, row, :], self.deskew)
-            axes[2].imshow(side, cmap="gray", vmin=lo, vmax=hi, aspect="auto")
+            axes[2].imshow(side, cmap=cmap, vmin=lo, vmax=hi, aspect="auto")
             axes[2].set_title(
                 f"deskew side  angle={self.deskew.ls_angle_deg:.1f}"
             )

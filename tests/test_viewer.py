@@ -378,3 +378,23 @@ def test_feeder_writes_attach_surface(tmp_path):
         ring.close()
     finally:
         feeder.ring.close()
+
+
+def test_colormap_for_channel_mapping():
+    """Channel-name substring -> colormap, first match wins, default
+    gray (reference _napari_process.py:447-460)."""
+    from shrimpy_tpu.viewer.live import colormap_for_channel
+
+    assert colormap_for_channel("BF") == "gray"
+    for name, expect in [
+        ("GFP", "shrimpy_green"),
+        ("epi-FITC", "shrimpy_green"),
+        ("mCherry", "shrimpy_magenta"),
+        ("Rhodamine-B", "shrimpy_magenta"),
+        ("DAPI", "shrimpy_blue"),
+    ]:
+        cmap = colormap_for_channel(name)
+        assert cmap != "gray" and cmap.name == expect, name
+        # Black at 0 -> saturated color at 1.
+        assert cmap(0.0)[:3] == (0.0, 0.0, 0.0)
+        assert max(cmap(1.0)[:3]) == 1.0 or name.startswith("DAPI")
