@@ -130,17 +130,27 @@ class DualArmAcquisition:
         threads = []
 
         def run_arm(arm: str, source: ReplaySource, plan: AcquisitionPlan):
-            def on_timepoint(t: int) -> None:
+            def on_timepoint(t: int) -> float | None:
                 # The DAQ-trigger stand-in. A broken barrier (another
                 # arm died or stalled past the timeout) aborts this arm
                 # too — the arms never drift out of lockstep.
                 self.barrier.wait(timeout=self.barrier_timeout_s)
+                if self.run_control is not None:
+                    # Pause POST-barrier so every arm blocks together —
+                    # pausing before it would let a partner already
+                    # inside the barrier burn the stall timeout. The
+                    # returned paused seconds stay out of the engine's
+                    # pacing clock; an abort raises in every arm's hook
+                    # for a lockstep cut.
+                    return self.run_control.checkpoint()
+                return None
 
             engine = AcquisitionEngine(
                 source,
                 viewer_hooks=self.viewer_hooks.get(arm),
                 position_store=self.stage,
                 timepoint_hook=on_timepoint,
+                hook_handles_run_control=self.run_control is not None,
             )
             try:
                 out = engine.acquire(

@@ -74,6 +74,7 @@ class AcquisitionEngine:
         viewer_hooks: list | None = None,
         position_store: PositionStore | None = None,
         timepoint_hook=None,
+        hook_handles_run_control: bool = False,
     ):
         self.source = source
         self.viewer_hooks = viewer_hooks or []
@@ -85,6 +86,12 @@ class AcquisitionEngine:
         # trigger that starts both cameras together, :601-687).
         self._position_store = position_store
         self.timepoint_hook = timepoint_hook
+        # True when the hook is a lockstep barrier that owns the PAUSE
+        # point (engine/dual.py): the engine then checks abort-only
+        # before the hook (blocking there would burn a partner's
+        # barrier stall timeout) and skips position-level checkpoints;
+        # the hook blocks post-barrier and returns the paused seconds.
+        self.hook_handles_run_control = hook_handles_run_control
         self._tracking: PositionUpdateManager | None = None
         self._tracker: Tracker | None = None
         self._track_channel_idx: int | None = None
@@ -308,7 +315,18 @@ class AcquisitionEngine:
         for t in range(n_t):
             if run_control is not None:
                 try:
-                    dt = run_control.checkpoint()
+                    if self.hook_handles_run_control:
+                        # Barrier-coupled run: blocking here would let a
+                        # partner already inside the barrier burn its
+                        # stall timeout, so the pre-barrier check is
+                        # ABORT-ONLY; the hook pauses post-barrier in
+                        # lockstep (engine/dual.py) and returns the
+                        # paused seconds.
+                        if run_control.command == "abort":
+                            raise AbortRun()
+                        dt = 0.0
+                    else:
+                        dt = run_control.checkpoint()
                 except AbortRun:
                     aborted_at = [t, None]
                     break
@@ -342,12 +360,22 @@ class AcquisitionEngine:
             if self.timepoint_hook is not None:
                 # Dual-arm barrier point: tracking for t-1 has drained
                 # (the shared stage is settled) and pacing is honored;
-                # every arm enters timepoint t together.
-                self.timepoint_hook(t)
+                # every arm enters timepoint t together. A hook may
+                # block for run control AFTER its barrier and return
+                # the paused seconds (excluded from pacing), or raise
+                # AbortRun for a lockstep abort.
+                try:
+                    dt = self.timepoint_hook(t)
+                except AbortRun:
+                    aborted_at = [t, None]
+                    break
+                if dt:
+                    paused_s += float(dt)
+                    t_loop_start += float(dt)
             for p_idx, p_key in enumerate(positions):
                 if (
                     run_control is not None
-                    and self.timepoint_hook is None
+                    and not self.hook_handles_run_control
                     and p_idx > 0
                 ):
                     # Position-boundary control point (single-arm only:

@@ -233,3 +233,49 @@ def test_dual_arm_shared_abort(tmp_path):
     for r in results.values():
         assert r.aborted or (r.error and "barrier" in r.error), r
     assert any(r.aborted for r in results.values()), results
+
+
+def test_dual_arm_lockstep_pause(tmp_path):
+    """A pause during a dual run blocks every arm POST-barrier (never
+    inside barrier.wait, where it would burn the stall timeout) and is
+    excluded from pacing; both arms complete and record paused_s."""
+    from shrimpy_tpu.engine.dual import DualArmAcquisition
+
+    for arm in ("a", "b"):
+        coordinate_encoded_fov(
+            tmp_path / f"{arm}.zarr", shape=(4, 1, 3, 12, 12)
+        )
+    control = RunControl(poll_s=0.01)
+    timers = []
+
+    def lf_hook(vol, t, p, channel):
+        if t == 1 and not timers:
+            control.pause()
+            timer = threading.Timer(0.5, control.resume)
+            timer.start()
+            timers.append(timer)
+
+    plan = AcquisitionPlan(time={"n_timepoints": 4})
+    session = DualArmAcquisition(
+        {
+            "lf": (ReplaySource(tmp_path / "a.zarr"), plan),
+            "ls": (
+                ReplaySource(tmp_path / "b.zarr"), plan.model_copy(deep=True)
+            ),
+        },
+        # Far below the pause would-be-burned time if pause happened
+        # pre-barrier: the old design would abort here.
+        barrier_timeout_s=5.0,
+        viewer_hooks={"lf": [lf_hook]},
+        run_control=control,
+    )
+    results = session.run(tmp_path / "out", "dual")
+    timers[0].join()
+    for r in results.values():
+        assert r.error is None and not r.aborted, r
+    for arm in ("lf", "ls"):
+        summary = json.loads(
+            (tmp_path / "out" / f"dual_{arm}_summary_metadata.json").read_text()
+        )
+        assert summary["paused_s"] > 0.1, (arm, summary["paused_s"])
+        assert summary["aborted_at"] is None
