@@ -745,7 +745,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 2 and sys.argv[1] in ("--geom", "--config"):
+    if len(sys.argv) >= 2 and sys.argv[1] in ("--geom", "--config", "--parity"):
         _child_main(sys.argv[1:])
     else:
         main()

@@ -706,8 +706,13 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
                 )
                 plt.close(fig)
         if web is not None:
-            # Surface the progress table on the web page's /state pane.
-            (out_dir / "state.json").write_text(json.dumps(status, indent=2))
+            # Surface the progress table on the web page's /state pane;
+            # atomic publish — the server reads it concurrently.
+            from shrimpy_tpu.utils.fileio import atomic_write_text
+
+            atomic_write_text(
+                out_dir / "state.json", json.dumps(status, indent=2)
+            )
         click.echo(json.dumps(status))
         if once:
             break

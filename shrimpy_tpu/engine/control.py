@@ -21,6 +21,8 @@ import threading
 import time
 from pathlib import Path
 
+from shrimpy_tpu.utils.fileio import atomic_write_text
+
 logger = logging.getLogger(__name__)
 
 COMMANDS = ("run", "pause", "abort")
@@ -82,9 +84,7 @@ class RunControl:
         return cmd if cmd in COMMANDS else None
 
     def _write_file(self, command: str) -> None:
-        tmp = self.path.with_name(self.path.name + f".{threading.get_ident()}.tmp")
-        tmp.write_text(json.dumps({"command": command}))
-        tmp.replace(self.path)
+        atomic_write_text(self.path, json.dumps({"command": command}))
         try:
             self._mtime = self.path.stat().st_mtime
         except OSError:

@@ -312,231 +312,258 @@ class AcquisitionEngine:
         aborted_at: list | None = None
         paused_s = 0.0
         t_loop_start = time.monotonic()
-        for t in range(n_t):
-            if run_control is not None:
-                try:
-                    if self.hook_handles_run_control:
-                        # Barrier-coupled run: blocking here would let a
-                        # partner already inside the barrier burn its
-                        # stall timeout, so the pre-barrier check is
-                        # ABORT-ONLY; the hook pauses post-barrier in
-                        # lockstep (engine/dual.py) and returns the
-                        # paused seconds.
-                        if run_control.command == "abort":
-                            raise AbortRun()
-                        dt = 0.0
-                    else:
-                        dt = run_control.checkpoint()
-                except AbortRun:
-                    aborted_at = [t, None]
-                    break
-                # Paused time must not count against the timepoint
-                # cadence (or the first post-pause timepoint records a
-                # giant overrun and every later one is "due" already).
-                paused_s += dt
-                t_loop_start += dt
-            # Backpressure: timepoint-t tracking completes before t+1
-            # events execute (reference mantis_engine.py:194-209).
-            if self._tracking is not None and t > 0:
-                self._tracking.drain_pending()
-            if t > 0 and plan.time.interval_s > 0:
-                # Honor the timepoint cadence: timepoint t is due at
-                # start + t * interval. The DynaTrack latency budget
-                # (reference position_update.py:275-287) is that the
-                # drain above completes before the next timepoint is
-                # due; an overrun means tracking (or acquisition) blew
-                # the interval and is recorded in the summary.
-                due = t_loop_start + t * plan.time.interval_s
-                now = time.monotonic()
-                if now < due:
-                    time.sleep(due - now)
-                elif now - due > 1e-3:
-                    overruns.append((t, now - due))
-                    logger.warning(
-                        "timepoint %d started %.3fs past its %.1fs "
-                        "interval (latency budget exceeded)",
-                        t, now - due, plan.time.interval_s,
-                    )
-            if self.timepoint_hook is not None:
-                # Dual-arm barrier point: tracking for t-1 has drained
-                # (the shared stage is settled) and pacing is honored;
-                # every arm enters timepoint t together. A hook may
-                # block for run control AFTER its barrier and return
-                # the paused seconds (excluded from pacing), or raise
-                # AbortRun for a lockstep abort.
-                try:
-                    dt = self.timepoint_hook(t)
-                except AbortRun:
-                    aborted_at = [t, None]
-                    break
-                if dt:
-                    paused_s += float(dt)
-                    t_loop_start += float(dt)
-            for p_idx, p_key in enumerate(positions):
-                if (
-                    run_control is not None
-                    and not self.hook_handles_run_control
-                    and p_idx > 0
-                ):
-                    # Position-boundary control point (single-arm only:
-                    # a mid-timepoint pause on one barrier-coupled arm
-                    # would burn the partner's barrier stall timeout).
+        run_error: str | None = None
+        # Teardown runs on ANY exit (reference teardown_sequence):
+        # a raising hook (e.g. BrokenBarrierError from a dual-arm
+        # stall) must still drain/shut down tracking — its worker
+        # would otherwise keep mutating the SHARED stage store —
+        # and the partial store still gets its summary sidecar,
+        # with the error recorded.
+        try:
+            for t in range(n_t):
+                if run_control is not None:
                     try:
-                        dt = run_control.checkpoint()
+                        if self.hook_handles_run_control:
+                            # Barrier-coupled run: blocking here would let a
+                            # partner already inside the barrier burn its
+                            # stall timeout, so the pre-barrier check is
+                            # ABORT-ONLY; the hook pauses post-barrier in
+                            # lockstep (engine/dual.py) and returns the
+                            # paused seconds.
+                            if run_control.command == "abort":
+                                raise AbortRun()
+                            dt = 0.0
+                        else:
+                            dt = run_control.checkpoint()
                     except AbortRun:
-                        aborted_at = [t, p_key]
+                        aborted_at = [t, None]
                         break
+                    # Paused time must not count against the timepoint
+                    # cadence (or the first post-pause timepoint records a
+                    # giant overrun and every later one is "due" already).
                     paused_s += dt
                     t_loop_start += dt
-                t_pos_start = time.monotonic()
-                out_pos = out_positions[p_key]
-                offset = self._stage_offset_px(p_key)
-                if grid is not None:
-                    g = grid[p_key]
-                    offset = (
-                        offset[0],
-                        offset[1] + g.offset_px_yx[0],
-                        offset[2] + g.offset_px_yx[1],
-                    )
-                src_key = source_of[p_key]
-                if not autofocus.engage(t, p_idx):
-                    # SkipEvent contract: zero-padded volumes on disk.
+                # Backpressure: timepoint-t tracking completes before t+1
+                # events execute (reference mantis_engine.py:194-209).
+                if self._tracking is not None and t > 0:
+                    self._tracking.drain_pending()
+                if t > 0 and plan.time.interval_s > 0:
+                    # Honor the timepoint cadence: timepoint t is due at
+                    # start + t * interval. The DynaTrack latency budget
+                    # (reference position_update.py:275-287) is that the
+                    # drain above completes before the next timepoint is
+                    # due; an overrun means tracking (or acquisition) blew
+                    # the interval and is recorded in the summary.
+                    due = t_loop_start + t * plan.time.interval_s
+                    now = time.monotonic()
+                    if now < due:
+                        time.sleep(due - now)
+                    elif now - due > 1e-3:
+                        overruns.append((t, now - due))
+                        logger.warning(
+                            "timepoint %d started %.3fs past its %.1fs "
+                            "interval (latency budget exceeded)",
+                            t, now - due, plan.time.interval_s,
+                        )
+                if self.timepoint_hook is not None:
+                    # Dual-arm barrier point: tracking for t-1 has drained
+                    # (the shared stage is settled) and pacing is honored;
+                    # every arm enters timepoint t together. A hook may
+                    # block for run control AFTER its barrier and return
+                    # the paused seconds (excluded from pacing), or raise
+                    # AbortRun for a lockstep abort.
                     try:
-                        raise SkipEvent(len(channels) * nz)
-                    except SkipEvent:
-                        zeros = np.zeros((nz, ny, nx), np.float32)
-                        for ci in range(len(channels)):
-                            out_pos.write((t, ci), zeros)
-                        skipped.append((t, p_key))
-                        continue
-                if t == 0 and plan.autoexposure.enabled:
-                    # Per-well exposure selection on the first visit
-                    # (archive acq_engine.py:1414-1441).
-                    self._run_autoexposure(
-                        plan, p_key, chan_idx, channels, src_key=src_key
-                    )
-                if self._tracking is not None:
-                    self._tracking.record_acquisition(t, p_key)
-                for ci, c_src in enumerate(chan_idx):
-                    if camera is not None:
-                        # Frame-level event loop: one SequencedBurst per
-                        # (t, p, c) queues the z sweep; each snap pops
-                        # one slice exactly as a hardware-triggered
-                        # burst (reference replay_camera.py:470-521).
-                        from shrimpy_tpu.engine.replay import (
-                            AcqEvent,
-                            SequencedBurst,
-                        )
-
-                        camera.set_stage_offset_px(offset)
-                        camera.on_event(
-                            SequencedBurst(
-                                events=[
-                                    AcqEvent(
-                                        t=t,
-                                        channel=channels[ci],
-                                        position=src_key,
-                                        z_index=int(z),
-                                    )
-                                    for z in z_idx
-                                ]
-                            )
-                        )
-                        vol = np.stack(
-                            [camera.snap() for _ in range(nz)]
-                        ).astype(np.float32)
-                    else:
-                        vol = self.source.volume(
-                            src_key, t, c_src, offset_px_zyx=offset
-                        )[z_idx].astype(np.float32)
-                    exp_scale = (
-                        self._effective_exposure_ms(plan, p_key, ci, channels, ch_exposure)
-                        / plan.source_exposure_ms
-                    )
-                    if exp_scale != 1.0:
-                        vol = vol * np.float32(exp_scale)
-                    out_pos.write((t, ci), vol)
-                    n_volumes += 1
-                    for hook in self.viewer_hooks:
-                        self._safe_hook(hook, vol, t, p_key, channels[ci])
+                        dt = self.timepoint_hook(t)
+                    except AbortRun:
+                        aborted_at = [t, None]
+                        break
+                    if dt:
+                        paused_s += float(dt)
+                        t_loop_start += float(dt)
+                for p_idx, p_key in enumerate(positions):
                     if (
-                        self._tracking is not None
-                        and ci == self._track_channel_idx
+                        run_control is not None
+                        and not self.hook_handles_run_control
+                        and p_idx > 0
                     ):
-                        self._tracking.on_stack_complete(vol, t, p_key)
-                # Periodic remote-refocus (archive acq_engine.py:892-1151):
-                # re-center z on the in-focus slice of the acquired stack.
-                if (
-                    plan.refocus.enabled
-                    and t % plan.refocus.interval_timepoints == 0
-                ):
-                    self._run_refocus(
-                        plan, vol, t, p_key, channels, z_idx,
-                        src_key=src_key, offset=offset,
-                    )
-                visit_s = time.monotonic() - t_pos_start
-                if visit_s > plan.watchdog_s:
-                    # Stall watchdog (archive acq_engine.py:1567-1616):
-                    # flag visits that blow the budget so the operator
-                    # can abort/retune instead of silently falling behind.
-                    logger.error(
-                        "watchdog: position %s at t=%d took %.1fs (> %.0fs)",
-                        p_key, t, visit_s, plan.watchdog_s,
-                    )
+                        # Position-boundary control point (single-arm only:
+                        # a mid-timepoint pause on one barrier-coupled arm
+                        # would burn the partner's barrier stall timeout).
+                        try:
+                            dt = run_control.checkpoint()
+                        except AbortRun:
+                            aborted_at = [t, p_key]
+                            break
+                        paused_s += dt
+                        t_loop_start += dt
+                    t_pos_start = time.monotonic()
+                    out_pos = out_positions[p_key]
+                    offset = self._stage_offset_px(p_key)
+                    if grid is not None:
+                        g = grid[p_key]
+                        offset = (
+                            offset[0],
+                            offset[1] + g.offset_px_yx[0],
+                            offset[2] + g.offset_px_yx[1],
+                        )
+                    src_key = source_of[p_key]
+                    if not autofocus.engage(t, p_idx):
+                        # SkipEvent contract: zero-padded volumes on disk.
+                        try:
+                            raise SkipEvent(len(channels) * nz)
+                        except SkipEvent:
+                            zeros = np.zeros((nz, ny, nx), np.float32)
+                            for ci in range(len(channels)):
+                                out_pos.write((t, ci), zeros)
+                            skipped.append((t, p_key))
+                            continue
+                    if t == 0 and plan.autoexposure.enabled:
+                        # Per-well exposure selection on the first visit
+                        # (archive acq_engine.py:1414-1441).
+                        self._run_autoexposure(
+                            plan, p_key, chan_idx, channels, src_key=src_key
+                        )
+                    if self._tracking is not None:
+                        self._tracking.record_acquisition(t, p_key)
+                    for ci, c_src in enumerate(chan_idx):
+                        if camera is not None:
+                            # Frame-level event loop: one SequencedBurst per
+                            # (t, p, c) queues the z sweep; each snap pops
+                            # one slice exactly as a hardware-triggered
+                            # burst (reference replay_camera.py:470-521).
+                            from shrimpy_tpu.engine.replay import (
+                                AcqEvent,
+                                SequencedBurst,
+                            )
+
+                            camera.set_stage_offset_px(offset)
+                            camera.on_event(
+                                SequencedBurst(
+                                    events=[
+                                        AcqEvent(
+                                            t=t,
+                                            channel=channels[ci],
+                                            position=src_key,
+                                            z_index=int(z),
+                                        )
+                                        for z in z_idx
+                                    ]
+                                )
+                            )
+                            vol = np.stack(
+                                [camera.snap() for _ in range(nz)]
+                            ).astype(np.float32)
+                        else:
+                            vol = self.source.volume(
+                                src_key, t, c_src, offset_px_zyx=offset
+                            )[z_idx].astype(np.float32)
+                        exp_scale = (
+                            self._effective_exposure_ms(plan, p_key, ci, channels, ch_exposure)
+                            / plan.source_exposure_ms
+                        )
+                        if exp_scale != 1.0:
+                            vol = vol * np.float32(exp_scale)
+                        out_pos.write((t, ci), vol)
+                        n_volumes += 1
+                        for hook in self.viewer_hooks:
+                            self._safe_hook(hook, vol, t, p_key, channels[ci])
+                        if (
+                            self._tracking is not None
+                            and ci == self._track_channel_idx
+                        ):
+                            self._tracking.on_stack_complete(vol, t, p_key)
+                    # Periodic remote-refocus (archive acq_engine.py:892-1151):
+                    # re-center z on the in-focus slice of the acquired stack.
+                    if (
+                        plan.refocus.enabled
+                        and t % plan.refocus.interval_timepoints == 0
+                    ):
+                        self._run_refocus(
+                            plan, vol, t, p_key, channels, z_idx,
+                            src_key=src_key, offset=offset,
+                        )
+                    visit_s = time.monotonic() - t_pos_start
+                    if visit_s > plan.watchdog_s:
+                        # Stall watchdog (archive acq_engine.py:1567-1616):
+                        # flag visits that blow the budget so the operator
+                        # can abort/retune instead of silently falling behind.
+                        logger.error(
+                            "watchdog: position %s at t=%d took %.1fs (> %.0fs)",
+                            p_key, t, visit_s, plan.watchdog_s,
+                        )
+                if aborted_at is not None:
+                    break
+
+        except BaseException as e:  # noqa: BLE001 — re-raised after teardown
+            run_error = repr(e)
+            raise
+        finally:
+            self.aborted_at = aborted_at
             if aborted_at is not None:
-                break
+                logger.warning(
+                    "acquisition %s aborted by run control at t=%d%s "
+                    "(volumes so far remain on disk; summary records the cut)",
+                    final_name, aborted_at[0],
+                    f" position={aborted_at[1]}" if aborted_at[1] else "",
+                )
+            if self._tracking is not None:
+                try:
+                    self._tracking.drain_pending()
+                    self._tracking.shutdown()
+                except Exception:
+                    logger.exception("tracking teardown failed")
 
-        self.aborted_at = aborted_at
-        if aborted_at is not None:
-            logger.warning(
-                "acquisition %s aborted by run control at t=%d%s "
-                "(volumes so far remain on disk; summary records the cut)",
-                final_name, aborted_at[0],
-                f" position={aborted_at[1]}" if aborted_at[1] else "",
-            )
-        if self._tracking is not None:
-            self._tracking.drain_pending()
-            self._tracking.shutdown()
-
-        summary = {
-            "name": final_name,
-            "plan": plan.model_dump(),
-            "positions": positions,
-            "channels": channels,
-            "shape_tczyx": list(shape),
-            "mode": plan.mode,
-            "z_indices": [int(z) for z in z_idx],
-            "z_scale_um": float(out_z_um),
-            "channel_exposures_ms": {
-                c: e for c, e in zip(channels, ch_exposure)
-            },
-            "stage_position_grid": (
-                [
-                    [g.key, list(g.offset_px_yx)]
-                    for g in grid.values()
-                ]
-                if grid is not None
-                else None
-            ),
-            "skipped_autofocus": [[t, p] for t, p in skipped],
-            "interval_overruns": [[t, round(s, 3)] for t, s in overruns],
-            "refocus_events": [[t, p, d] for t, p, d in self._refocus_events],
-            "exposures": {
-                p: [e, pw] for p, (e, pw) in self._exposures.items()
-            },
-            "volumes_acquired": n_volumes,
-            "aborted_at": aborted_at,
-            "paused_s": round(paused_s, 3),
-            "wall_time_s": round(time.monotonic() - t_start, 3),
-        }
-        with open(output_dir / f"{final_name}_summary_metadata.json", "w") as f:
-            json.dump(summary, f, indent=2)
-        logger.info(
-            "acquisition %s complete: %d volumes, %d skipped",
-            final_name,
-            n_volumes,
-            len(skipped),
-        )
+            summary = {
+                "name": final_name,
+                "plan": plan.model_dump(),
+                "positions": positions,
+                "channels": channels,
+                "shape_tczyx": list(shape),
+                "mode": plan.mode,
+                "z_indices": [int(z) for z in z_idx],
+                "z_scale_um": float(out_z_um),
+                "channel_exposures_ms": {
+                    c: e for c, e in zip(channels, ch_exposure)
+                },
+                "stage_position_grid": (
+                    [
+                        [g.key, list(g.offset_px_yx)]
+                        for g in grid.values()
+                    ]
+                    if grid is not None
+                    else None
+                ),
+                "skipped_autofocus": [[t, p] for t, p in skipped],
+                "interval_overruns": [[t, round(s, 3)] for t, s in overruns],
+                "refocus_events": [[t, p, d] for t, p, d in self._refocus_events],
+                "exposures": {
+                    p: [e, pw] for p, (e, pw) in self._exposures.items()
+                },
+                "volumes_acquired": n_volumes,
+                "aborted_at": aborted_at,
+                "error": run_error,
+                "paused_s": round(paused_s, 3),
+                "wall_time_s": round(time.monotonic() - t_start, 3),
+            }
+            try:
+                with open(
+                    output_dir / f"{final_name}_summary_metadata.json", "w"
+                ) as f:
+                    json.dump(summary, f, indent=2)
+            except Exception:
+                logger.exception("summary sidecar write failed")
+            if run_error is None:
+                logger.info(
+                    "acquisition %s complete: %d volumes, %d skipped",
+                    final_name,
+                    n_volumes,
+                    len(skipped),
+                )
+            else:
+                logger.error(
+                    "acquisition %s failed after %d volumes: %s",
+                    final_name, n_volumes, run_error,
+                )
         return out_path
 
     # -- helpers -------------------------------------------------------------

@@ -1063,6 +1063,17 @@ def richardson_lucy(
             radii=radii,
         )
 
+    return rl_fft(image, psf_np, settings, iters)
+
+
+def rl_fft(image, psf_np, settings, iterations: int):
+    """FFT-path RL honoring ``settings.fft_backend`` (auto/fft3/fft2z).
+
+    The single dispatch point for the non-separable fallback — used by
+    :func:`richardson_lucy` AND the runtime pipeline
+    (``parallel/pipeline.py``), so ``fft_backend``/``fft_z_chunk`` are
+    never silently inert in either path.
+    """
     grid, pads = _padded_grid_shape(tuple(image.shape), tuple(psf_np.shape))
     fft_backend = settings.fft_backend
     if fft_backend == "auto":
@@ -1076,7 +1087,7 @@ def richardson_lucy(
         return _rl_fft2z_jit(
             image,
             jnp.asarray(psf_np),
-            iterations=iters,
+            iterations=iterations,
             grid=grid,
             pads=pads,
             epsilon=settings.epsilon,
@@ -1086,7 +1097,7 @@ def richardson_lucy(
     return _rl_jit(
         image,
         jnp.asarray(psf_np),
-        iterations=iters,
+        iterations=iterations,
         grid=grid,
         pads=pads,
         epsilon=settings.epsilon,

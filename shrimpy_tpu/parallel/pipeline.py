@@ -24,7 +24,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from shrimpy_tpu.config.schemas import ReconstructSettings
 from shrimpy_tpu.ops.deconv import (
     _padded_grid_shape,
-    _rl_jit,
     _sep_pads,
 )
 from shrimpy_tpu.ops.deskew import _deskew_xla, get_deskewed_shape
@@ -112,16 +111,12 @@ def _deconv_fn(
         return rl
 
     def rl(vol):
-        grid, pads = _padded_grid_shape(tuple(vol.shape), tuple(psf_np.shape))
-        return _rl_jit(
-            vol,
-            jnp.asarray(psf_np),
-            iterations=deconv.iterations,
-            grid=grid,
-            pads=pads,
-            epsilon=deconv.epsilon,
-            pad_mode=deconv.pad_mode,
-        )
+        # Non-separable fallback through the SAME fft-backend dispatch
+        # as richardson_lucy (fft_backend/fft_z_chunk honored — the
+        # fft2z path is what fits production carries single-chip).
+        from shrimpy_tpu.ops.deconv import rl_fft
+
+        return rl_fft(vol, psf_np, deconv, deconv.iterations)
 
     return rl
 

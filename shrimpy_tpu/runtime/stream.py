@@ -312,9 +312,11 @@ def reconstruct_store(
     retry_cfg = settings.io_retry
 
     def start_reads(batch: list[WorkItem]):
-        # A synchronous failure at issue time counts as that item's
-        # first failed attempt: the prefetch slot holds None and
-        # read_item re-issues (and retries) at resolve time.
+        # A synchronous failure at issue time does NOT consume a retry
+        # attempt: the prefetch slot holds None and read_item re-issues
+        # at resolve time with the full retry_cfg.attempts budget (so
+        # an item can see at most attempts+1 tries end to end — the
+        # budget bounds the resolve-time tries).
         futs = []
         for it in batch:
             try:

@@ -35,6 +35,7 @@ from pathlib import Path
 import numpy as np
 
 from shrimpy_tpu.config.schemas import DeskewSettings
+from shrimpy_tpu.utils.fileio import atomic_write_text
 from shrimpy_tpu.viewer.deskew_preview import deskew_preview_plane
 from shrimpy_tpu.viewer.ring import FrameRing
 
@@ -276,7 +277,11 @@ class LiveMonitor:
             "evicted": self.evicted,
             "deskew": self.deskew.model_dump() if self.deskew else None,
         }
-        (self.out_dir / "state.json").write_text(json.dumps(state, indent=2))
+        # Atomic publish: the web server's GET /state reads this file
+        # concurrently (utils/fileio.py).
+        atomic_write_text(
+            self.out_dir / "state.json", json.dumps(state, indent=2)
+        )
 
 
 class VolumeIndexTail:

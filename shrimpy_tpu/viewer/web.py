@@ -26,14 +26,13 @@ server loses nothing.
 
 from __future__ import annotations
 
-import contextlib
 import json
 import logging
-import os
-import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
+
+from shrimpy_tpu.utils.fileio import atomic_write_text
 
 logger = logging.getLogger(__name__)
 
@@ -174,21 +173,9 @@ tick();
 """
 
 
-def _atomic_write(path: Path, text: str) -> None:
-    # Unique tmp per writer: handler threads run concurrently
-    # (ThreadingHTTPServer), and two POSTs sharing one fixed tmp name
-    # could publish a truncated file between write and replace.
-    fd, tmp = tempfile.mkstemp(
-        prefix=path.name + ".", suffix=".tmp", dir=path.parent
-    )
-    try:
-        with os.fdopen(fd, "w") as f:
-            f.write(text)
-        os.replace(tmp, path)
-    except BaseException:
-        with contextlib.suppress(OSError):
-            os.unlink(tmp)
-        raise
+# Shared atomic-publication helper (utils/fileio.py): handler threads
+# run concurrently (ThreadingHTTPServer), and readers poll these files.
+_atomic_write = atomic_write_text
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -279,3 +279,23 @@ def test_dual_arm_lockstep_pause(tmp_path):
         )
         assert summary["paused_s"] > 0.1, (arm, summary["paused_s"])
         assert summary["aborted_at"] is None
+
+
+def test_raising_hook_still_writes_summary(tmp_path, fov_source):
+    """A non-AbortRun exception out of the hook (the dual-arm
+    BrokenBarrierError path) must still run teardown and leave a
+    summary sidecar recording the error on the partial store."""
+    def hook(t):
+        if t == 2:
+            raise threading.BrokenBarrierError()
+
+    engine = AcquisitionEngine(fov_source, timepoint_hook=hook)
+    plan = AcquisitionPlan(time={"n_timepoints": 4})
+    with pytest.raises(threading.BrokenBarrierError):
+        engine.acquire(tmp_path / "out", "acq", plan)
+    summary = json.loads(
+        (tmp_path / "out" / "acq_summary_metadata.json").read_text()
+    )
+    assert summary["error"] == "BrokenBarrierError()"
+    assert summary["volumes_acquired"] == 2
+    assert summary["aborted_at"] is None

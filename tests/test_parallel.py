@@ -179,3 +179,37 @@ def test_explicit_fused_backend_unsupported_geometry_raises(rng):
     raw = rng.random((1, 8, 16, 64), dtype=np.float32)  # x far below bx+256
     with pytest.raises(ValueError, match="fused"):
         reconstruct_batch(raw, settings, psf=psf)
+
+
+def test_pipeline_nonsep_fallback_honors_fft_backend(rng):
+    """The runtime pipeline's non-separable fallback routes through the
+    same fft-backend dispatch as richardson_lucy — fft_backend/
+    fft_z_chunk must not be silently inert in the product path
+    (pipeline.py::_deconv_fn)."""
+    import numpy as np
+
+    from shrimpy_tpu.config import DeconvolveSettings, ReconstructSettings
+    from shrimpy_tpu.ops.deconv import richardson_lucy
+    from shrimpy_tpu.parallel.pipeline import _deconv_fn
+
+    # Genuinely non-separable PSF (shear cross-terms).
+    zz, yy, xx = np.meshgrid(
+        np.arange(5) - 2.0, np.arange(7) - 3.0, np.arange(7) - 3.0,
+        indexing="ij",
+    )
+    psf = np.exp(
+        -0.5 * (((zz + 0.8 * yy) / 1.0) ** 2 + ((yy + 0.7 * xx) / 1.5) ** 2
+                + (xx / 2.0) ** 2)
+    ).astype(np.float32)
+    psf /= psf.sum()
+
+    vol = rng.random((8, 24, 20), dtype=np.float32) * 50.0
+    for backend in ("fft2z", "fft3"):
+        deconv = DeconvolveSettings(
+            iterations=3, algorithm="fft", fft_backend=backend, fft_z_chunk=2
+        )
+        settings = ReconstructSettings(deconvolve=deconv)
+        fn = _deconv_fn(settings, psf)
+        ours = np.asarray(fn(vol))
+        oracle = np.asarray(richardson_lucy(vol, psf, deconv))
+        np.testing.assert_allclose(ours, oracle, rtol=0, atol=1e-5)
