@@ -295,12 +295,24 @@ def _rl_fft2z_jit(
 # never used here).
 
 
+_SEP_CAND_CACHE = LruCache(maxsize=4)
+
+
 def _separable_candidates(
     psf: np.ndarray, max_terms: int
 ) -> list[tuple[float, np.ndarray, np.ndarray, np.ndarray]]:
     """SVD-cascade separable candidates, strongest first: unfold Z vs
-    YX, then split each YX mode."""
+    YX, then split each YX mode.
+
+    Memoized on (psf bytes, max_terms): plan_separable_terms probes the
+    same PSF at strict then extended rank and again for truncation —
+    without the cache the full SVD cascade runs up to three times per
+    pipeline build on this box's single CPU core.
+    """
     psf = np.asarray(psf, dtype=np.float64)
+    cache_key = (psf.tobytes(), psf.shape, max_terms)
+    if cache_key in _SEP_CAND_CACHE:
+        return _SEP_CAND_CACHE[cache_key]
     nz, ny, nx = psf.shape
     u, s, vt = np.linalg.svd(psf.reshape(nz, ny * nx), full_matrices=False)
     candidates: list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] = []
@@ -315,6 +327,7 @@ def _separable_candidates(
                 break
             candidates.append((weight, u[:, r], pu[:, q] * ps[q] * s[r], pvt[q]))
     candidates.sort(key=lambda c: -c[0])
+    _SEP_CAND_CACHE[cache_key] = candidates
     return candidates
 
 
@@ -703,12 +716,16 @@ def _resolve_separable_backend(
     # The fully fused RL kernel is the fast path whenever the geometry
     # satisfies its constraints (radii fit the block scheme, the y/x
     # extents cover one slab) and ~4 carry-sized buffers fit HBM.
-    from shrimpy_tpu.ops.rl_fused import fused_layout
+    from shrimpy_tpu.ops.rl_fused import fused_best_layout
 
-    layout_f = fused_layout(g_shape, radii)
+    # Evaluate the layout rl_fused would ACTUALLY run (it picks the
+    # less-padded of the two y<->x orientations): guarding on the
+    # unswapped layout alone mis-sizes the HBM bound and skips
+    # geometries only the swapped orientation supports.
+    best = fused_best_layout(tuple(image_shape), tuple(psf_shape))
     if (
-        layout_f is not None
-        and 3 * int(np.prod(layout_f["shape"])) * 4 <= 11e9
+        best is not None
+        and 3 * int(np.prod(best[0]["shape"])) * 4 <= 11e9
     ):
         return "fused"
     g_y = image_shape[1] + 2 * (psf_shape[1] // 2)
@@ -754,10 +771,12 @@ def _rl_sep_linear(image, psf_np, terms, settings, iterations):
         lp_y_stencil,
     )
 
+    from shrimpy_tpu.ops.conv3_pallas import _LP_BZ
+
     pads = tuple((k // 2, k // 2) for k in psf_np.shape)
-    if psf_np.shape[0] // 2 > 8:
+    if psf_np.shape[0] // 2 > _LP_BZ:
         raise ValueError(
-            f"linear_pallas supports PSF z radius <= 8 (got "
+            f"linear_pallas supports PSF z radius <= {_LP_BZ} (got "
             f"{psf_np.shape[0] // 2}); use separable_backend='matmul'"
         )
     g_shape = tuple(n + lo + hi for n, (lo, hi) in zip(image.shape, pads))
@@ -1117,6 +1136,7 @@ def richardson_lucy_reference_separable(
     pads: tuple[tuple[int, int], ...] | None = None,
     boundary: str = "circular",
     terms: list | None = None,
+    psf_crop_tol: float = 1e-5,
 ) -> np.ndarray:
     """Trusted fp64 oracle of the separable matmul paths.
 
@@ -1127,7 +1147,12 @@ def richardson_lucy_reference_separable(
     decomposition (used to oracle the rank-truncated denoised path).
     """
     image = np.asarray(image, dtype=np.float64)
-    psf = _pad_psf_to_odd(_crop_psf_support(np.asarray(psf, np.float64), 1e-5))
+    # psf_crop_tol must MATCH the backend under test (the production
+    # path crops at settings.psf_crop_tol) or oracle and backend see
+    # different effective PSFs.
+    psf = _pad_psf_to_odd(
+        _crop_psf_support(np.asarray(psf, np.float64), psf_crop_tol)
+    )
     psf_unit = psf / psf.sum()
     if terms is None:
         terms = separable_decompose(psf_unit, tol=tol, max_terms=max_terms)
@@ -1176,10 +1201,16 @@ def richardson_lucy_reference(
     *,
     epsilon: float = 1e-6,
     pad_mode: str = "reflect",
+    psf_crop_tol: float = 1e-5,
 ) -> np.ndarray:
-    """Trusted fp64 numpy oracle: the identical update rule on the same grid."""
+    """Trusted fp64 numpy oracle: the identical update rule on the same grid.
+
+    ``psf_crop_tol`` must match the backend under test (production
+    crops at ``settings.psf_crop_tol``)."""
     image = np.asarray(image, dtype=np.float64)
-    psf = _pad_psf_to_odd(_crop_psf_support(np.asarray(psf, np.float64), 1e-5))
+    psf = _pad_psf_to_odd(
+        _crop_psf_support(np.asarray(psf, np.float64), psf_crop_tol)
+    )
     grid, pads = _padded_grid_shape(tuple(image.shape), tuple(psf.shape))
 
     padded = np.pad(image, pads, mode=pad_mode)

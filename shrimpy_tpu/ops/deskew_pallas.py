@@ -47,8 +47,7 @@ LANES = 128
 _META_ROWS = 8
 
 
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
+from shrimpy_tpu.utils.shapes import round_up as _round_up  # noqa: E501 — shared alignment helper
 
 
 def _plan(raw_shape_szx: tuple[int, int, int], settings: DeskewSettings) -> dict:

@@ -77,8 +77,7 @@ _STAGGER = os.environ.get("SHRIMPY_RL_STAGGER", "1") != "0"
 _X_PASSES = int(os.environ.get("SHRIMPY_RL_X_PASSES", "0"))
 
 
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
+from shrimpy_tpu.utils.shapes import round_up as _round_up  # noqa: E501 — shared alignment helper
 
 
 def _x_cost(nx_p: int, bx: int, staggered: bool = False) -> float:
@@ -702,7 +701,12 @@ def rl_fused(image, psf_np, terms, settings, iterations):
     key = (
         tuple(image.shape), psf_np.tobytes(), terms_key, iterations,
         low_iters, settings.epsilon, settings.pad_mode, swap, "fused",
-        bool(layout.get("staggered")),
+        # Layout dims key the cache too: SHRIMPY_RL_BX/BZ are re-read
+        # per call inside fused_layout, so an in-process bake-off that
+        # changes them must not get the previous layout's compiled
+        # closure back.
+        layout["shape"], layout["bz"], layout["bx"], layout["sy"],
+        layout["y_shift"], bool(layout.get("staggered")),
     )
     if key not in _RL_FUSED_CACHE:
         rz, ry, rx = radii
@@ -783,8 +787,12 @@ def rl_fused(image, psf_np, terms, settings, iterations):
                     make_step(2), est, None, length=low_iters
                 )
             if iterations - low_iters:
+                # _PASSES (SHRIMPY_RL_DOT_PASSES) sets the standard
+                # iterations' dot precision — 3 (HIGH) in production,
+                # 2 only for bake-offs.
                 est, _ = jax.lax.scan(
-                    make_step(3), est, None, length=iterations - low_iters
+                    make_step(_PASSES), est, None,
+                    length=iterations - low_iters,
                 )
             g_out = est[interior_est]
             crop = tuple(
