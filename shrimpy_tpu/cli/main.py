@@ -304,14 +304,20 @@ def track(input, config_path, output):
     # product of the INPUT channel; otherwise the tracking channel is
     # read directly from the store.
     preprocessor = None
+    track_scale = tuple(float(v) for v in pos.zyx_scale)
     if cfg.preprocessing:
         from shrimpy_tpu.tracking.preprocess import Preprocessor
 
         preprocessor = Preprocessor(cfg)
         c = pos.channel_names.index(cfg.input_channel)
+        # Deskew changes the voxel grid: px->um conversion and the um
+        # limits must use the PROCESSED stack's scale.
+        track_scale = preprocessor.tracking_scale_zyx(
+            tuple(pos.shape[2:]), track_scale
+        )
     else:
         c = pos.channel_names.index(cfg.tracking_channel)
-    tracker = Tracker(cfg, scale_zyx_um=pos.zyx_scale, journal=ShiftJournal(output))
+    tracker = Tracker(cfg, scale_zyx_um=track_scale, journal=ShiftJournal(output))
     for key, p in store.positions().items():
         for t in range(p.shape[0]):
             stack = p.volume(t, c)

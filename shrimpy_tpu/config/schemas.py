@@ -313,8 +313,13 @@ TRACKING_METHODS = (
 )
 
 # Methods whose target is the ROI centre rather than a stored reference
-# stack (reference tracking.py:237-240).
-ROI_CENTER_METHODS = frozenset({"intensity_center_of_mass", "roi_center_pcc"})
+# stack (reference tracking.py:237-240) — must match the referenceless
+# dispatch in tracking/core.py (_roi_center_shift callers).
+ROI_CENTER_METHODS = frozenset({
+    "intensity_center_of_mass",
+    "multiotsu_center_of_mass",
+    "roi_center_pcc",
+})
 
 
 class DynaTrackConfig(BaseModel):

@@ -117,12 +117,28 @@ class AcquisitionEngine:
         cfg = DynaTrackConfig(**meta)
         if not cfg.enabled:
             return
+        # Derived-parameter injection (single source of truth,
+        # reference manager.py:242-262): the source store's scale
+        # supplies pixel size / scan step to the deskew/phase blocks.
+        from shrimpy_tpu.config.schemas import inject_derived_parameters
+
+        src_sz, src_sy, _ = self.source.zyx_scale
+        inject_derived_parameters(
+            cfg, pixel_size_um=float(src_sy), z_step_um=float(src_sz)
+        )
+        track_scale = tuple(float(v) for v in self.source.zyx_scale)
         preprocessor = None
         if cfg.preprocessing:
             from shrimpy_tpu.tracking.preprocess import Preprocessor
 
             preprocessor = Preprocessor(cfg)
             track_source_channel = cfg.input_channel
+            # The tracker consumes the PROCESSED stack: deskew changes
+            # the voxel grid, so px->um conversion and the um limits
+            # must use the processed scale, not the raw one.
+            track_scale = preprocessor.tracking_scale_zyx(
+                tuple(self.source.shape_tczyx[2:]), track_scale
+            )
         else:
             track_source_channel = cfg.tracking_channel
         if track_source_channel not in channels:
@@ -140,9 +156,26 @@ class AcquisitionEngine:
             from shrimpy_tpu.tracking.debug import DebugWriter
 
             debug_writer = DebugWriter(out_dir / f"{prefix}dynatrack_debug")
+        if cfg.image_to_stage_matrix_xyz is None:
+            # The replay stage seam rolls the volume by MINUS the stage
+            # position (the FOV follows the stage, replay.py:63-75), so
+            # an identity image->stage matrix is a POSITIVE feedback
+            # loop here: each correction amplifies the measured drift
+            # (~2x per timepoint until PCC wraps). Real instruments
+            # calibrate this matrix (reference dynatrack_demo.yaml
+            # ships an explicit one); the demo/replay convention needs
+            # the sign flip (-I).
+            logger.warning(
+                "dynatrack: image_to_stage_matrix_xyz not set (identity). "
+                "In replay mode the stage seam's sign convention makes "
+                "identity a positive-feedback loop — corrections will "
+                "AMPLIFY drift; set the matrix (e.g. -I, see "
+                "configs/plan_demo.yml) unless you know the identity "
+                "orientation matches your stage."
+            )
         self._tracker = Tracker(
             cfg,
-            scale_zyx_um=self.source.zyx_scale,
+            scale_zyx_um=track_scale,
             journal=journal,
             debug_writer=debug_writer,
         )

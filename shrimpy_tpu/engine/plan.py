@@ -199,6 +199,12 @@ class WellPointsPlan(BaseModel):
     def _check(self):
         if self.rows < 1 or self.columns < 1:
             raise ValueError("well_points_plan rows/columns must be >= 1")
+        for name in ("fov_height", "fov_width"):
+            v = getattr(self, name)
+            # 0 would silently fall back to the source FOV (falsy `or`
+            # in generate()); a negative value would mirror the grid.
+            if v is not None and not v > 0:
+                raise ValueError(f"well_points_plan {name} must be > 0")
         for ov in self.overlap:
             # >= 100% collapses the tile pitch to zero (every FOV an
             # identical unshifted replay) or reverses the grid — a
@@ -328,6 +334,15 @@ class AcquisitionPlan(BaseModel):
 
     @model_validator(mode="after")
     def _check(self):
+        if self.channels is not None and not self.channels:
+            # channels: [] would fall through the engine's falsy check
+            # and acquire EVERY source channel — the opposite of what
+            # an explicit empty list expresses. Use None (or omit) for
+            # "all channels".
+            raise ValueError(
+                "channels must be a non-empty list (omit it or use null "
+                "for all source channels)"
+            )
         if self.axis_order != "tpcz":
             # Declared-and-rejected rather than silently ignored: the
             # replay engine's loop nesting is t -> p -> c -> z only.
@@ -345,8 +360,18 @@ class AcquisitionPlan(BaseModel):
         return self
 
     def resolve_positions(self, available: list[str]) -> list[str]:
-        """Position keys to acquire: explicit list, CSV, or all."""
+        """Position keys to acquire: explicit list, CSV, or all.
+
+        Every explicit key is validated against ``available`` so
+        ``plan validate --input`` fails BEFORE the run, not at the
+        engine's own re-check."""
         if self.positions is not None:
+            unknown = [p for p in self.positions if p not in available]
+            if unknown:
+                raise ValueError(
+                    f"plan positions {unknown} not in the source store "
+                    f"(has {available})"
+                )
             return self.positions
         if self.positions_csv is not None:
             from shrimpy_tpu.io.platemap import PositionList

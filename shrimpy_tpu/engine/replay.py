@@ -66,7 +66,13 @@ class ReplaySource:
         key = (position, t % self.n_timepoints, c)
         if key != self._cache_key:
             pos = self.positions[position]
-            self._cache_vol = np.asarray(pos.volume(key[1], c))
+            vol = np.asarray(pos.volume(key[1], c))
+            # Served zero-offset volumes/frames are views into this
+            # cache; read-only so an in-place mutation by a caller
+            # raises instead of silently corrupting every later read
+            # of this (p, t, c).
+            vol.flags.writeable = False
+            self._cache_vol = vol
             self._cache_key = key
             self.cache_misses += 1
         vol = self._cache_vol
@@ -85,9 +91,20 @@ class ReplaySource:
         *,
         offset_px_zyx: tuple[int, int, int] = (0, 0, 0),
     ) -> np.ndarray:
-        """A single YX plane (snap path, ``replay_camera.py:310-334``)."""
-        vol = self.volume(position, t, c, offset_px_zyx=offset_px_zyx)
-        return vol[int(np.clip(z, 0, vol.shape[0] - 1))]
+        """A single YX plane (snap path, ``replay_camera.py:310-334``).
+
+        Equivalent to ``volume(...)[clip(z)]`` but rolls ONLY the
+        selected plane: camera-mode z sweeps snap nz frames per stack,
+        and rolling the whole volume per snap would cost O(nz * Z*Y*X)
+        copies once any tracking/grid offset is active.
+        """
+        vol = self.volume(position, t, c)
+        oz, oy, ox = (int(round(o)) for o in offset_px_zyx)
+        zi = int(np.clip(z, 0, vol.shape[0] - 1))
+        plane = vol[(zi + oz) % vol.shape[0]]
+        if oy or ox:
+            plane = np.roll(plane, (-oy, -ox), axis=(0, 1))
+        return plane
 
 
 @dataclass
@@ -190,9 +207,16 @@ class ReplayCamera:
             self._apply_event(first, queue_z=False)
             self._z_queue.clear()
             for sub in event.events:
-                self._z_queue.append(
-                    sub.z_index if sub.z_index is not None else self._z_center
-                )
+                if sub.z_index is not None:
+                    self._z_queue.append(sub.z_index)
+                elif sub.z_um is not None:
+                    # A um stage target routes through the SAME z-stage
+                    # model as a single event (set_z_um/_z_index), not
+                    # a silent center-slice default.
+                    self._z_um = float(sub.z_um)
+                    self._z_queue.append(self._z_index())
+                else:
+                    self._z_queue.append(self._z_center)
         else:
             self._z_queue.clear()
             self._apply_event(event, queue_z=True)

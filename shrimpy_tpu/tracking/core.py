@@ -272,24 +272,23 @@ class Tracker:
             target = np.asarray(mask * blurred)
 
         ref = self._references.get(p)
-        if ref is None:
-            # First visit: store the reference, report zero shift
-            # (reference tracking.py:1115-1137).
+        interval = cfg.reference_update_interval
+        if ref is None or (interval > 0 and t > 0 and t % interval == 0):
+            # (Re)anchor: adopt the current stack as the new reference
+            # and apply NO correction this timepoint — correcting here
+            # would jump the stage against a reference we are about to
+            # discard, and the next shift would then measure that jump
+            # against the PRE-correction anchor and re-apply it
+            # (reference tracking.py:1115-1137 documents exactly this
+            # policy; note the residual displacement at anchor time is
+            # baked into the new baseline — inherent to the policy).
             self._references[p] = np.array(target)  # copy: callers may reuse buffers
             return np.zeros(3), True
 
         shift = phase_cross_correlation(
             ref, target, maximum_shift=cfg.shift.maximum
         ).astype(np.float64)
-
-        reanchored = False
-        interval = cfg.reference_update_interval
-        if interval > 0 and t > 0 and t % interval == 0:
-            # Re-anchor: future shifts are measured against the current
-            # stack (reference re-anchor policy, tracking.py:1115-1137).
-            self._references[p] = np.array(target)  # copy: callers may reuse buffers
-            reanchored = True
-        return shift, reanchored
+        return shift, False
 
     def _roi_center_shift(self, stack: np.ndarray, use_otsu: bool) -> np.ndarray:
         """Referenceless: displacement of the mass center from the volume

@@ -73,6 +73,31 @@ class Preprocessor:
                 out[name] = np.asarray(pred)[..., : vol.shape[1], : vol.shape[2]]
         return out
 
+    def tracking_scale_zyx(
+        self,
+        raw_shape_zyx: tuple[int, int, int],
+        raw_scale_zyx: tuple[float, float, float],
+    ) -> tuple[float, float, float]:
+        """Voxel scale (um) of the stack the tracker consumes.
+
+        Deskew CHANGES the grid — its output voxel is
+        ``(n_avg * px * sin(theta), px, px)``, not the raw
+        ``(scan_step, px, px)`` — so px->um conversion and the um
+        deadband/clip limits must use the deskewed scale (the reference
+        injects derived pixel sizes post-deskew, ``manager.py:242-262``).
+        Phase and VS preserve their input grid.
+        """
+        if self.deskew is not None:
+            from shrimpy_tpu.ops.deskew import get_deskewed_shape
+
+            _, voxel = get_deskewed_shape(
+                tuple(raw_shape_zyx), self.deskew,
+                pixel_size_um=self.deskew.pixel_size_um
+                or float(raw_scale_zyx[1]),
+            )
+            return voxel
+        return tuple(float(v) for v in raw_scale_zyx)
+
     def tracking_stack(self, raw_zyx: np.ndarray) -> np.ndarray:
         """The stack the tracker consumes (``config.tracking_channel``)."""
         products = self(raw_zyx)

@@ -105,3 +105,24 @@ def test_z_um_event_moves_stage(camera):
     camera.connect_z_stage(origin_um=0.0)
     camera.on_event(AcqEvent(t=0, channel="ch0", z_um=camera._z_step_um))
     assert camera.snap()[0, 0] == coordinate_encoded_value(0, 0, 0, 3)
+
+
+def test_burst_z_um_routes_through_stage_model(tmp_path):
+    """SequencedBurst sub-events carrying z_um (stage targets) convert
+    through the same z-stage model as single events — never a silent
+    center-slice default."""
+    from shrimpy_tpu.engine.replay import AcqEvent, ReplayCamera, SequencedBurst
+    from shrimpy_tpu.io.synthetic import coordinate_encoded_fov
+
+    coordinate_encoded_fov(tmp_path / "src.zarr", shape=(2, 1, 5, 8, 8))
+    source = ReplaySource(tmp_path / "src.zarr")
+    cam = ReplayCamera(source, z_step_um=1.0)
+    # Stage targets 1 um apart map to consecutive source slices around
+    # the center (z_center=2 at the origin).
+    cam.on_event(SequencedBurst(events=[
+        AcqEvent(t=0, channel=None, position="0", z_um=float(u))
+        for u in (-2.0, -1.0, 0.0, 1.0, 2.0)
+    ]))
+    frames = [cam.snap() for _ in range(5)]
+    for zi, f in enumerate(frames):
+        assert f[0, 0] == coordinate_encoded_value(0, 0, 0, zi), zi

@@ -99,6 +99,11 @@ def test_reanchor_policy():
     assert not r1.reanchored
     r2 = tracker.update(_blob_stack((8.0, 20.0, 16.0)), t=2)
     assert r2.reanchored  # re-anchored at the interval
+    # A re-anchor timepoint applies NO correction: correcting against a
+    # reference we are about to discard would be re-measured (and thus
+    # re-applied) against the new pre-correction anchor next timepoint
+    # (reference tracking.py:1115-1137).
+    np.testing.assert_allclose(r2.shift_px_zyx, [0.0, 0.0, 0.0])
     # After re-anchor, shifts are measured against the t=2 stack.
     r3 = tracker.update(_blob_stack((8.0, 21.0, 16.0)), t=3)
     np.testing.assert_allclose(r3.shift_px_zyx, [0.0, 1.0, 0.0], atol=0.6)
@@ -189,3 +194,42 @@ def test_debug_artifacts(tmp_path):
     assert data0.max() > 0
     pngs = sorted((tmp_path / "dbg").glob("debug_t*.png"))
     assert len(pngs) == 2
+
+
+def test_tracking_scale_uses_deskewed_voxel():
+    """With deskew in the preprocessing chain the tracker's px->um
+    conversion must use the DESKEWED voxel (n_avg*px*sin(theta), px,
+    px), not the raw scan scale (reference manager.py:242-262 injects
+    derived pixel sizes post-deskew)."""
+    import numpy as np
+
+    from shrimpy_tpu.config.schemas import DynaTrackConfig
+    from shrimpy_tpu.tracking.preprocess import Preprocessor
+
+    cfg = DynaTrackConfig(
+        tracking_channel="BF",
+        input_channel="BF",
+        preprocessing=["deskew"],
+        deskew={
+            "ls_angle_deg": 30.0,
+            "px_to_scan_ratio": 0.386,
+            "pixel_size_um": 0.116,
+            "average_n_slices": 3,
+        },
+    )
+    pre = Preprocessor(cfg)
+    raw_scale = (0.3, 0.116, 0.116)  # scan step 0.3 um
+    scale = pre.tracking_scale_zyx((64, 128, 128), raw_scale)
+    assert np.isclose(scale[0], 3 * 0.116 * 0.5)  # n_avg*px*sin(30)
+    assert scale[1:] == (0.116, 0.116)
+
+    cfg2 = DynaTrackConfig(
+        tracking_channel="BF",
+        input_channel="BF",
+        preprocessing=["phase"],
+        phase={"transfer_function": {
+            "yx_pixel_size": 0.116, "z_pixel_size": 0.3,
+        }},
+    )
+    pre2 = Preprocessor(cfg2)
+    assert pre2.tracking_scale_zyx((64, 128, 128), raw_scale) == raw_scale
