@@ -59,8 +59,13 @@ _DTYPE_V2 = {
 
 
 def _write_json(path: Path, obj: dict) -> None:
+    # Atomic publish (utils/fileio.py): monitors poll a growing store's
+    # zarr.json/.zattrs while the engine updates them — a truncate-
+    # then-write here would serve torn JSON to a concurrent reader.
+    from shrimpy_tpu.utils.fileio import atomic_write_text
+
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text(json.dumps(obj, indent=2))
+    atomic_write_text(path, json.dumps(obj, indent=2))
 
 
 def _read_json(path: Path) -> dict:
@@ -121,6 +126,7 @@ def _array_spec(
     chunks: tuple[int, ...] | None = None,
     dtype: str | None = None,
     create: bool = False,
+    overwrite: bool = False,
 ) -> dict:
     kv = {"driver": "file", "path": str(path)}
     if version == "0.4":
@@ -134,10 +140,11 @@ def _array_spec(
                 "dimension_separator": "/",
             }
             spec["create"] = True
-            spec["delete_existing"] = False
+            spec["delete_existing"] = bool(overwrite)
     else:
         spec = {"driver": "zarr3", "kvstore": kv}
         if create:
+            spec["delete_existing"] = bool(overwrite)
             spec["metadata"] = {
                 "shape": list(shape),
                 "chunk_grid": {
@@ -277,6 +284,7 @@ class NgffPosition:
         dtype: str = "uint16",
         chunks: tuple[int, ...] | None = None,
         name: str = "0",
+        overwrite: bool = False,
     ) -> ts.TensorStore:
         chunks = chunks or default_chunks(shape)
         spec = _array_spec(
@@ -286,6 +294,7 @@ class NgffPosition:
             chunks=chunks,
             dtype=dtype,
             create=True,
+            overwrite=overwrite,
         )
         arr = ts.open(spec).result()
         self._arrays[name] = arr
@@ -479,29 +488,39 @@ def add_pyramid_levels(
         try:
             level_arr = pos.array(name)  # crashed-attempt leftover
             if tuple(level_arr.shape) != (t_size, c_size, *new_zyx):
-                raise FileNotFoundError  # stale/mismatched: recreate
+                # stale/mismatched: recreate (delete_existing — a plain
+                # create=True would ALREADY_EXISTS here).
+                pos.create_array(
+                    (t_size, c_size, *new_zyx), dtype=str(pos.dtype),
+                    name=name, overwrite=True,
+                )
+                level_arr = pos.array(name)
         except Exception:
             pos.create_array(
                 (t_size, c_size, *new_zyx), dtype=str(pos.dtype), name=name
             )
             level_arr = pos.array(name)
-        # One-deep read prefetch + deferred writes: overlap the
-        # tensorstore IO with pooling (the serial read/pool/write loop
-        # paid the full latency sum per volume).
-        write_futs = []
-        reads = [
-            ((t, c), prev[t, c].read())
-            for t in range(t_size)
-            for c in range(c_size)
-        ]
-        for (t, c), fut in reads:
+        # ONE read + ONE write in flight: overlap tensorstore IO with
+        # pooling while bounding host memory to two volumes (issuing
+        # every read up front buffers the whole level — ~T*C volumes of
+        # concurrent read buffers on a production store).
+        keys = [(t, c) for t in range(t_size) for c in range(c_size)]
+        next_fut = prev[keys[0]].read() if keys else None
+        pending_write = None
+        for i, (t, c) in enumerate(keys):
+            fut = next_fut
+            next_fut = (
+                prev[keys[i + 1]].read() if i + 1 < len(keys) else None
+            )
             vol = np.asarray(fut.result())
             pooled = _mean_pool_zyx(vol, eff)[
                 : new_zyx[0], : new_zyx[1], : new_zyx[2]
             ]
-            write_futs.append(level_arr[t, c].write(pooled))
-        for f in write_futs:
-            f.result()
+            if pending_write is not None:
+                pending_write.result()
+            pending_write = level_arr[t, c].write(pooled)
+        if pending_write is not None:
+            pending_write.result()
         level_scale = [
             scale0[0],
             scale0[1],

@@ -265,6 +265,38 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
     def _constrain(x):
         return jax.lax.with_sharding_constraint(x, spec_x)
 
+    def _local_otf_block(psf_arr, grid, axis_name, n_shards):
+        """This device's X slab of ``fftn(embed_psf(psf, grid))``.
+
+        The embedded PSF is nonzero on only ``kz*ky*kx`` voxels, so the
+        full OTF is a rank-structured DFT sum:
+        ``OTF[i,j,l] = sum_abc psf[a,b,c] Az[i,a] Ay[j,b] Ax[l,c]`` with
+        ``A_N[i,a] = exp(-2j pi i (a - c_axis) / N)`` (the ``- c`` phase
+        is the origin roll of ``_embed_psf``). Computing the local
+        ``l`` range directly costs ~Gz*Gy*Gx*kx FLOPs and peaks at one
+        (Gz, Gy, kx) temp — never a full-grid array.
+        """
+        gz, gy, gx = grid
+        kz, ky, kx = psf_arr.shape
+        cz, cy, cx = kz // 2, ky // 2, kx // 2
+        xloc = gx // n_shards
+        x0 = jax.lax.axis_index(axis_name) * xloc
+        psf_c = jnp.asarray(psf_arr, jnp.complex64) / np.float32(
+            psf_arr.sum()
+        )
+
+        def factor(i_idx, n, k, c):
+            a = jnp.arange(k, dtype=jnp.float32)[None, :] - np.float32(c)
+            ph = (-2.0 * np.pi / n) * i_idx[:, None].astype(jnp.float32) * a
+            return jnp.exp(1j * ph.astype(jnp.float32)).astype(jnp.complex64)
+
+        az = factor(jnp.arange(gz), gz, kz, cz)
+        ay = factor(jnp.arange(gy), gy, ky, cy)
+        ax = factor(x0 + jnp.arange(xloc), gx, kx, cx)
+        t1 = jnp.einsum("ia,abc->ibc", az, psf_c)
+        t2 = jnp.einsum("jb,ibc->ijc", ay, t1)
+        return jnp.einsum("lc,ijc->ijl", ax, t2)
+
     def run(batch, tf_ri):
         vol = batch.astype(jnp.float32)
 
@@ -316,16 +348,19 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
                     f"shard_volumes: padded RL grid {grid} must divide the "
                     f"space axis ({n_space}) on Y and X"
                 )
-            from shrimpy_tpu.ops.deconv import _embed_psf
-
-            otf = jnp.fft.fftn(_embed_psf(jnp.asarray(psf_np), grid))
             eps = deconv.epsilon
             iterations = deconv.iterations
             padded = _constrain(
                 jnp.pad(vol, ((0, 0), *pads), mode=deconv.pad_mode)
             )
 
-            def rl_local(block, otf_blk):
+            def rl_local(block):
+                # Each device builds ITS X slab of the OTF analytically
+                # (small-factor DFT einsum over the tiny PSF) — a
+                # whole-grid fftn here would materialize a full-volume
+                # complex operator per device on exactly the path whose
+                # contract is that no device holds a whole volume.
+                otf_blk = _local_otf_block(psf_np, grid, "space", n_space)
                 data = jnp.maximum(block, 0.0)
                 est0 = jnp.maximum(block, eps)
 
@@ -343,13 +378,10 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
             est = shard_map(
                 rl_local,
                 mesh=mesh,
-                in_specs=(
-                    P("batch", None, None, "space"),
-                    P(None, None, "space"),
-                ),
+                in_specs=(P("batch", None, None, "space"),),
                 out_specs=P("batch", None, None, "space"),
                 check_rep=False,
-            )(padded, otf)
+            )(padded)
             crop = tuple(
                 slice(lo, lo + n) for (lo, _), n in zip(pads, vol.shape[1:])
             )
@@ -450,10 +482,20 @@ def build_reconstruct_step(
         return jax.jit(batched, donate_argnums=(0,) if donate else ())
 
     in_sharding = NamedSharding(mesh, P("batch", None, None, "space"))
-    rep = NamedSharding(mesh, P())
+    # The transfer function is replicated for the per-whole-volume FFT
+    # stages — EXCEPT on the shard_volumes path with a phase stage,
+    # where a replicated full-volume TF would cost ~2x volume bytes on
+    # every device (the path exists because a volume exceeds one HBM):
+    # there it arrives X-sharded, matching _fft_stages_sharded's
+    # P(None, None, None, 'space') in_spec.
+    tf_sharding = (
+        NamedSharding(mesh, P(None, None, None, "space"))
+        if settings.shard_volumes and settings.phase is not None
+        else NamedSharding(mesh, P())
+    )
     jitted = jax.jit(
         batched,
-        in_shardings=(in_sharding, rep),
+        in_shardings=(in_sharding, tf_sharding),
         donate_argnums=(0,) if donate else (),
     )
 

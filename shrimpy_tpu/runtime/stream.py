@@ -235,7 +235,9 @@ def reconstruct_store(
         # The batch axis shards over the mesh: round up to a multiple of
         # the mesh's batch dimension (short batches are zero-padded).
         batch_axis = mesh.devices.shape[0]
-        batch_size = -(-batch_size // batch_axis) * batch_axis
+        from shrimpy_tpu.utils.shapes import round_up
+
+        batch_size = round_up(batch_size, batch_axis)
 
     progress_path = output_path.with_suffix(output_path.suffix + ".progress.jsonl")
     if not resume and progress_path.exists():
@@ -255,6 +257,21 @@ def reconstruct_store(
             for k, v in out_store.positions().items()
             if k in {it.position for it in items}
         }
+        # The existing output must match THIS run's geometry/dtype:
+        # otherwise (e.g. a rerun with deskew toggled or a different
+        # PSF grid) every write fails, and with contain_failures the
+        # run would journal all items failed yet exit 0 — a "success"
+        # that wrote nothing.
+        for pos_key, pos in positions_out.items():
+            have = tuple(pos.shape[2:])
+            if have != tuple(out_zyx) or str(pos.dtype) != settings.output_dtype:
+                raise ValueError(
+                    f"existing output {output_path} position {pos_key} has "
+                    f"shape {have} dtype {pos.dtype}, but this run produces "
+                    f"{tuple(out_zyx)} {settings.output_dtype} — the output "
+                    "was written with different settings; remove it or "
+                    "point -o elsewhere"
+                )
         # A broader selection (or a run that crashed during store
         # creation) can reference positions the existing output lacks:
         # create them now instead of KeyError-ing mid-run.

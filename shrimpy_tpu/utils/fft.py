@@ -42,8 +42,9 @@ def next_fast_len_tpu(n: int, lane_multiple: int = 128) -> int:
     multiple of 128 map onto full lanes. Because 128 = 2**7 is itself
     5-smooth, a 5-smooth multiple of 128 always exists.
     """
-    n = max(n, lane_multiple)
-    n = -(-n // lane_multiple) * lane_multiple
+    from shrimpy_tpu.utils.shapes import round_up
+
+    n = round_up(max(n, lane_multiple), lane_multiple)
     while True:
         m = n
         for p in (2, 3, 5):
@@ -66,13 +67,35 @@ def center_crop(x: jnp.ndarray, shape: tuple[int, ...]) -> jnp.ndarray:
 def pad_to_shape(
     x: jnp.ndarray, shape: tuple[int, ...], mode: str = "reflect"
 ) -> jnp.ndarray:
-    """Pad ``x`` symmetrically to ``shape`` (every dim >= x's)."""
+    """Pad ``x`` symmetrically to ``shape`` (every dim >= x's).
+
+    Reflect padding requires pad < axis size; a short axis (e.g. a
+    single-plane volume matched against a deep stack) degrades that
+    axis to edge padding instead of raising inside jit.
+    """
     assert x.ndim == len(shape)
     diffs = [s - a for s, a in zip(shape, x.shape)]
     assert all(d >= 0 for d in diffs), (x.shape, shape)
     if all(d == 0 for d in diffs):
         return x
     pad_width = tuple((d // 2, d - d // 2) for d in diffs)
+    if mode == "reflect":
+        ok = [
+            (lo < n and hi < n) or (lo == hi == 0)
+            for (lo, hi), n in zip(pad_width, x.shape)
+        ]
+        if not all(ok):
+            # Pad the too-short axes by edge first, then reflect the rest.
+            edge_w = tuple(
+                (0, 0) if good else w for good, w in zip(ok, pad_width)
+            )
+            rest_w = tuple(
+                w if good else (0, 0) for good, w in zip(ok, pad_width)
+            )
+            x = jnp.pad(x, edge_w, mode="edge")
+            if any(w != (0, 0) for w in rest_w):
+                x = jnp.pad(x, rest_w, mode=mode)
+            return x
     return jnp.pad(x, pad_width, mode=mode)
 
 

@@ -65,11 +65,25 @@ def log_environment(logger: logging.Logger) -> None:
     logger.debug("python %s on %s", sys.version.split()[0], platform.platform())
     try:
         import jax
+        from jax._src import xla_bridge
 
-        logger.debug(
-            "jax %s devices=%s",
-            jax.__version__,
-            [str(d) for d in jax.devices()],
-        )
-    except Exception:  # jax backend may not be initializable yet
-        logger.debug("jax devices unavailable at configure time")
+        # NEVER call jax.devices() here: it would initialize and
+        # permanently lock the backend at logging-setup time, silently
+        # defeating a later jax.config.update('jax_platforms', ...)
+        # (on tunneled-TPU boxes that routes CPU-intended runs to the
+        # remote device). Log the device list only when something else
+        # already initialized the backend.
+        if xla_bridge._default_backend is not None:
+            logger.debug(
+                "jax %s devices=%s",
+                jax.__version__,
+                [str(d) for d in jax.devices()],
+            )
+        else:
+            logger.debug(
+                "jax %s (backend not initialized yet; platforms=%r)",
+                jax.__version__,
+                jax.config.jax_platforms,
+            )
+    except Exception:  # jax internals moved / jax absent
+        logger.debug("jax device provenance unavailable at configure time")

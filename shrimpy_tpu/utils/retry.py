@@ -99,6 +99,12 @@ class RobustProxy:
         object.__setattr__(self, "_no_retry_methods", no_retry_methods)
         object.__setattr__(self, "_no_retry_exceptions", no_retry_exceptions)
 
+    def __setattr__(self, name: str, value) -> None:
+        # Attribute WRITES must reach the wrapped target too: landing
+        # on the proxy would silently shadow the target's value (the
+        # proxy's internals are set via object.__setattr__ in __init__).
+        setattr(object.__getattribute__(self, "_target"), name, value)
+
     def __getattr__(self, name: str):
         target = object.__getattribute__(self, "_target")
         attr = getattr(target, name)
