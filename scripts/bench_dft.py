@@ -1,0 +1,101 @@
+"""Bake off the matmul-DFT (dft2z) vs XLA-FFT (fft2z) RL backends on TPU.
+
+Measures (a) hardware parity of the dft2z path vs the fft3 oracle at a
+small geometry (the matmul DFT runs 3-pass bf16 dots — this validates
+the precision budget on real hardware), (b) RL-20 wall time per
+backend at the bench cliff geometry.
+
+Usage: python scripts/bench_dft.py [--shape 128,1444,800] [--iters 20]
+       [--skip-parity] [--backends dft2z,fft2z]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _tilted_psf(shape=(15, 31, 31), shears=(0.9, 0.8)):
+    """The bench config-6 beyond-extended-rank PSF (bench.py:552-565)."""
+    kz, ky, kx = shape
+    zz, yy, xx = np.meshgrid(
+        np.arange(kz) - kz // 2.0,
+        np.arange(ky) - ky // 2.0,
+        np.arange(kx) - kx // 2.0,
+        indexing="ij",
+    )
+    zr = zz + shears[0] * yy
+    yr = yy + shears[1] * xx
+    psf = np.exp(
+        -0.5 * ((zr / 1.5) ** 2 + (yr / 2.5) ** 2 + (xx / 5.0) ** 2)
+    ).astype(np.float32)
+    return psf / psf.sum()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="128,1444,800")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--backends", default="dft2z,fft2z")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from shrimpy_tpu.config import DeconvolveSettings
+    from shrimpy_tpu.ops.deconv import richardson_lucy
+
+    print(f"platform: {jax.devices()[0].platform}", flush=True)
+    psf = _tilted_psf()
+
+    if not args.skip_parity:
+        rng = np.random.default_rng(1)
+        vol = rng.uniform(0, 100, (32, 96, 128)).astype(np.float32)
+        outs = {}
+        for be in ("fft3", "dft2z"):
+            s = DeconvolveSettings(
+                iterations=args.iters, algorithm="fft", fft_backend=be
+            )
+            outs[be] = np.asarray(
+                richardson_lucy(jnp.asarray(vol), _tilted_psf((7, 9, 9)), s)
+            )
+        rel = (
+            np.abs(outs["dft2z"] - outs["fft3"]).max()
+            / np.abs(outs["fft3"]).max()
+        )
+        print(f"parity dft2z vs fft3 (HW dots): rel={rel:.3e}", flush=True)
+
+    shape = tuple(int(v) for v in args.shape.split(","))
+    vol = jax.random.uniform(
+        jax.random.key(0), shape, jnp.float32, 0.0, 100.0
+    )
+    nvox = int(np.prod(shape))
+    for be in args.backends.split(","):
+        s = DeconvolveSettings(
+            iterations=args.iters, algorithm="fft", fft_backend=be
+        )
+        t0 = time.perf_counter()
+        out = richardson_lucy(vol, psf, s)
+        _ = float(jnp.sum(out))  # scalar readback = reliable device sync
+        compile_and_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = richardson_lucy(vol, psf, s)
+        _ = float(jnp.sum(out))
+        warm = time.perf_counter() - t0
+        print(
+            f"{be} @ {shape}: warm {warm:.3f}s "
+            f"({warm / args.iters * 1e3:.1f} ms/iter, "
+            f"{nvox / warm / 1e9:.4f} GVox/s; first {compile_and_run:.1f}s)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

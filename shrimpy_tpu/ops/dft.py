@@ -1,0 +1,193 @@
+"""Matmul DFT: Fourier transforms as MXU einsums.
+
+XLA's TPU FFT lowers to a generic decomposition that measures ~14x off
+the chip's bandwidth roofline (docs/kernels.md), which makes the
+non-separable Richardson-Lucy fallback the slowest path in the system.
+A DFT is a matrix product, and the MXU executes matmuls at near peak —
+so for 5-smooth grid lengths we evaluate the transform as a four-step
+Cooley-Tukey factorization:
+
+    N = N1 * N2, n = N2*n1 + n2, k = N1*k2 + k1
+    X[k] = sum_{n2} W_N2^{n2 k2} * ( W_N^{n2 k1} * sum_{n1} x[n1,n2] W_N1^{n1 k1} )
+
+i.e. reshape the axis to (N1, N2), contract N1 against an N1 x N1 DFT
+matrix, multiply by an (N1, N2) twiddle, contract N2 against an N2 x N2
+DFT matrix, and emit the factor axes swapped.  Cost is 2*(N1+N2)
+complex MACs per element instead of the direct N — and every MAC rides
+the MXU.  Small axes (N <= _DIRECT_MAX) use the direct N x N matrix,
+which keeps the contraction deep enough to fill the systolic array.
+
+Complex arithmetic is written out as explicit real einsums over
+(re, im) pairs so a real-valued input (forward rfft) costs 2 real
+matmuls instead of 4, and a real-valued output (inverse irfft) skips
+the imaginary epilogue.  All matrices are built in float64 and cast to
+float32; contractions default to 3-pass bf16 (``Precision.HIGHEST`` on
+the final RL budget is ~f32-exact but 2x slower — the default HIGH
+passes the oracle parity tests below 1e-5).
+
+Role: transform backend for the non-separable RL fallback
+(``ops/deconv.py`` ``fft_backend='dft2z'``).  The reference delegates
+heavy PSFs to torch's cuFFT deconvolution (reference
+``shrimpy/dynatrack/preprocessing.py:359-416``); on TPU the matmul
+formulation is the hardware-native equivalent.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Largest axis evaluated as a single direct DFT matrix. Above this the
+# four-step factorization wins: direct work grows ~N per element while
+# four-step grows ~2*sqrt(N), and by N=384 the factor contractions are
+# still deep enough (>=16) to keep the MXU busy.
+_DIRECT_MAX = 256
+
+#: Default contraction precision. HIGH = 3-pass bf16 (~f32 effective
+#: for unit-magnitude DFT entries); HIGHEST doubles the passes.
+PRECISION = jax.lax.Precision.HIGH
+
+
+def _balanced_factors(n: int) -> tuple[int, int]:
+    """Factor ``n = n1 * n2`` minimizing ``n1 + n2`` (n1 <= n2)."""
+    best = (1, n)
+    for n1 in range(2, int(np.sqrt(n)) + 1):
+        if n % n1 == 0:
+            best = (n1, n // n1)
+    return best
+
+
+@lru_cache(maxsize=64)
+def _direct_mats(n: int, inverse: bool) -> tuple[np.ndarray, np.ndarray]:
+    """(re, im) of the direct N x N DFT matrix (1/N folded into inverse)."""
+    k = np.arange(n)
+    sign = 2j * np.pi / n if inverse else -2j * np.pi / n
+    m = np.exp(sign * np.outer(k, k))
+    if inverse:
+        m = m / n
+    return m.real.astype(np.float32), m.imag.astype(np.float32)
+
+
+@lru_cache(maxsize=64)
+def _four_step_mats(
+    n: int, inverse: bool
+) -> tuple[int, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(n1, n2, F1re, F1im, TWre, TWim, F2re, F2im); 1/N folded into F1."""
+    n1, n2 = _balanced_factors(n)
+    s = 1.0 if inverse else -1.0
+    f1 = np.exp(s * 2j * np.pi / n1 * np.outer(np.arange(n1), np.arange(n1)))
+    f2 = np.exp(s * 2j * np.pi / n2 * np.outer(np.arange(n2), np.arange(n2)))
+    tw = np.exp(s * 2j * np.pi / n * np.outer(np.arange(n1), np.arange(n2)))
+    if inverse:
+        f1 = f1 / n
+    return (
+        n1,
+        n2,
+        f1.real.astype(np.float32),
+        f1.imag.astype(np.float32),
+        tw.real.astype(np.float32),
+        tw.imag.astype(np.float32),
+        f2.real.astype(np.float32),
+        f2.imag.astype(np.float32),
+    )
+
+
+def _cmul_contract(sub, xr, xi, mr, mi, precision, imag_out=True):
+    """Complex contraction via real einsums.
+
+    ``xi is None`` marks a real input (2 einsums); ``imag_out=False``
+    marks a real-only output (skips the imaginary epilogue).
+    """
+    ein = lambda a, b: jnp.einsum(sub, a, b, precision=precision)
+    if xi is None:
+        rr = ein(xr, mr)
+        ri = ein(xr, mi) if imag_out else None
+        return rr, ri
+    rr = ein(xr, mr) - ein(xi, mi)
+    ri = (ein(xr, mi) + ein(xi, mr)) if imag_out else None
+    return rr, ri
+
+
+def _cmul_elem(ar, ai, br, bi):
+    """Elementwise complex multiply on (re, im) pairs (ai may be None)."""
+    if ai is None:
+        return ar * br, ar * bi
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+# einsum programs per (axis, stage). Axis -1 transforms the last axis
+# of (..., s, N); axis -2 transforms the second-to-last of (..., N, s).
+# Stage 1 contracts n1 ('a') to k1 ('k'); stage 2 contracts n2 ('b') to
+# k2 ('j') and emits (k2, k1) so the flat output index is N1*k2 + k1.
+_SUBS = {
+    (-1, 1): "...ab,ak->...kb",
+    (-1, 2): "...kb,bj->...jk",
+    (-2, 1): "...abs,ak->...kbs",
+    (-2, 2): "...kbs,bj->...jks",
+}
+_DIRECT_SUBS = {-1: "...a,ak->...k", -2: "...as,ak->...ks"}
+
+
+def _cdft(xr, xi, axis: int, inverse: bool, precision, imag_out=True):
+    """Complex DFT along ``axis`` (-1 or -2) of an (re, im) pair."""
+    assert axis in (-1, -2), axis
+    n = xr.shape[axis]
+    if n <= _DIRECT_MAX:
+        mr, mi = _direct_mats(n, inverse)
+        return _cmul_contract(
+            _DIRECT_SUBS[axis], xr, xi, mr, mi, precision, imag_out
+        )
+    n1, n2, f1r, f1i, twr, twi, f2r, f2i = _four_step_mats(n, inverse)
+    shape = xr.shape
+    ax = len(shape) + axis
+    split = shape[:ax] + (n1, n2) + shape[ax + 1 :]
+    xr = xr.reshape(split)
+    xi = xi.reshape(split) if xi is not None else None
+    if axis == -2:
+        twr = twr[:, :, None]
+        twi = twi[:, :, None]
+    ar, ai = _cmul_contract(_SUBS[(axis, 1)], xr, xi, f1r, f1i, precision)
+    br, bi = _cmul_elem(ar, ai, twr, twi)
+    yr, yi = _cmul_contract(
+        _SUBS[(axis, 2)], br, bi, f2r, f2i, precision, imag_out
+    )
+    yr = yr.reshape(shape)
+    yi = yi.reshape(shape) if yi is not None else None
+    return yr, yi
+
+
+def rdft2(x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
+    """``jnp.fft.rfftn(x, axes=(-2, -1))`` as MXU einsums.
+
+    ``x`` is real (..., gy, gx) with both transform lengths 5-smooth
+    and gx even; returns complex64 (..., gy, gx//2 + 1).
+    """
+    precision = PRECISION if precision is None else precision
+    gx = x.shape[-1]
+    gxr = gx // 2 + 1
+    xr, xi = _cdft(x.astype(jnp.float32), None, -1, False, precision)
+    xr, xi = xr[..., :gxr], xi[..., :gxr]
+    yr, yi = _cdft(xr, xi, -2, False, precision)
+    return jax.lax.complex(yr, yi)
+
+
+def irdft2(s: jnp.ndarray, gx: int, *, precision=None) -> jnp.ndarray:
+    """``jnp.fft.irfftn(s, s=(gy, gx), axes=(-2, -1))`` as MXU einsums.
+
+    ``s`` is complex (..., gy, gx//2 + 1); the missing half-spectrum is
+    reconstructed by Hermitian symmetry (the inverse therefore matches
+    irfftn's convention of projecting onto a real output).
+    """
+    precision = PRECISION if precision is None else precision
+    gxr = s.shape[-1]
+    assert gxr == gx // 2 + 1, (gxr, gx)
+    sr, si = _cdft(s.real, s.imag, -2, True, precision)
+    tr = sr[..., 1 : gx // 2][..., ::-1]
+    ti = -si[..., 1 : gx // 2][..., ::-1]
+    fr = jnp.concatenate([sr, tr], axis=-1)
+    fi = jnp.concatenate([si, ti], axis=-1)
+    yr, _ = _cdft(fr, fi, -1, True, precision, imag_out=False)
+    return yr

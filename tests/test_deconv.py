@@ -126,6 +126,48 @@ def test_fft2z_single_plane_psf_band(rng):
     assert rel <= 2e-4, rel
 
 
+def test_dft2z_matches_fft3_on_nonseparable_psf(rng):
+    """dft2z (matmul-DFT transforms) is the SAME banded circular update
+    as fft2z with the 2-D FFTs swapped for MXU einsums — on a genuinely
+    non-separable (sheared) PSF it must track the fft3 oracle well
+    inside the 1e-3 parity budget."""
+    vol = rng.uniform(0, 100, (24, 60, 72)).astype(np.float32)
+    zz, yy, xx = np.meshgrid(
+        np.arange(7) - 3.0, np.arange(9) - 4.0, np.arange(9) - 4.0,
+        indexing="ij",
+    )
+    psf = np.exp(
+        -0.5 * (((zz + 0.9 * yy) / 1.2) ** 2
+                + ((yy + 0.8 * xx) / 1.8) ** 2 + (xx / 2.5) ** 2)
+    ).astype(np.float32)
+    psf /= psf.sum()
+    fft3 = np.asarray(richardson_lucy(
+        vol, psf, DeconvolveSettings(algorithm="fft", fft_backend="fft3"),
+        iterations=8,
+    ))
+    dft2z = np.asarray(richardson_lucy(
+        vol, psf, DeconvolveSettings(algorithm="fft", fft_backend="dft2z"),
+        iterations=8,
+    ))
+    rel = np.abs(dft2z - fft3).max() / np.abs(fft3).max()
+    assert rel <= 2e-4, f"dft2z vs fft3 relative max abs err {rel:.2e}"
+
+
+def test_auto_backend_is_dft2z_equivalent(rng):
+    """auto on a 3-D volume routes to dft2z; the result must equal an
+    explicit dft2z run bit-for-bit (same program)."""
+    truth, psf, blurred = _blurred_scene(rng, shape=(12, 32, 32))
+    auto = np.asarray(richardson_lucy(
+        blurred, psf, DeconvolveSettings(algorithm="fft"), iterations=4,
+    ))
+    explicit = np.asarray(richardson_lucy(
+        blurred, psf,
+        DeconvolveSettings(algorithm="fft", fft_backend="dft2z"),
+        iterations=4,
+    ))
+    np.testing.assert_array_equal(auto, explicit)
+
+
 def test_fft2z_requires_3d():
     img = np.ones((32, 32), dtype=np.float32)
     u = np.arange(5, dtype=np.float64) - 2

@@ -1,0 +1,70 @@
+"""Matmul-DFT transforms (ops/dft.py) vs the numpy FFT oracle.
+
+The dft2z RL backend rides these einsum transforms on the MXU; they
+must be the exact DFT (same convention as ``np.fft.rfftn``/``irfftn``
+over the last two axes) across direct (N <= 256) and four-step sizes.
+"""
+
+import numpy as np
+import pytest
+
+from shrimpy_tpu.ops.dft import _balanced_factors, irdft2, rdft2
+
+# (batch, gy, gx): exercises direct-y/direct-x, four-step-y (300 = 15*20),
+# four-step-x (384 = 16*24), and a 5-smooth non-square mix.
+SHAPES = [(3, 48, 64), (2, 144, 128), (1, 300, 384), (2, 45, 512)]
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_rdft2_matches_numpy(shape, rng):
+    x = rng.standard_normal(shape).astype(np.float32)
+    ref = np.fft.rfftn(x, axes=(-2, -1))
+    got = np.asarray(rdft2(x))
+    assert got.shape == ref.shape
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err <= 1e-5, f"{shape}: forward rel err {err:.2e}"
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_irdft2_matches_numpy(shape, rng):
+    # A spectrum of a real signal (exactly Hermitian) — irdft2 must
+    # match irfftn's projection convention on it.
+    s = np.fft.rfftn(
+        rng.standard_normal(shape).astype(np.float32), axes=(-2, -1)
+    ).astype(np.complex64)
+    ref = np.fft.irfftn(s, s=shape[-2:], axes=(-2, -1))
+    got = np.asarray(irdft2(s, shape[-1]))
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err <= 1e-5, f"{shape}: inverse rel err {err:.2e}"
+
+
+def test_round_trip_is_identity(rng):
+    x = rng.standard_normal((2, 300, 384)).astype(np.float32)
+    back = np.asarray(irdft2(rdft2(x), 384))
+    err = np.max(np.abs(back - x)) / np.max(np.abs(x))
+    assert err <= 1e-5, err
+
+
+def test_linearity_of_spectral_products(rng):
+    """conv theorem sanity: irdft2(rdft2(a) * rdft2(b)) == circular
+    convolution of a and b (the exact contract the RL band update
+    relies on)."""
+    a = rng.standard_normal((1, 60, 64)).astype(np.float32)
+    b = rng.standard_normal((1, 60, 64)).astype(np.float32)
+    got = np.asarray(irdft2(np.asarray(rdft2(a)) * np.asarray(rdft2(b)), 64))
+    ref = np.fft.irfftn(
+        np.fft.rfftn(a, axes=(-2, -1)) * np.fft.rfftn(b, axes=(-2, -1)),
+        s=(60, 64),
+        axes=(-2, -1),
+    )
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err <= 1e-5, err
+
+
+def test_balanced_factors():
+    assert _balanced_factors(300) == (15, 20)
+    assert _balanced_factors(384) == (16, 24)
+    assert _balanced_factors(1024) == (32, 32)
+    assert _balanced_factors(1500) == (30, 50)
+    n1, n2 = _balanced_factors(1920)
+    assert n1 * n2 == 1920 and n1 <= n2
