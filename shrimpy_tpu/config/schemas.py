@@ -120,6 +120,11 @@ class PhaseApplyInverseSettings(BaseModel):
 
     reconstruction_algorithm: Literal["Tikhonov"] = "Tikhonov"
     regularization_strength: float = 0.01
+    # 3-D transform implementation: "matmul" evaluates the forward and
+    # inverse transforms as MXU matmul-DFT einsums (ops/dft.py — exact,
+    # and several times faster than XLA's TPU FFT, which runs far off
+    # the bandwidth roofline); "xla" keeps jnp.fft. "auto" = matmul.
+    transform: Literal["auto", "xla", "matmul"] = "auto"
 
 
 class PhaseSettings(BaseModel):

@@ -135,7 +135,11 @@ def _cdft(xr, xi, axis: int, inverse: bool, precision, imag_out=True):
     """Complex DFT along ``axis`` (-1 or -2) of an (re, im) pair."""
     assert axis in (-1, -2), axis
     n = xr.shape[axis]
-    if n <= _DIRECT_MAX:
+    # Direct matrix for small axes AND near-prime lengths (a 1xN or
+    # 2x(N/2) "factorization" costs as much as direct with worse MXU
+    # utilization). Phase stacks have arbitrary data shapes, so prime
+    # lengths do occur; the direct matrix is exact for any N.
+    if n <= _DIRECT_MAX or _balanced_factors(n)[0] < 4:
         mr, mi = _direct_mats(n, inverse)
         return _cmul_contract(
             _DIRECT_SUBS[axis], xr, xi, mr, mi, precision, imag_out
@@ -162,8 +166,9 @@ def _cdft(xr, xi, axis: int, inverse: bool, precision, imag_out=True):
 def rdft2(x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     """``jnp.fft.rfftn(x, axes=(-2, -1))`` as MXU einsums.
 
-    ``x`` is real (..., gy, gx) with both transform lengths 5-smooth
-    and gx even; returns complex64 (..., gy, gx//2 + 1).
+    ``x`` is real (..., gy, gx); returns complex64
+    (..., gy, gx//2 + 1). Any lengths are exact (composite lengths ride
+    the four-step factorization, near-prime ones the direct matrix).
     """
     precision = PRECISION if precision is None else precision
     gx = x.shape[-1]
@@ -185,9 +190,50 @@ def irdft2(s: jnp.ndarray, gx: int, *, precision=None) -> jnp.ndarray:
     gxr = s.shape[-1]
     assert gxr == gx // 2 + 1, (gxr, gx)
     sr, si = _cdft(s.real, s.imag, -2, True, precision)
-    tr = sr[..., 1 : gx // 2][..., ::-1]
-    ti = -si[..., 1 : gx // 2][..., ::-1]
+    # Hermitian tail: S[gx - k] = conj(S[k]) for k in [1, gx - gxr].
+    tr = sr[..., 1 : gx - gxr + 1][..., ::-1]
+    ti = -si[..., 1 : gx - gxr + 1][..., ::-1]
     fr = jnp.concatenate([sr, tr], axis=-1)
     fi = jnp.concatenate([si, ti], axis=-1)
     yr, _ = _cdft(fr, fi, -1, True, precision, imag_out=False)
     return yr
+
+
+def rdft3(x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
+    """``jnp.fft.rfftn(x)`` of a 3-D real volume as MXU einsums.
+
+    Returns complex64 (gz, gy, gx//2 + 1). The z transform reuses the
+    axis=-2 program on a (gz, gy * gxr) view.
+    """
+    assert x.ndim == 3, x.shape
+    precision = PRECISION if precision is None else precision
+    s = rdft2(x, precision=precision)
+    gz, gy, gxr = s.shape
+    zr, zi = _cdft(
+        s.real.reshape(gz, gy * gxr),
+        s.imag.reshape(gz, gy * gxr),
+        -2,
+        False,
+        precision,
+    )
+    return jax.lax.complex(zr, zi).reshape(gz, gy, gxr)
+
+
+def irdft3(s: jnp.ndarray, gx: int, *, precision=None) -> jnp.ndarray:
+    """``jnp.fft.irfftn(s, s=(gz, gy, gx))`` of a half-spectrum volume.
+
+    Exact inverse of :func:`rdft3`; like ``irfftn`` it projects onto a
+    real output via Hermitian reconstruction of the missing x half.
+    """
+    assert s.ndim == 3, s.shape
+    precision = PRECISION if precision is None else precision
+    gz, gy, gxr = s.shape
+    zr, zi = _cdft(
+        s.real.reshape(gz, gy * gxr),
+        s.imag.reshape(gz, gy * gxr),
+        -2,
+        True,
+        precision,
+    )
+    s2 = jax.lax.complex(zr, zi).reshape(gz, gy, gxr)
+    return irdft2(s2, gx, precision=precision)

@@ -50,6 +50,8 @@ from shrimpy_tpu.config.schemas import (
     PhaseSettings,
     PhaseTransferFunctionSettings,
 )
+from shrimpy_tpu.ops.dft import irdft3 as dft_irdft3
+from shrimpy_tpu.ops.dft import rdft3 as dft_rdft3
 
 
 def _settings_key(s: PhaseTransferFunctionSettings) -> tuple:
@@ -154,17 +156,31 @@ def tf_as_real(tf: np.ndarray) -> np.ndarray:
 
 # z_padding changes shapes (static); reg is a traced scalar so sweeping
 # the regularization does NOT recompile the whole 3-D FFT program.
-@partial(jax.jit, static_argnames=("z_padding",))
-def _apply_inverse_jit(stack, tf_ri, z_padding: int, reg: float):
+@partial(jax.jit, static_argnames=("z_padding", "transform"))
+def _apply_inverse_jit(
+    stack, tf_ri, z_padding: int, reg: float, transform: str = "xla"
+):
     stack = stack.astype(jnp.float32)
     tf = tf_ri[0] + 1j * tf_ri[1]  # recombined on device (see tf_as_real)
     if z_padding:
         stack = jnp.pad(stack, ((z_padding, z_padding), (0, 0), (0, 0)), mode="reflect")
     # Remove the DC background (the delta term of the weak-object model).
     stack = stack - jnp.mean(stack)
-    spectrum = jnp.fft.fftn(stack)
-    recon = jnp.conj(tf) * spectrum / (jnp.abs(tf) ** 2 + reg)
-    phi = jnp.real(jnp.fft.ifftn(recon))
+    if transform == "matmul":
+        # MXU matmul-DFT on the x half-spectrum (ops/dft.py). The WOTF
+        # transfer function of a real optical system is exactly
+        # Hermitian (tf[-k] == conj(tf[k]), verified in tests), so the
+        # filtered spectrum keeps the symmetry and the half-spectrum
+        # inverse equals real(ifftn(...)) on the full spectrum.
+        gx = stack.shape[-1]
+        spectrum = dft_rdft3(stack)
+        tfh = tf[..., : gx // 2 + 1]
+        recon = jnp.conj(tfh) * spectrum / (jnp.abs(tfh) ** 2 + reg)
+        phi = dft_irdft3(recon, gx)
+    else:
+        spectrum = jnp.fft.fftn(stack)
+        recon = jnp.conj(tf) * spectrum / (jnp.abs(tf) ** 2 + reg)
+        phi = jnp.real(jnp.fft.ifftn(recon))
     if z_padding:
         phi = phi[z_padding:-z_padding]
     return phi
@@ -184,11 +200,15 @@ def apply_inverse_transfer_function(
     ``apply_inverse_transfer_function`` call (``preprocessing.py:296-317``).
     """
     settings = settings or PhaseApplyInverseSettings()
+    transform = settings.transform
+    if transform == "auto":
+        transform = "matmul"
     return _apply_inverse_jit(
         jnp.asarray(stack_zyx),
         jnp.asarray(tf_as_real(np.asarray(tf))),
         z_padding,
         settings.regularization_strength,
+        transform,
     )
 
 

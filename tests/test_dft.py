@@ -61,6 +61,29 @@ def test_linearity_of_spectral_products(rng):
     assert err <= 1e-5, err
 
 
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (16, 24, 32),   # all direct
+        (27, 300, 384),  # four-step y and x
+        (16, 24, 31),   # odd (prime) x length -> direct + odd Hermitian tail
+        (13, 37, 40),   # prime z and y lengths
+    ],
+)
+def test_rdft3_round_trip_matches_numpy(shape, rng):
+    from shrimpy_tpu.ops.dft import irdft3, rdft3
+
+    x = rng.standard_normal(shape).astype(np.float32)
+    ref = np.fft.rfftn(x)
+    got = np.asarray(rdft3(x))
+    assert got.shape == ref.shape
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err <= 1e-5, f"{shape}: rdft3 rel err {err:.2e}"
+    back = np.asarray(irdft3(got, shape[-1]))
+    rerr = np.max(np.abs(back - x)) / np.max(np.abs(x))
+    assert rerr <= 1e-5, f"{shape}: round-trip rel err {rerr:.2e}"
+
+
 def test_balanced_factors():
     assert _balanced_factors(300) == (15, 20)
     assert _balanced_factors(384) == (16, 24)

@@ -108,6 +108,40 @@ def test_reconstruct_phase_with_z_padding():
     assert np.isfinite(out).all()
 
 
+def test_matmul_transform_matches_xla(rng):
+    """The matmul-DFT phase apply (auto default) is the same Tikhonov
+    inverse as the XLA-FFT path — exact up to f32 op order. Covers an
+    odd (non-5-smooth) x length and z padding, since phase grids come
+    straight from data shapes."""
+    for shape, zpad in [((12, 28, 30), 0), ((10, 24, 25), 3)]:
+        phi = gaussian_blob(
+            shape,
+            tuple(s / 2.0 for s in shape),
+            (2.0, 3.0, 3.0),
+            amplitude=0.05,
+        )
+        phi -= phi.mean()
+        tf_settings = TF_SETTINGS.model_copy(update={"z_padding": zpad})
+        tf = compute_transfer_function(shape, tf_settings)
+        stack = simulate_defocus_stack(phi, compute_transfer_function(shape, TF_SETTINGS))
+        xla = np.asarray(apply_inverse_transfer_function(
+            stack, tf,
+            PhaseApplyInverseSettings(
+                regularization_strength=1e-3, transform="xla"
+            ),
+            z_padding=zpad,
+        ))
+        mm = np.asarray(apply_inverse_transfer_function(
+            stack, tf,
+            PhaseApplyInverseSettings(
+                regularization_strength=1e-3, transform="matmul"
+            ),
+            z_padding=zpad,
+        ))
+        rel = np.abs(mm - xla).max() / max(np.abs(xla).max(), 1e-12)
+        assert rel <= 1e-4, f"{shape} zpad={zpad}: rel {rel:.2e}"
+
+
 def test_na_validation():
     with pytest.raises(ValueError):
         PhaseTransferFunctionSettings(
