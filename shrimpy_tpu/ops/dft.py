@@ -199,6 +199,29 @@ def irdft2(s: jnp.ndarray, gx: int, *, precision=None) -> jnp.ndarray:
     return yr
 
 
+def cdft(
+    x: jnp.ndarray, axis: int = -1, *, inverse: bool = False, precision=None
+) -> jnp.ndarray:
+    """``jnp.fft.fft``/``ifft`` along one axis as MXU einsums.
+
+    ``x`` is complex (or real, promoted); ``axis`` counts from the end
+    and supports -1, -2, -3 (-3 rides the -2 program on a view with the
+    trailing two axes flattened).
+    """
+    precision = PRECISION if precision is None else precision
+    ax = axis if axis < 0 else axis - x.ndim
+    assert ax in (-1, -2, -3), axis
+    x = x.astype(jnp.complex64)
+    shape = x.shape
+    if ax == -3:
+        flat = shape[:-2] + (shape[-2] * shape[-1],)
+        xr, xi = x.real.reshape(flat), x.imag.reshape(flat)
+        yr, yi = _cdft(xr, xi, -2, inverse, precision)
+        return jax.lax.complex(yr, yi).reshape(shape)
+    yr, yi = _cdft(x.real, x.imag, ax, inverse, precision)
+    return jax.lax.complex(yr, yi)
+
+
 def rdft3(x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     """``jnp.fft.rfftn(x)`` of a 3-D real volume as MXU einsums.
 

@@ -13,6 +13,11 @@ Used from inside ``shard_map`` bodies — ``axis_name`` is the mesh axis.
 The local FFT calls always see natural dim0-major layouts, which is
 also what keeps this path portable (XLA's own GSPMD-partitioned FFTs
 reach the CPU backend with layouts its FFT thunk rejects).
+
+``transform`` picks the local 1-D transform implementation: "matmul"
+(the default via "auto") evaluates each transform as MXU matmul-DFT
+einsums (ops/dft.py) — exact, and several times faster on TPU where
+XLA's FFT runs far off the bandwidth roofline; "xla" keeps jnp.fft.
 """
 
 from __future__ import annotations
@@ -20,8 +25,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from shrimpy_tpu.ops.dft import cdft
 
-def fft3_sharded(block: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+
+def _fft1(block: jnp.ndarray, axis: int, inverse: bool, transform: str):
+    if transform == "auto":
+        transform = "matmul"
+    if transform == "matmul":
+        return cdft(block, axis, inverse=inverse)
+    fn = jnp.fft.ifft if inverse else jnp.fft.fft
+    return fn(block, axis=axis)
+
+
+def fft3_sharded(
+    block: jnp.ndarray, axis_name: str, transform: str = "auto"
+) -> jnp.ndarray:
     """Forward 3-D FFT of ``(..., Z, Y, X_local)`` blocks.
 
     Returns the same layout with frequency content: the local X chunk
@@ -29,18 +47,20 @@ def fft3_sharded(block: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     layout GSPMD's ``P(..., axis)`` would give the global spectrum).
     Requires ``Y % axis_size == 0``.
     """
-    f = jnp.fft.fft(block, axis=-3)
-    f = jnp.fft.fft(f, axis=-2)
+    f = _fft1(block, -3, False, transform)
+    f = _fft1(f, -2, False, transform)
     g = jax.lax.all_to_all(
         f, axis_name, split_axis=f.ndim - 2, concat_axis=f.ndim - 1, tiled=True
     )
-    g = jnp.fft.fft(g, axis=-1)
+    g = _fft1(g, -1, False, transform)
     return jax.lax.all_to_all(
         g, axis_name, split_axis=g.ndim - 1, concat_axis=g.ndim - 2, tiled=True
     )
 
 
-def ifft3_sharded(block: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+def ifft3_sharded(
+    block: jnp.ndarray, axis_name: str, transform: str = "auto"
+) -> jnp.ndarray:
     """Inverse of :func:`fft3_sharded` (same layout contract)."""
     g = jax.lax.all_to_all(
         block,
@@ -49,9 +69,9 @@ def ifft3_sharded(block: jnp.ndarray, axis_name: str) -> jnp.ndarray:
         concat_axis=block.ndim - 1,
         tiled=True,
     )
-    g = jnp.fft.ifft(g, axis=-1)
+    g = _fft1(g, -1, True, transform)
     f = jax.lax.all_to_all(
         g, axis_name, split_axis=g.ndim - 1, concat_axis=g.ndim - 2, tiled=True
     )
-    f = jnp.fft.ifft(f, axis=-2)
-    return jnp.fft.ifft(f, axis=-3)
+    f = _fft1(f, -2, True, transform)
+    return _fft1(f, -3, True, transform)

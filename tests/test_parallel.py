@@ -153,7 +153,9 @@ def test_shard_volumes_phase_slab_fft(rng):
         ReconstructSettings(phase=phase, shard_volumes=True),
         mesh=make_mesh(8, space=4),
     ))
-    np.testing.assert_allclose(out, plain, rtol=2e-4, atol=2e-5)
+    # atol covers f32 op-order noise between the two exact transform
+    # implementations (whole-volume rdft3 vs slab cdft) on ~1e2 values.
+    np.testing.assert_allclose(out, plain, rtol=2e-4, atol=1e-4)
 
 
 def test_mesh_divisibility_errors_are_actionable(rng):
