@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--backends", default="dft2z,fft2z")
+    ap.add_argument(
+        "--transforms-only", action="store_true",
+        help="time rdft2/irdft2 vs jnp.fft on z-chunk-shaped batches",
+    )
     args = ap.parse_args()
 
     import jax
@@ -54,6 +58,37 @@ def main() -> None:
 
     print(f"platform: {jax.devices()[0].platform}", flush=True)
     psf = _tilted_psf()
+
+    if args.transforms_only:
+        from shrimpy_tpu.ops.dft import irdft2, rdft2
+
+        # The fft2z working shape: one z chunk of the padded grid.
+        shape = tuple(int(v) for v in args.shape.split(","))
+        gy, gx = shape[-2:]
+        c = 8
+        x = jax.random.uniform(jax.random.key(0), (c, gy, gx), jnp.float32)
+        fwd_mm = jax.jit(rdft2)
+        inv_mm = jax.jit(lambda s: irdft2(s, gx))
+        fwd_xla = jax.jit(lambda a: jnp.fft.rfftn(a, axes=(1, 2)))
+        inv_xla = jax.jit(
+            lambda s: jnp.fft.irfftn(s, s=(gy, gx), axes=(1, 2))
+        )
+        spec = fwd_xla(x)
+        for name, fn, arg in (
+            ("rdft2/matmul", fwd_mm, x),
+            ("rfft2/xla", fwd_xla, x),
+            ("irdft2/matmul", inv_mm, spec),
+            ("irfft2/xla", inv_xla, spec),
+        ):
+            _ = float(jnp.sum(jnp.abs(fn(arg))))  # compile + sync
+            t0 = time.perf_counter()
+            n = 10
+            for _i in range(n):
+                out = fn(arg)
+            _ = float(jnp.sum(jnp.abs(out)))
+            dt = (time.perf_counter() - t0) / n
+            print(f"{name} @ {(c, gy, gx)}: {dt * 1e3:.2f} ms", flush=True)
+        return
 
     if not args.skip_parity:
         rng = np.random.default_rng(1)
