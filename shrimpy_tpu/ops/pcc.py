@@ -34,11 +34,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from shrimpy_tpu.ops.dft import irdft2 as dft_irdft2
+from shrimpy_tpu.ops.dft import irdft3 as dft_irdft3
+from shrimpy_tpu.ops.dft import rdft2 as dft_rdft2
+from shrimpy_tpu.ops.dft import rdft3 as dft_rdft3
 from shrimpy_tpu.utils.fft import fast_fft_shape, match_shape
 
 
-@partial(jax.jit, static_argnames=("fft_shape", "subpixel"))
-def _pcc_jit(ref, mov, fft_shape: tuple[int, ...], subpixel: bool):
+@partial(jax.jit, static_argnames=("fft_shape", "subpixel", "transform"))
+def _pcc_jit(
+    ref, mov, fft_shape: tuple[int, ...], subpixel: bool,
+    transform: str = "xla",
+):
     # Mean-subtract, then zero-pad (or center-crop) to the FFT grid.
     # Zero padding keeps the enlarged-search correlation linear — reflect
     # padding would plant mirror copies of the scene that create spurious
@@ -48,9 +55,16 @@ def _pcc_jit(ref, mov, fft_shape: tuple[int, ...], subpixel: bool):
     ref = match_shape(ref - jnp.mean(ref), fft_shape, mode="constant")
     mov = match_shape(mov - jnp.mean(mov), fft_shape, mode="constant")
 
-    f_ref = jnp.fft.rfftn(ref)
-    f_mov = jnp.fft.rfftn(mov)
-    corr = jnp.fft.irfftn(f_ref * jnp.conj(f_mov), s=fft_shape)
+    if transform == "matmul" and ref.ndim in (2, 3):
+        # MXU matmul-DFT (ops/dft.py) — exact; the cross-power of two
+        # real signals is Hermitian so the half-spectrum carries it.
+        fwd = dft_rdft3 if ref.ndim == 3 else dft_rdft2
+        inv = dft_irdft3 if ref.ndim == 3 else dft_irdft2
+        corr = inv(fwd(ref) * jnp.conj(fwd(mov)), fft_shape[-1])
+    else:
+        f_ref = jnp.fft.rfftn(ref)
+        f_mov = jnp.fft.rfftn(mov)
+        corr = jnp.fft.irfftn(f_ref * jnp.conj(f_mov), s=fft_shape)
     corr = jnp.fft.fftshift(jnp.abs(corr))
 
     flat_peak = jnp.argmax(corr)
@@ -128,6 +142,7 @@ def phase_cross_correlation(
     *,
     upsample: str | None = None,
     upsample_factor: int = 10,
+    transform: str = "auto",
 ) -> np.ndarray:
     """Pixel shift of ``mov`` relative to ``ref`` (axis order preserved).
 
@@ -138,6 +153,10 @@ def phase_cross_correlation(
     * ``'parabolic'`` — 3-point parabolic refinement per axis;
     * ``'dft'`` — local matrix-DFT upsampling to ``1/upsample_factor``
       px (Guizar-Sicairos), the registration-grade estimator.
+
+    ``transform``: "matmul" (the "auto" default for 2-D/3-D inputs)
+    runs the correlation transforms as MXU matmul-DFT einsums
+    (ops/dft.py); "xla" keeps jnp.fft.
     """
     ref = jnp.asarray(ref)
     mov = jnp.asarray(mov)
@@ -145,7 +164,9 @@ def phase_cross_correlation(
     fft_shape = fast_fft_shape(
         tuple(max(a, b) for a, b in zip(ref.shape, mov.shape)), maximum_shift
     )
-    shift = _pcc_jit(ref, mov, fft_shape, upsample == "parabolic")
+    if transform == "auto":
+        transform = "matmul"
+    shift = _pcc_jit(ref, mov, fft_shape, upsample == "parabolic", transform)
     if upsample == "dft":
         shift = _dft_refine_jit(
             ref, mov, jnp.asarray(shift), fft_shape, int(upsample_factor), 1

@@ -33,6 +33,23 @@ def test_pcc_3d_known_shift(rng, shift):
     np.testing.assert_array_equal(est, np.array(shift, dtype=np.float32))
 
 
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_pcc_matmul_transform_matches_xla(rng, ndim):
+    """The matmul-DFT correlation (auto default) recovers the same
+    subpixel shift as the jnp.fft path."""
+    shape = (48, 40) if ndim == 2 else (12, 32, 24)
+    ref = rng.random(shape, dtype=np.float32)
+    mov = _roll(ref, tuple([2] + [-3] * (ndim - 1)))
+    for upsample in (None, "parabolic"):
+        mm = phase_cross_correlation(
+            ref, mov, upsample=upsample, transform="matmul"
+        )
+        xla = phase_cross_correlation(
+            ref, mov, upsample=upsample, transform="xla"
+        )
+        np.testing.assert_allclose(mm, xla, atol=1e-4)
+
+
 def test_pcc_blob_translation_non_periodic():
     """Non-periodic translation of a compact blob is still recovered."""
     shape = (24, 64, 64)
