@@ -546,23 +546,15 @@ def _config_nonsep(variant: str | None) -> dict:
     from shrimpy_tpu.config import DeconvolveSettings
     from shrimpy_tpu.ops.deconv import plan_separable_terms, richardson_lucy
 
-    # Tilted PSF: rotate the Gaussian's principal axes out of the
-    # (z, y, x) grid axes. exp(-q(z,y,x)/2) with cross terms is not a
-    # product of 1-D factors; strong tilt pushes the SVD rank high.
-    zz, yy, xx = np.meshgrid(
-        np.arange(15) - 7.0, np.arange(31) - 15.0, np.arange(31) - 15.0,
-        indexing="ij",
-    )
-    # 0.6/0.5 shears became separable when the extended-rank cap rose
-    # to 24 (rank 21 with 3.3e-2 residual — the tier now covers them);
-    # 0.9/0.8 leaves an 8.7e-2 rank-24 residual, genuinely beyond the
-    # tier, so this entry really measures the FFT route.
-    zr = zz + 0.9 * yy
-    yr = yy + 0.8 * xx
-    psf = np.exp(
-        -0.5 * ((zr / 1.5) ** 2 + (yr / 2.5) ** 2 + (xx / 5.0) ** 2)
-    ).astype(np.float32)
-    psf /= psf.sum()
+    from shrimpy_tpu.io.synthetic import tilted_gaussian_psf
+
+    # Tilted PSF: principal axes rotated out of the (z, y, x) grid
+    # axes — not a product of 1-D factors. 0.6/0.5 shears became
+    # separable when the extended-rank cap rose to 24 (rank 21 with
+    # 3.3e-2 residual); the default 0.9/0.8 leaves an 8.7e-2 rank-24
+    # residual, genuinely beyond the tier, so this entry really
+    # measures the transform route.
+    psf = tilted_gaussian_psf()
     settings = DeconvolveSettings(iterations=RL_ITERS, algorithm="fft")
     # Document that this PSF genuinely exceeds the separable tiers.
     plan = plan_separable_terms(
@@ -576,20 +568,27 @@ def _config_nonsep(variant: str | None) -> dict:
     best = _time_best(
         lambda: _sync(richardson_lucy(vol, psf, settings)), repeats=1
     )
+    from shrimpy_tpu.ops.dft import default_transform
+
+    backend = "dft2z" if default_transform() == "matmul" else "fft2z"
     return {
         "name": "rl20_nonseparable_fft",
         "shape": shape,
         "iterations": RL_ITERS,
         "psf_separable": plan is not None,
+        "fft_backend": backend,
         "gvox_per_s": round(int(np.prod(shape)) / best / 1e9, 4),
         "seconds": round(best, 4),
-        "note": "non-separable-PSF cliff: XLA TPU FFT is ~14x off the "
-        "bandwidth roofline (docs/kernels.md); separable tiers cover "
-        "rank<=24 PSFs at ~27.6 ms/iter/term; the fft2z backend "
-        "(z-banded 2-D FFTs, auto default) bounds FFT scratch so even "
-        "the production carry fits single-chip (~10 GB; fft3's 3-D "
-        "transform OOMs there); shard_volumes (distributed slab FFT) "
-        "covers volumes past single-chip HBM",
+        "note": "non-separable-PSF route: auto resolves to the "
+        f"{backend} backend here (dft2z = matmul-DFT transforms on "
+        "the MXU, docs/kernels.md; fft2z = XLA FFTs, which run ~14x "
+        "off the bandwidth roofline on TPU — the r2/r3 0.0187 GVox/s "
+        "cliff figures measured fft2z). Separable tiers cover "
+        "rank<=24 PSFs at ~27.6 ms/iter/term; the z-banded layout "
+        "bounds transform scratch so the production carry fits "
+        "single-chip (~10 GB; fft3's 3-D transform OOMs there); "
+        "shard_volumes (distributed slab FFT) covers volumes past "
+        "single-chip HBM",
     }
 
 
@@ -609,11 +608,11 @@ _CONFIG_VARIANTS: dict[str, list[str | None]] = {
     "register": [None],
     "plate": [None],
     "replay": [None],
-    # The production carry is attempted FIRST since the fft2z backend
-    # (z-banded 2-D FFTs, ~10 GB peak) landed: the 3-D-transform OOM
-    # that forced the smaller fallback applied to fft_backend="fft3"
-    # only (docs/kernels.md). The smaller geometry remains the bounded
-    # fallback if the big child blows its time budget.
+    # The production carry is attempted FIRST since the z-banded 2z
+    # layout (~10 GB peak; auto = dft2z matmul-DFT on TPU) landed: the
+    # 3-D-transform OOM that forced the smaller fallback applied to
+    # fft_backend="fft3" only (docs/kernels.md). The smaller geometry
+    # remains the bounded fallback if the big child blows its budget.
     "nonsep": ["128,2888,1600", "128,1444,800"],
 }
 

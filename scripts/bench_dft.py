@@ -21,21 +21,11 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _tilted_psf(shape=(15, 31, 31), shears=(0.9, 0.8)):
-    """The bench config-6 beyond-extended-rank PSF (bench.py:552-565)."""
-    kz, ky, kx = shape
-    zz, yy, xx = np.meshgrid(
-        np.arange(kz) - kz // 2.0,
-        np.arange(ky) - ky // 2.0,
-        np.arange(kx) - kx // 2.0,
-        indexing="ij",
-    )
-    zr = zz + shears[0] * yy
-    yr = yy + shears[1] * xx
-    psf = np.exp(
-        -0.5 * ((zr / 1.5) ** 2 + (yr / 2.5) ** 2 + (xx / 5.0) ** 2)
-    ).astype(np.float32)
-    return psf / psf.sum()
+def _tilted_psf(shape=(15, 31, 31)):
+    """The bench config-6 beyond-extended-rank PSF (shared helper)."""
+    from shrimpy_tpu.io.synthetic import tilted_gaussian_psf
+
+    return tilted_gaussian_psf(shape)
 
 
 def main() -> None:

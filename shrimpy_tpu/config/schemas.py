@@ -123,7 +123,8 @@ class PhaseApplyInverseSettings(BaseModel):
     # 3-D transform implementation: "matmul" evaluates the forward and
     # inverse transforms as MXU matmul-DFT einsums (ops/dft.py — exact,
     # and several times faster than XLA's TPU FFT, which runs far off
-    # the bandwidth roofline); "xla" keeps jnp.fft. "auto" = matmul.
+    # the bandwidth roofline); "xla" keeps jnp.fft. "auto" resolves per
+    # platform (matmul on TPU, xla elsewhere).
     transform: Literal["auto", "xla", "matmul"] = "auto"
 
 
@@ -223,7 +224,9 @@ class DeconvolveSettings(BaseModel):
     #   Tukey) instead of XLA's FFT, which runs ~14x off the bandwidth
     #   roofline on TPU. Same math, same grid; large non-separable
     #   volumes run several times faster.
-    # "auto" = dft2z for 3-D volumes, fft3 otherwise.
+    # "auto" = platform-resolved 2z backend for 3-D volumes (dft2z on
+    # TPU, fft2z elsewhere — CPU/GPU FFTs are near-optimal), fft3
+    # otherwise.
     fft_backend: Literal["auto", "fft3", "fft2z", "dft2z"] = "auto"
     fft_z_chunk: int = 8
 

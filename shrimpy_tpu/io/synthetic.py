@@ -90,6 +90,38 @@ def gaussian_blob(
     return amplitude * gz[:, None, None] * gy[None, :, None] * gx[None, None, :]
 
 
+def tilted_gaussian_psf(
+    shape_zyx: tuple[int, int, int] = (15, 31, 31),
+    shears: tuple[float, float] = (0.9, 0.8),
+    sigma_zyx: tuple[float, float, float] = (1.5, 2.5, 5.0),
+) -> np.ndarray:
+    """A sheared anisotropic Gaussian PSF — genuinely NON-separable.
+
+    The principal axes are rotated out of the (z, y, x) grid axes via
+    zy and yx shears, so the separable rank grows with the shear; at
+    the default 0.9/0.8 the rank-24 residual is 8.7e-2 — beyond the
+    extended-rank tier. Shared by bench config 6 and the DFT bake-off
+    (``scripts/bench_dft.py``) so they measure the same PSF.
+    """
+    kz, ky, kx = shape_zyx
+    zz, yy, xx = np.meshgrid(
+        np.arange(kz) - kz // 2.0,
+        np.arange(ky) - ky // 2.0,
+        np.arange(kx) - kx // 2.0,
+        indexing="ij",
+    )
+    zr = zz + shears[0] * yy
+    yr = yy + shears[1] * xx
+    psf = np.exp(
+        -0.5 * (
+            (zr / sigma_zyx[0]) ** 2
+            + (yr / sigma_zyx[1]) ** 2
+            + (xx / sigma_zyx[2]) ** 2
+        )
+    ).astype(np.float32)
+    return psf / psf.sum()
+
+
 def synthetic_blob_fov(
     path: str | Path,
     *,

@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from shrimpy_tpu.config.schemas import DeconvolveSettings
+from shrimpy_tpu.ops.dft import default_transform as dft_default_transform
 from shrimpy_tpu.ops.dft import irdft2 as dft_irdft2
 from shrimpy_tpu.ops.dft import rdft2 as dft_rdft2
 from shrimpy_tpu.utils.cache import LruCache
@@ -1108,7 +1109,12 @@ def rl_fft(image, psf_np, settings, iterations: int):
     grid, pads = _padded_grid_shape(tuple(image.shape), tuple(psf_np.shape))
     fft_backend = settings.fft_backend
     if fft_backend == "auto":
-        fft_backend = "dft2z" if image.ndim == 3 else "fft3"
+        # dft2z (matmul-DFT) only where the MXU justifies it — on CPU/
+        # GPU the O(N log N) FFT wins (ops/dft.py::default_transform).
+        matmul = dft_default_transform() == "matmul"
+        fft_backend = (
+            ("dft2z" if matmul else "fft2z") if image.ndim == 3 else "fft3"
+        )
     if fft_backend in ("fft2z", "dft2z") and image.ndim != 3:
         raise ValueError(
             f"fft_backend='{fft_backend}' needs a 3-D volume (got "

@@ -51,6 +51,18 @@ _DIRECT_MAX = 256
 PRECISION = jax.lax.Precision.HIGH
 
 
+def default_transform() -> str:
+    """Platform-resolved transform implementation for "auto" knobs.
+
+    "matmul" on TPU (XLA's TPU FFT is ~14x off the bandwidth roofline;
+    the MXU einsum formulation is faster despite more FLOPs); "xla"
+    elsewhere (CPU/GPU FFTs are near-optimal and O(N log N)). Same
+    idiom as the deskew backend's platform dispatch
+    (``parallel/pipeline.py``).
+    """
+    return "matmul" if jax.default_backend() == "tpu" else "xla"
+
+
 def _balanced_factors(n: int) -> tuple[int, int]:
     """Factor ``n = n1 * n2`` minimizing ``n1 + n2`` (n1 <= n2)."""
     best = (1, n)
@@ -69,6 +81,30 @@ def _direct_mats(n: int, inverse: bool) -> tuple[np.ndarray, np.ndarray]:
     if inverse:
         m = m / n
     return m.real.astype(np.float32), m.imag.astype(np.float32)
+
+
+@lru_cache(maxsize=64)
+def _direct_irdft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(re, im) of the (N//2+1, N) half-spectrum inverse real-DFT matrix.
+
+    ``x = Re(S @ M)`` with ``M[k, n] = c_k W^{+nk} / N`` and ``c_k = 2``
+    for the interior bins (they stand in for their conjugate mirrors),
+    1 for DC and (even N) Nyquist — the direct-route inverse skips the
+    Hermitian-tail reconstruction entirely.
+    """
+    gxr = n // 2 + 1
+    m = np.exp(2j * np.pi / n * np.outer(np.arange(gxr), np.arange(n))) / n
+    c = np.full(gxr, 2.0)
+    c[0] = 1.0
+    if n % 2 == 0:
+        c[-1] = 1.0
+    m = m * c[:, None]
+    return m.real.astype(np.float32), m.imag.astype(np.float32)
+
+
+def _is_direct(n: int) -> bool:
+    """Whether a length-``n`` axis takes the direct-matrix route."""
+    return n <= _DIRECT_MAX or _balanced_factors(n)[0] < 4
 
 
 @lru_cache(maxsize=64)
@@ -139,7 +175,7 @@ def _cdft(xr, xi, axis: int, inverse: bool, precision, imag_out=True):
     # 2x(N/2) "factorization" costs as much as direct with worse MXU
     # utilization). Phase stacks have arbitrary data shapes, so prime
     # lengths do occur; the direct matrix is exact for any N.
-    if n <= _DIRECT_MAX or _balanced_factors(n)[0] < 4:
+    if _is_direct(n):
         mr, mi = _direct_mats(n, inverse)
         return _cmul_contract(
             _DIRECT_SUBS[axis], xr, xi, mr, mi, precision, imag_out
@@ -173,8 +209,18 @@ def rdft2(x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     precision = PRECISION if precision is None else precision
     gx = x.shape[-1]
     gxr = gx // 2 + 1
-    xr, xi = _cdft(x.astype(jnp.float32), None, -1, False, precision)
-    xr, xi = xr[..., :gxr], xi[..., :gxr]
+    x = x.astype(jnp.float32)
+    if _is_direct(gx):
+        # Direct route: contract straight to the half spectrum (the
+        # four-step output is factor-interleaved, so only the direct
+        # matrix can be pre-truncated).
+        mr, mi = _direct_mats(gx, False)
+        xr, xi = _cmul_contract(
+            _DIRECT_SUBS[-1], x, None, mr[:, :gxr], mi[:, :gxr], precision
+        )
+    else:
+        xr, xi = _cdft(x, None, -1, False, precision)
+        xr, xi = xr[..., :gxr], xi[..., :gxr]
     yr, yi = _cdft(xr, xi, -2, False, precision)
     return jax.lax.complex(yr, yi)
 
@@ -190,6 +236,14 @@ def irdft2(s: jnp.ndarray, gx: int, *, precision=None) -> jnp.ndarray:
     gxr = s.shape[-1]
     assert gxr == gx // 2 + 1, (gxr, gx)
     sr, si = _cdft(s.real, s.imag, -2, True, precision)
+    if _is_direct(gx):
+        # Direct route: half-spectrum inverse matrix (interior bins
+        # doubled) — no Hermitian-tail materialization.
+        mr, mi = _direct_irdft_mats(gx)
+        ein = lambda a, b: jnp.einsum(
+            _DIRECT_SUBS[-1], a, b, precision=precision
+        )
+        return ein(sr, mr) - ein(si, mi)
     # Hermitian tail: S[gx - k] = conj(S[k]) for k in [1, gx - gxr].
     tr = sr[..., 1 : gx - gxr + 1][..., ::-1]
     ti = -si[..., 1 : gx - gxr + 1][..., ::-1]

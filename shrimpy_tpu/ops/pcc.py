@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from shrimpy_tpu.ops.dft import default_transform as dft_default_transform
 from shrimpy_tpu.ops.dft import irdft2 as dft_irdft2
 from shrimpy_tpu.ops.dft import irdft3 as dft_irdft3
 from shrimpy_tpu.ops.dft import rdft2 as dft_rdft2
@@ -154,9 +155,9 @@ def phase_cross_correlation(
     * ``'dft'`` — local matrix-DFT upsampling to ``1/upsample_factor``
       px (Guizar-Sicairos), the registration-grade estimator.
 
-    ``transform``: "matmul" (the "auto" default for 2-D/3-D inputs)
-    runs the correlation transforms as MXU matmul-DFT einsums
-    (ops/dft.py); "xla" keeps jnp.fft.
+    ``transform``: "matmul" (the "auto" resolution on TPU, for 2-D/3-D
+    inputs) runs the correlation transforms as MXU matmul-DFT einsums
+    (ops/dft.py); "xla" keeps jnp.fft ("auto" elsewhere).
     """
     ref = jnp.asarray(ref)
     mov = jnp.asarray(mov)
@@ -165,7 +166,7 @@ def phase_cross_correlation(
         tuple(max(a, b) for a, b in zip(ref.shape, mov.shape)), maximum_shift
     )
     if transform == "auto":
-        transform = "matmul"
+        transform = dft_default_transform()
     shift = _pcc_jit(ref, mov, fft_shape, upsample == "parabolic", transform)
     if upsample == "dft":
         shift = _dft_refine_jit(

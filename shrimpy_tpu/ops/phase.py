@@ -50,6 +50,7 @@ from shrimpy_tpu.config.schemas import (
     PhaseSettings,
     PhaseTransferFunctionSettings,
 )
+from shrimpy_tpu.ops.dft import default_transform as dft_default_transform
 from shrimpy_tpu.ops.dft import irdft3 as dft_irdft3
 from shrimpy_tpu.ops.dft import rdft3 as dft_rdft3
 
@@ -186,6 +187,12 @@ def _apply_inverse_jit(
     return phi
 
 
+def _resolve_transform(settings: PhaseApplyInverseSettings) -> str:
+    """Platform-resolve the apply-inverse transform knob."""
+    t = settings.transform
+    return dft_default_transform() if t == "auto" else t
+
+
 def apply_inverse_transfer_function(
     stack_zyx,
     tf: np.ndarray | jnp.ndarray,
@@ -200,15 +207,12 @@ def apply_inverse_transfer_function(
     ``apply_inverse_transfer_function`` call (``preprocessing.py:296-317``).
     """
     settings = settings or PhaseApplyInverseSettings()
-    transform = settings.transform
-    if transform == "auto":
-        transform = "matmul"
     return _apply_inverse_jit(
         jnp.asarray(stack_zyx),
         jnp.asarray(tf_as_real(np.asarray(tf))),
         z_padding,
         settings.regularization_strength,
-        transform,
+        _resolve_transform(settings),
     )
 
 

@@ -25,12 +25,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from shrimpy_tpu.ops.dft import cdft
+from shrimpy_tpu.ops.dft import cdft, default_transform
 
 
 def _fft1(block: jnp.ndarray, axis: int, inverse: bool, transform: str):
     if transform == "auto":
-        transform = "matmul"
+        transform = default_transform()
     if transform == "matmul":
         return cdft(block, axis, inverse=inverse)
     fn = jnp.fft.ifft if inverse else jnp.fft.fft

@@ -216,11 +216,14 @@ def _stage_fns(
         def fft_fn(vol, tf_ri):
             vol = vol.astype(jnp.float32)
             if phase is not None:
+                from shrimpy_tpu.ops.phase import _resolve_transform
+
                 vol = _apply_inverse_jit(
                     vol,
                     tf_ri,
                     phase.transfer_function.z_padding,
                     phase.apply_inverse.regularization_strength,
+                    _resolve_transform(phase.apply_inverse),
                 )
             if reg_fn is not None:
                 vol = reg_fn(vol)
@@ -313,16 +316,20 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
                     f"the space axis ({n_space}) for the slab transpose"
                 )
 
+            from shrimpy_tpu.ops.phase import _resolve_transform
+
+            ph_tr = _resolve_transform(phase.apply_inverse)
+
             def phase_local(block, tf_blk):
                 tf = tf_blk[0] + 1j * tf_blk[1]
                 mean = jax.lax.pmean(
                     jnp.mean(block, axis=(1, 2, 3), keepdims=True), "space"
                 )
                 spectrum = fft3_sharded(
-                    (block - mean).astype(jnp.complex64), "space"
+                    (block - mean).astype(jnp.complex64), "space", ph_tr
                 )
                 recon = jnp.conj(tf) * spectrum / (jnp.abs(tf) ** 2 + reg)
-                return jnp.real(ifft3_sharded(recon, "space")).astype(
+                return jnp.real(ifft3_sharded(recon, "space", ph_tr)).astype(
                     jnp.float32
                 )
 
@@ -350,6 +357,17 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
                 )
             eps = deconv.epsilon
             iterations = deconv.iterations
+            # The sharded RL honors the fft_backend knob's transform
+            # choice: dft2z -> matmul, fft2z/fft3 -> xla, auto ->
+            # platform default (the 2z z-banding itself is moot here —
+            # the slab scheme already bounds per-device memory).
+            from shrimpy_tpu.ops.dft import default_transform
+
+            rl_tr = {
+                "dft2z": "matmul",
+                "fft2z": "xla",
+                "fft3": "xla",
+            }.get(deconv.fft_backend, default_transform())
             padded = _constrain(
                 jnp.pad(vol, ((0, 0), *pads), mode=deconv.pad_mode)
             )
@@ -365,8 +383,10 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
                 est0 = jnp.maximum(block, eps)
 
                 def conv(u, kernel):
-                    f = fft3_sharded(u.astype(jnp.complex64), "space")
-                    return jnp.real(ifft3_sharded(f * kernel, "space"))
+                    f = fft3_sharded(u.astype(jnp.complex64), "space", rl_tr)
+                    return jnp.real(
+                        ifft3_sharded(f * kernel, "space", rl_tr)
+                    )
 
                 def step(est, _):
                     ratio = data / jnp.maximum(conv(est, otf_blk), eps)

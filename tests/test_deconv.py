@@ -153,16 +153,20 @@ def test_dft2z_matches_fft3_on_nonseparable_psf(rng):
     assert rel <= 2e-4, f"dft2z vs fft3 relative max abs err {rel:.2e}"
 
 
-def test_auto_backend_is_dft2z_equivalent(rng):
-    """auto on a 3-D volume routes to dft2z; the result must equal an
-    explicit dft2z run bit-for-bit (same program)."""
+def test_auto_backend_resolves_per_platform(rng):
+    """auto on a 3-D volume routes to the platform-resolved 2z backend
+    (dft2z on TPU, fft2z elsewhere); the result must equal an explicit
+    run of that backend bit-for-bit (same program)."""
+    from shrimpy_tpu.ops.dft import default_transform
+
+    expected = "dft2z" if default_transform() == "matmul" else "fft2z"
     truth, psf, blurred = _blurred_scene(rng, shape=(12, 32, 32))
     auto = np.asarray(richardson_lucy(
         blurred, psf, DeconvolveSettings(algorithm="fft"), iterations=4,
     ))
     explicit = np.asarray(richardson_lucy(
         blurred, psf,
-        DeconvolveSettings(algorithm="fft", fft_backend="dft2z"),
+        DeconvolveSettings(algorithm="fft", fft_backend=expected),
         iterations=4,
     ))
     np.testing.assert_array_equal(auto, explicit)
