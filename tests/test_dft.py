@@ -84,6 +84,24 @@ def test_rdft3_round_trip_matches_numpy(shape, rng):
     assert rerr <= 1e-5, f"{shape}: round-trip rel err {rerr:.2e}"
 
 
+@pytest.mark.parametrize("axis", [-1, -2, -3])
+def test_cdft_matches_numpy_fft(axis, rng):
+    from shrimpy_tpu.ops.dft import cdft
+
+    shape = (6, 300, 32)
+    x = (
+        rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    ).astype(np.complex64)
+    ref = np.fft.fft(x, axis=axis)
+    got = np.asarray(cdft(x, axis))
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err <= 1e-5, f"axis {axis}: fwd rel err {err:.2e}"
+    iref = np.fft.ifft(x, axis=axis)
+    igot = np.asarray(cdft(x, axis, inverse=True))
+    ierr = np.max(np.abs(igot - iref)) / np.max(np.abs(iref))
+    assert ierr <= 1e-5, f"axis {axis}: inv rel err {ierr:.2e}"
+
+
 def test_balanced_factors():
     assert _balanced_factors(300) == (15, 20)
     assert _balanced_factors(384) == (16, 24)
