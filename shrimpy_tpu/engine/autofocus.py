@@ -53,18 +53,38 @@ class DemoAutofocus:
         return True
 
 
-@partial(jax.jit, static_argnames=("band",))
-def _focus_metric_jit(stack, pixel_size_um, lambda_um, na_det, band):
+@partial(jax.jit, static_argnames=("band", "transform"))
+def _focus_metric_jit(
+    stack, pixel_size_um, lambda_um, na_det, band, transform: str = "xla"
+):
     """Midband transverse-frequency power per z-slice."""
     stack = stack.astype(jnp.float32)
     nz, ny, nx = stack.shape
     fy = jnp.fft.fftfreq(ny, d=pixel_size_um)
-    fx = jnp.fft.fftfreq(nx, d=pixel_size_um)
-    f = jnp.sqrt(fy[:, None] ** 2 + fx[None, :] ** 2)
     cutoff = 2.0 * na_det / lambda_um  # incoherent transverse cutoff
     lo, hi = band
+    centered = stack - jnp.mean(stack, axis=(1, 2), keepdims=True)
+    if transform == "matmul":
+        # MXU matmul-DFT on the x half-spectrum (ops/dft.py): the
+        # input is real, so |F[-k]| == |F[k]| and the midband power is
+        # the half-spectrum sum with interior x bins double-weighted
+        # (the mask depends only on |f|, which is mirror-symmetric).
+        from shrimpy_tpu.ops.dft import rdft2
+
+        nxr = nx // 2 + 1
+        fx = jnp.fft.rfftfreq(nx, d=pixel_size_um)
+        f = jnp.sqrt(fy[:, None] ** 2 + fx[None, :] ** 2)
+        mask = (f >= lo * cutoff) & (f <= hi * cutoff)
+        cx = np.full(nxr, 2.0, np.float32)
+        cx[0] = 1.0
+        if nx % 2 == 0:
+            cx[-1] = 1.0
+        power = jnp.abs(rdft2(centered)) ** 2
+        return jnp.sum(power * (mask[None] * cx[None, None]), axis=(1, 2))
+    fx = jnp.fft.fftfreq(nx, d=pixel_size_um)
+    f = jnp.sqrt(fy[:, None] ** 2 + fx[None, :] ** 2)
     mask = (f >= lo * cutoff) & (f <= hi * cutoff)
-    spectra = jnp.fft.fft2(stack - jnp.mean(stack, axis=(1, 2), keepdims=True))
+    spectra = jnp.fft.fft2(centered)
     power = jnp.abs(spectra) ** 2
     return jnp.sum(power * mask[None], axis=(1, 2))
 
@@ -77,13 +97,21 @@ def focus_from_transverse_band(
     na_det: float = 1.35,
     band: tuple[float, float] = (0.125, 0.25),
     threshold: float = 0.0,
+    transform: str = "auto",
 ) -> int | None:
     """Index of the in-focus slice: argmax of midband spectral power.
 
     Returns None when the peak is not prominent (max power below
     ``threshold`` times the median) — the caller extends the scan range,
     as the archived O3 ladder does (``acq_engine.py:1136-1149``).
+
+    ``transform``: "matmul" (the "auto" resolution on TPU) computes the
+    spectra as MXU matmul-DFT einsums; "xla" keeps jnp.fft.
     """
+    if transform == "auto":
+        from shrimpy_tpu.ops.dft import default_transform
+
+        transform = default_transform()
     power = np.asarray(
         _focus_metric_jit(
             jnp.asarray(stack_zyx),
@@ -91,6 +119,7 @@ def focus_from_transverse_band(
             jnp.float32(wavelength_um),
             jnp.float32(na_det),
             band,
+            transform,
         )
     )
     idx = int(np.argmax(power))

@@ -27,6 +27,22 @@ def test_focus_metric_finds_sharpest_slice():
     assert idx == 7
 
 
+def test_focus_metric_matmul_matches_xla():
+    """The half-spectrum matmul-DFT metric (interior x bins double-
+    weighted) equals the full-spectrum jnp.fft metric — including an
+    odd x extent, where no bin is its own mirror except DC."""
+    from shrimpy_tpu.engine.autofocus import _focus_metric_jit
+    import jax.numpy as jnp
+
+    for size in (64, 63):
+        stack = _defocus_stack(in_focus=5, nz=9, size=size)
+        args = (jnp.asarray(stack), jnp.float32(0.116), jnp.float32(0.55),
+                jnp.float32(1.35), (0.125, 0.25))
+        xla = np.asarray(_focus_metric_jit(*args, "xla"))
+        mm = np.asarray(_focus_metric_jit(*args, "matmul"))
+        np.testing.assert_allclose(mm, xla, rtol=1e-4)
+
+
 def test_focus_metric_threshold_rejects_flat_stack():
     stack = np.ones((9, 32, 32), np.float32)
     stack += np.random.default_rng(0).normal(0, 1e-6, stack.shape)
