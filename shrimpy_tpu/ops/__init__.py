@@ -18,6 +18,7 @@ from shrimpy_tpu.ops.features import (
     multi_otsu,
     otsu_component_mask,
 )
+from shrimpy_tpu.ops.dft import cdft, irdft2, irdft3, rdft2, rdft3
 from shrimpy_tpu.ops.pcc import phase_cross_correlation
 from shrimpy_tpu.ops.phase import (
     apply_inverse_transfer_function,
@@ -30,8 +31,13 @@ __all__ = [
     "affine_apply",
     "apply_inverse_transfer_function",
     "binary_mask",
+    "cdft",
     "center_of_mass",
     "compute_transfer_function",
+    "irdft2",
+    "irdft3",
+    "rdft2",
+    "rdft3",
     "deskew_affine_matrix",
     "deskew_volume",
     "deskew_volume_pallas",
