@@ -1,22 +1,23 @@
-"""Headline benchmark + the five BASELINE.json configs.
+"""Headline benchmark + the six benchmark configs.
 
 Headline: deskew + Richardson-Lucy(20) throughput per chip at the
 mantis production geometry (fused Pallas pipeline). Prints the headline
 JSON line::
 
     {"metric": ..., "value": ..., "unit": "GVox/s", "vs_baseline": ...,
-     "configs": [ {...}, x5 ]}
+     "configs": [ {...}, x6 ]}
 
 ``value`` = reconstructed output voxels per second through the full
 pipeline; ``vs_baseline`` is the ratio to the BASELINE.json north-star
 target (1 GVox/s/chip). A scipy-oracle deskew parity check rides along
 as ``parity_err`` (driver budget: <= 1e-3).
 
-The ``configs`` array carries one entry per BASELINE.md benchmark
-config: (1) single-stack deskew vs scipy, (2) RL-20 deconvolution of a
-deskewed production volume, (3) registration estimate+apply, (4)
-streamed HCS plate volumes/min, (5) full-session replay (acquire +
-track + reconstruct).
+The ``configs`` array carries one entry per benchmark config: the five
+BASELINE.md configs — (1) single-stack deskew vs scipy, (2) RL-20
+deconvolution of a deskewed production volume, (3) registration
+estimate+apply, (4) streamed HCS plate volumes/min, (5) full-session
+replay (acquire + track + reconstruct) — plus (6) RL-20 with a
+beyond-extended-rank non-separable PSF (the transform-route exposure).
 
 Budget discipline (the round-2 run was killed before printing anything):
 
@@ -24,10 +25,12 @@ Budget discipline (the round-2 run was killed before printing anything):
   Work that does not fit is recorded as ``{"skipped": "budget"}``
   instead of running past the driver's clock.
 - The headline is measured FIRST (production geometry, best-known
-  config) and printed immediately as an insurance line; the final line
-  with the populated ``configs`` array repeats it. A parser taking the
-  last JSON line sees the full record; a timeout kill still leaves the
-  insurance line on stdout.
+  config) and printed immediately as an insurance line (parity_err
+  null); the bounded parity child runs next and a second insurance
+  line carries it; the final line with the populated ``configs`` array
+  repeats everything. A parser taking the last JSON line sees the full
+  record; a timeout kill still leaves the best insurance line on
+  stdout.
 - Every child subprocess is capped at 300 s. The only retry is on a
   child *timeout* — the known compile-queue stall signature of the
   tunneled TPU (a killed client leaves its compile queued server-side;
@@ -375,7 +378,16 @@ def _config_plate(variant: str | None) -> dict:
     ~35 MB/s each way); ``compute_volumes_per_min`` times the jitted
     reconstruct step alone (synchronous, device wall clock) so the
     compute-bound figure of a real TPU host is extrapolatable."""
-    import jax
+    tmp = Path(tempfile.mkdtemp())
+    try:
+        return _config_plate_inner(tmp)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _config_plate_inner(tmp: Path) -> dict:
     import jax.numpy as jnp
 
     from shrimpy_tpu.config import (
@@ -388,7 +400,6 @@ def _config_plate(variant: str | None) -> dict:
     from shrimpy_tpu.parallel.pipeline import build_reconstruct_step
     from shrimpy_tpu.runtime import reconstruct_store
 
-    tmp = Path(tempfile.mkdtemp())
     plate_path = tmp / "plate.zarr"
     n_pos, n_t = 6, 2
     vol_shape = (64, 128, 512)
@@ -456,6 +467,16 @@ def _config_replay(variant: str | None) -> dict:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    tmp = Path(tempfile.mkdtemp())
+    try:
+        return _config_replay_inner(tmp)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _config_replay_inner(tmp: Path) -> dict:
     from shrimpy_tpu.config import (
         DeconvolveSettings,
         DeskewSettings,
@@ -466,7 +487,6 @@ def _config_replay(variant: str | None) -> dict:
     from shrimpy_tpu.io.synthetic import gaussian_blob
     from shrimpy_tpu.runtime import reconstruct_store
 
-    tmp = Path(tempfile.mkdtemp())
     session = tmp / "session.zarr"
     n_t, vol_shape = 3, (24, 64, 128)
     store = create_hcs(session, channel_names=["BF", "GFP"])
@@ -568,9 +588,9 @@ def _config_nonsep(variant: str | None) -> dict:
     best = _time_best(
         lambda: _sync(richardson_lucy(vol, psf, settings)), repeats=1
     )
-    from shrimpy_tpu.ops.dft import default_transform
+    from shrimpy_tpu.ops.deconv import resolve_fft_backend
 
-    backend = "dft2z" if default_transform() == "matmul" else "fft2z"
+    backend = resolve_fft_backend(settings, vol.ndim)
     return {
         "name": "rl20_nonseparable_fft",
         "shape": shape,
@@ -670,18 +690,9 @@ def main() -> None:
     def child_timeout(margin: float = 30.0) -> float:
         return min(CHILD_TIMEOUT_S, remaining() - margin)
 
-    # Parity runs in a BOUNDED child too: a wedged device tunnel must
-    # not hang the parent before the headline line is printed (round
-    # 2's record was lost to exactly that failure mode). A timeout
-    # leaves parity_err null in the record rather than no record.
-    parity = None
-    payload, timed_out = _run_child(["--parity"], min(180.0, child_timeout()))
-    if payload is None and timed_out and remaining() > CHILD_TIMEOUT_S:
-        payload, _ = _run_child(["--parity"], min(180.0, child_timeout()))
-    if payload is not None:
-        parity = payload.get("parity_err")
-
-    # Headline: best-first, stop at the first geometry that measures.
+    # Headline FIRST (best-first geometries, stop at the first that
+    # measures) — the throughput number is the record that must survive
+    # a timeout kill, so nothing runs before it.
     value = 0.0
     used = None
     out_zyx = None
@@ -710,11 +721,22 @@ def main() -> None:
         "vs_baseline": round(value / 1.0, 4),
         "raw_shape": used,
         "out_shape": out_zyx,
-        "parity_err": round(parity, 8) if parity is not None else None,
+        "parity_err": None,
         "floor_note": FLOOR_NOTE,
     }
-    # Insurance line: if the configs below blow the driver's clock, the
-    # headline is already on stdout.
+    # First insurance line: the throughput record is on stdout before
+    # any further work (parity_err still null here).
+    print(json.dumps({**headline, "configs": []}), flush=True)
+
+    # Parity in a BOUNDED child: a wedged device tunnel must not hang
+    # the parent (round 2's record was lost to exactly that). A timeout
+    # leaves parity_err null in the record rather than no record.
+    payload, timed_out = _run_child(["--parity"], min(180.0, child_timeout()))
+    if payload is None and timed_out and remaining() > CHILD_TIMEOUT_S:
+        payload, _ = _run_child(["--parity"], min(180.0, child_timeout()))
+    if payload is not None and payload.get("parity_err") is not None:
+        headline["parity_err"] = round(payload["parity_err"], 8)
+    # Second insurance line, now carrying parity.
     print(json.dumps({**headline, "configs": []}), flush=True)
 
     configs = []

@@ -35,26 +35,38 @@ def main() -> None:
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--backends", default="dft2z,fft2z")
     ap.add_argument(
+        "--parity-iters", type=int, default=20,
+        help="parity-check depth (independent of --iters: bf16 error "
+        "compounds per iteration, so the validation stays at the real "
+        "20-iteration budget even for quick timing runs)",
+    )
+    ap.add_argument(
         "--transforms-only", action="store_true",
-        help="time rdft2/irdft2 vs jnp.fft on z-chunk-shaped batches",
+        help="time rdft2/irdft2 vs jnp.fft on z-chunk-shaped batches "
+        "of the PADDED RL grid (the shapes the dft2z backend runs)",
     )
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    from bench import _enable_cache
     from shrimpy_tpu.config import DeconvolveSettings
-    from shrimpy_tpu.ops.deconv import richardson_lucy
+    from shrimpy_tpu.ops.deconv import _padded_grid_shape, richardson_lucy
 
+    _enable_cache()
     print(f"platform: {jax.devices()[0].platform}", flush=True)
     psf = _tilted_psf()
 
     if args.transforms_only:
         from shrimpy_tpu.ops.dft import irdft2, rdft2
 
-        # The fft2z working shape: one z chunk of the padded grid.
+        # The fft2z working shape: one z chunk of the PADDED 5-smooth/
+        # lane-aligned grid — the shapes the backend actually
+        # transforms, not the raw volume's.
         shape = tuple(int(v) for v in args.shape.split(","))
-        gy, gx = shape[-2:]
+        grid, _ = _padded_grid_shape(shape, psf.shape)
+        gy, gx = grid[-2:]
         c = 8
         x = jax.random.uniform(jax.random.key(0), (c, gy, gx), jnp.float32)
         fwd_mm = jax.jit(rdft2)
@@ -86,7 +98,7 @@ def main() -> None:
         outs = {}
         for be in ("fft3", "dft2z"):
             s = DeconvolveSettings(
-                iterations=args.iters, algorithm="fft", fft_backend=be
+                iterations=args.parity_iters, algorithm="fft", fft_backend=be
             )
             outs[be] = np.asarray(
                 richardson_lucy(jnp.asarray(vol), _tilted_psf((7, 9, 9)), s)
@@ -106,13 +118,17 @@ def main() -> None:
         s = DeconvolveSettings(
             iterations=args.iters, algorithm="fft", fft_backend=be
         )
+        def run_once():
+            # Function-local output: nothing stays alive in HBM across
+            # runs (a stale ~GB-scale `out` on top of the ~10 GB RL
+            # working set can OOM the production carry).
+            return float(jnp.sum(richardson_lucy(vol, psf, s)))
+
         t0 = time.perf_counter()
-        out = richardson_lucy(vol, psf, s)
-        _ = float(jnp.sum(out))  # scalar readback = reliable device sync
+        run_once()  # scalar readback = reliable device sync
         compile_and_run = time.perf_counter() - t0
         t0 = time.perf_counter()
-        out = richardson_lucy(vol, psf, s)
-        _ = float(jnp.sum(out))
+        run_once()
         warm = time.perf_counter() - t0
         print(
             f"{be} @ {shape}: warm {warm:.3f}s "

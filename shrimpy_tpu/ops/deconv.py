@@ -1098,6 +1098,24 @@ def richardson_lucy(
     return rl_fft(image, psf_np, settings, iters)
 
 
+def resolve_fft_backend(settings: DeconvolveSettings, ndim: int) -> str:
+    """The concrete backend ``fft_backend='auto'`` resolves to.
+
+    Single source of truth shared by :func:`rl_fft` and the bench
+    record (bench config 6 labels its measurement with this), so the
+    recorded backend can never diverge from what actually ran.
+    dft2z (matmul-DFT) only where the MXU justifies it — on CPU/GPU the
+    O(N log N) FFT wins (``ops/dft.py::default_transform``).
+    """
+    fft_backend = settings.fft_backend
+    if fft_backend == "auto":
+        matmul = dft_default_transform() == "matmul"
+        fft_backend = (
+            ("dft2z" if matmul else "fft2z") if ndim == 3 else "fft3"
+        )
+    return fft_backend
+
+
 def rl_fft(image, psf_np, settings, iterations: int):
     """FFT-path RL honoring ``settings.fft_backend`` (auto/fft3/fft2z).
 
@@ -1107,14 +1125,7 @@ def rl_fft(image, psf_np, settings, iterations: int):
     never silently inert in either path.
     """
     grid, pads = _padded_grid_shape(tuple(image.shape), tuple(psf_np.shape))
-    fft_backend = settings.fft_backend
-    if fft_backend == "auto":
-        # dft2z (matmul-DFT) only where the MXU justifies it — on CPU/
-        # GPU the O(N log N) FFT wins (ops/dft.py::default_transform).
-        matmul = dft_default_transform() == "matmul"
-        fft_backend = (
-            ("dft2z" if matmul else "fft2z") if image.ndim == 3 else "fft3"
-        )
+    fft_backend = resolve_fft_backend(settings, image.ndim)
     if fft_backend in ("fft2z", "dft2z") and image.ndim != 3:
         raise ValueError(
             f"fft_backend='{fft_backend}' needs a 3-D volume (got "
