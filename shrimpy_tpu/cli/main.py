@@ -679,7 +679,13 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
         if journal.exists():
             for line in journal.read_text().splitlines():
                 try:
-                    pos_key, t, _c = json.loads(line)["key"].split("|")
+                    rec = json.loads(line)
+                    if not isinstance(rec, dict) or "failed" in rec:
+                        # mark_failed records carry 'key' too but were
+                        # never written — counting them would preview a
+                        # timepoint that isn't on disk.
+                        continue
+                    pos_key, t, _c = rec["key"].split("|")
                     t = int(t)  # inside the guard: torn lines skip whole
                 except (json.JSONDecodeError, KeyError, ValueError):
                     continue

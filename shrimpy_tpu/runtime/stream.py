@@ -116,15 +116,10 @@ def _create_output_store(
             out_path, channel_names=names, version=in_store.version
         )
         for pos_key in by_pos:
-            in_pos = in_store.positions()[pos_key]
-            row, col, fov = pos_key.split("/")
-            pos = out_store.create_position(
-                row, col, fov, channel_names=in_pos.channel_names, zyx_scale=out_voxel
+            positions_out[pos_key] = _create_plate_position(
+                out_store, in_store.positions()[pos_key], pos_key,
+                out_zyx, out_voxel, dtype,
             )
-            pos.create_array(
-                (in_pos.shape[0], in_pos.shape[1], *out_zyx), dtype=dtype
-            )
-            positions_out[pos_key] = pos
     else:
         in_pos = in_store.position()
         pos = ngff.create_fov(
@@ -139,8 +134,27 @@ def _create_output_store(
     return positions_out
 
 
+def _create_plate_position(
+    out_store, in_pos, pos_key: str, out_zyx, out_voxel, dtype: str
+):
+    """One output plate position mirroring ``in_pos`` (shared by fresh
+    store creation and the missing-position backfill, so the two paths
+    can never diverge)."""
+    row, col, fov = pos_key.split("/")
+    pos = out_store.create_position(
+        row, col, fov, channel_names=in_pos.channel_names, zyx_scale=out_voxel
+    )
+    pos.create_array(
+        (in_pos.shape[0], in_pos.shape[1], *out_zyx), dtype=dtype
+    )
+    return pos
+
+
 def _as_output_dtype(batch: np.ndarray, dtype: str) -> np.ndarray:
     if dtype == "uint16":
+        # NaN survives np.clip and NaN->uint16 is undefined (platform-
+        # dependent garbage); zero non-finite voxels explicitly.
+        batch = np.nan_to_num(batch, nan=0.0, posinf=65535.0, neginf=0.0)
         return np.clip(batch, 0, 65535).astype(np.uint16)
     return batch.astype(np.float32)
 
@@ -162,7 +176,7 @@ class _Progress:
             for line in path.read_text().splitlines():
                 try:
                     rec = json.loads(line)
-                    if "failed" in rec:
+                    if not isinstance(rec, dict) or "failed" in rec:
                         continue
                     self.done.add(rec["key"])
                 except (json.JSONDecodeError, KeyError):
@@ -240,7 +254,13 @@ def reconstruct_store(
         batch_size = round_up(batch_size, batch_axis)
 
     progress_path = output_path.with_suffix(output_path.suffix + ".progress.jsonl")
-    if not resume and progress_path.exists():
+    if progress_path.exists() and (
+        not resume
+        # A journal without its output store is stale (the store was
+        # deleted to start over but the sidecar was missed): trusting
+        # it would skip 'done' items into a fresh store full of holes.
+        or not output_path.exists()
+    ):
         progress_path.unlink()
     progress = _Progress(progress_path)
     todo = [it for it in items if it.key not in progress.done]
@@ -263,14 +283,16 @@ def reconstruct_store(
         # run would journal all items failed yet exit 0 — a "success"
         # that wrote nothing.
         for pos_key, pos in positions_out.items():
-            have = tuple(pos.shape[2:])
-            if have != tuple(out_zyx) or str(pos.dtype) != settings.output_dtype:
+            in_tc = tuple(in_store.positions()[pos_key].shape[:2])
+            want = (*in_tc, *out_zyx)
+            if tuple(pos.shape) != want or str(pos.dtype) != settings.output_dtype:
                 raise ValueError(
                     f"existing output {output_path} position {pos_key} has "
-                    f"shape {have} dtype {pos.dtype}, but this run produces "
-                    f"{tuple(out_zyx)} {settings.output_dtype} — the output "
-                    "was written with different settings; remove it or "
-                    "point -o elsewhere"
+                    f"shape {tuple(pos.shape)} dtype {pos.dtype}, but this "
+                    f"run produces {want} {settings.output_dtype} — the "
+                    "output was written with different settings or against "
+                    "a store whose T/C extents have since changed; remove "
+                    "it or point -o elsewhere"
                 )
         # A broader selection (or a run that crashed during store
         # creation) can reference positions the existing output lacks:
@@ -278,18 +300,10 @@ def reconstruct_store(
         missing = {it.position for it in items} - set(positions_out)
         if missing and out_store.is_plate:
             for pos_key in sorted(missing):
-                in_pos = in_store.positions()[pos_key]
-                row, col, fov = pos_key.split("/")
-                pos = out_store.create_position(
-                    row, col, fov,
-                    channel_names=in_pos.channel_names,
-                    zyx_scale=out_voxel,
+                positions_out[pos_key] = _create_plate_position(
+                    out_store, in_store.positions()[pos_key], pos_key,
+                    out_zyx, out_voxel, settings.output_dtype,
                 )
-                pos.create_array(
-                    (in_pos.shape[0], in_pos.shape[1], *out_zyx),
-                    dtype=settings.output_dtype,
-                )
-                positions_out[pos_key] = pos
         elif missing:
             raise ValueError(
                 f"existing FOV output {output_path} lacks positions "
@@ -485,12 +499,18 @@ def reconstruct_store(
     if settings.pyramid_levels > 0:
         # Over ALL output positions, not just this run's todo — a
         # resumed run (todo empty or partial) must still be able to add
-        # levels a crashed run never wrote; already-leveled positions
-        # are skipped, so the stage is idempotent.
+        # levels a crashed run never wrote. Positions whose BASE data
+        # changed this run re-pool even if levels exist (a resume that
+        # retried a previously-failed item would otherwise leave stale
+        # level data); add_pyramid_levels is idempotent.
+        written = {it.position for it in todo if it.key in progress.done}
         with timer.stage("pyramid"):
             for pos_key in {it.position for it in items}:
                 pos = positions_out[pos_key]
-                if len(pos.attrs["multiscales"][0]["datasets"]) == 1:
+                unleveled = (
+                    len(pos.attrs["multiscales"][0]["datasets"]) == 1
+                )
+                if unleveled or pos_key in written:
                     ngff.add_pyramid_levels(pos, settings.pyramid_levels)
 
     summary = {

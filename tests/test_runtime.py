@@ -89,6 +89,54 @@ def test_uint16_output(tmp_path, ls_fov):
     assert out.dtype == np.uint16
 
 
+def test_uint16_output_zeroes_nonfinite():
+    from shrimpy_tpu.runtime.stream import _as_output_dtype
+
+    batch = np.array(
+        [[np.nan, np.inf, -np.inf, 1.5, -2.0, 70000.0]], np.float32
+    )
+    out = _as_output_dtype(batch, "uint16")
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, [[0, 65535, 0, 1, 0, 65535]])
+
+
+def test_stale_journal_without_output_is_discarded(tmp_path, ls_fov):
+    """Deleting the output store but leaving the progress sidecar must
+    NOT skip 'done' items into a fresh store full of holes."""
+    import shutil
+
+    out = tmp_path / "out.zarr"
+    settings = ReconstructSettings(deskew=DESKEW)
+    reconstruct_store(ls_fov, out, settings)
+    shutil.rmtree(out)
+    assert out.with_suffix(out.suffix + ".progress.jsonl").exists()
+    summary = reconstruct_store(ls_fov, out, settings, resume=True)
+    assert summary["volumes"] == 1
+    assert summary["skipped_resume"] == 0
+    vol = open_ngff(out).position().volume(0, 0)
+    assert np.isfinite(vol).all() and vol.max() > 0
+
+
+def test_existing_output_with_changed_t_extent_rejected(tmp_path, rng):
+    """Existing-output validation covers T/C, not just ZYX: a grown
+    acquisition store must not silently fail every new-timepoint write."""
+    src = tmp_path / "grow.zarr"
+    pos = create_fov(src, shape=(1, 1, 8, 16, 16), dtype="float32")
+    pos.write(Ellipsis, rng.random((1, 1, 8, 16, 16), dtype=np.float32))
+    out = tmp_path / "out.zarr"
+    settings = ReconstructSettings(deskew=DESKEW)
+    reconstruct_store(src, out, settings)
+
+    # Grow the source's T extent (metadata-level resize).
+    arr = pos.array()
+    arr.resize(exclusive_max=(3, 1, 8, 16, 16)).result()
+    pos2 = open_ngff(src).position()
+    pos2.write((slice(1, 3),), rng.random((2, 1, 8, 16, 16), dtype=np.float32))
+
+    with pytest.raises(ValueError, match="T/C extents|different settings"):
+        reconstruct_store(src, out, settings, resume=True)
+
+
 def test_registration_apply_stage(tmp_path, rng):
     """A transform JSON estimated offline is applied in the pipeline."""
     import json as _json
@@ -395,6 +443,39 @@ def test_io_persistent_failure_contained_and_resumable(tmp_path, rng, monkeypatc
     assert summary2["volumes"] == 1
     assert summary2["skipped_resume"] == 2
     assert summary2["failed"] == []
+
+
+def test_pyramid_repools_after_resume_retry(tmp_path, rng, monkeypatch):
+    """A resume run that retries a previously-failed item must re-pool
+    the pyramid: the first run's levels pooled a zero base volume for
+    that item and would otherwise stay stale forever."""
+    from shrimpy_tpu.io.ngff import NgffPosition
+
+    path = tmp_path / "in.zarr"
+    pos = create_fov(path, shape=(2, 1, 8, 16, 16), dtype="float32")
+    for t in range(2):
+        pos.write((t, 0), rng.random((8, 16, 16), dtype=np.float32) + 1.0)
+
+    monkeypatch.setattr(
+        NgffPosition, "read_async",
+        _flaky(NgffPosition.read_async, {(1, 0): 10**6}),
+    )
+    settings = ReconstructSettings(
+        deskew=DESKEW,
+        pyramid_levels=1,
+        io_retry={"attempts": 2, "wait_s": 0.0},
+    )
+    summary = reconstruct_store(path, tmp_path / "out.zarr", settings)
+    assert len(summary["failed"]) == 1
+    out = open_ngff(tmp_path / "out.zarr").position()
+    level1_before = np.asarray(out.array("1")[1, 0].read().result())
+    assert level1_before.max() == 0.0  # pooled from the unwritten base
+
+    monkeypatch.undo()
+    reconstruct_store(path, tmp_path / "out.zarr", settings, resume=True)
+    out = open_ngff(tmp_path / "out.zarr").position()
+    level1_after = np.asarray(out.array("1")[1, 0].read().result())
+    assert level1_after.max() > 0.0, "stale pyramid level after resume"
 
 
 def test_io_strict_mode_aborts(tmp_path, rng, monkeypatch):
