@@ -100,7 +100,19 @@ class RunControl:
         if mtime == self._mtime:
             return
         cmd = self._read_file()
-        if cmd is not None and cmd != self._command:
+        if cmd is None:
+            # The file changed but carries no valid command (truncated
+            # JSON, or e.g. {"command": "stop"}). Say so loudly: the
+            # mtime is recorded, so the content won't be re-read and a
+            # silent swallow would leave the operator believing their
+            # command took effect.
+            logger.warning(
+                "run control %s: changed but unreadable or unknown "
+                "command (expected one of %s); ignoring",
+                self.path, COMMANDS,
+            )
+            return
+        if cmd != self._command:
             logger.info("run control %s -> %s", self.path, cmd)
             self._command = cmd
 

@@ -73,6 +73,14 @@ class DualReplayConfig(BaseModel):
             raise ValueError(
                 f"arms must share one timepoint loop; got n_timepoints={n_t}"
             )
+        ivals = {a.plan.time.interval_s for a in self.arms.values()}
+        if len(ivals) != 1:
+            # The barrier forces one physical clock: a faster arm would
+            # log a spurious latency overrun every timepoint while
+            # waiting on the slower cadence.
+            raise ValueError(
+                f"arms must share one interval_s; got {sorted(ivals)}"
+            )
         return self
 
 
@@ -101,6 +109,9 @@ class DualArmAcquisition:
         n_t = {plan.time.n_timepoints for _, plan in arms.values()}
         if len(n_t) != 1:
             raise ValueError(f"arms disagree on n_timepoints: {n_t}")
+        ivals = {plan.time.interval_s for _, plan in arms.values()}
+        if len(ivals) != 1:
+            raise ValueError(f"arms disagree on interval_s: {sorted(ivals)}")
         self.arms = arms
         self.stage = PositionStore()
         self.barrier = threading.Barrier(len(arms))
@@ -115,16 +126,16 @@ class DualArmAcquisition:
     def run(self, output_dir: str | Path, name: str) -> dict[str, ArmResult]:
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
-        # Resolve ONE auto-increment for the whole family so a re-run
-        # moves every arm together (per-arm increments could pair
-        # plate_labelfree.zarr with plate_1_lightsheet.zarr).
+        # Each arm's base name is "{name}_{arm}"; the ENGINE's own
+        # resolve_acquisition_name appends the chunk index at the END
+        # ("{name}_{arm}" -> "{name}_{arm}_1"). That keeps re-runs
+        # inside the engine's chunk-family scheme (base or
+        # base_<digits>), so remote-refocus offsets restore across
+        # dual-arm chunks exactly like single-arm ones (an index in the
+        # MIDDLE, "{name}_1_{arm}", would never match the previous
+        # chunk's summary glob). Arms that always run together count
+        # the same existing outputs, so their indices stay in lockstep.
         final = name
-        i = 1
-        while any(
-            (output_dir / f"{final}_{arm}.zarr").exists() for arm in self.arms
-        ):
-            final = f"{name}_{i}"
-            i += 1
 
         results: dict[str, ArmResult] = {}
         threads = []
@@ -166,12 +177,40 @@ class DualArmAcquisition:
                     # instead of letting it ride out the stall timeout.
                     self.barrier.abort()
             except threading.BrokenBarrierError:
-                results[arm] = ArmResult(
-                    name=arm,
-                    error="aborted: timepoint barrier broken (another arm "
-                          "stalled or failed)",
+                # The engine auto-increments its store name, so locate
+                # this run's (the newest) output in the arm's family.
+                candidates = sorted(
+                    output_dir.glob(f"{final}_{arm}*.zarr"),
+                    key=lambda p: p.stat().st_mtime,
                 )
-                logger.error("arm %s aborted at the timepoint barrier", arm)
+                out_path = candidates[-1] if candidates else None
+                if (
+                    self.run_control is not None
+                    and self.run_control.command == "abort"
+                ):
+                    # Clean lockstep cut: a partner saw the operator's
+                    # abort first and released this arm via
+                    # barrier.abort() while it was already waiting.
+                    # That is the REQUESTED outcome, not a stall — keep
+                    # the partial output on the record.
+                    results[arm] = ArmResult(
+                        name=arm,
+                        output=str(out_path) if out_path else None,
+                        aborted=True,
+                    )
+                    logger.warning(
+                        "arm %s aborted by run control at the barrier "
+                        "(partial output remains on disk)", arm,
+                    )
+                else:
+                    results[arm] = ArmResult(
+                        name=arm,
+                        error="aborted: timepoint barrier broken (another "
+                              "arm stalled or failed)",
+                    )
+                    logger.error(
+                        "arm %s aborted at the timepoint barrier", arm
+                    )
             except Exception as e:
                 # Break the barrier so the other arms abort instead of
                 # waiting out the stall timeout on a dead partner.
@@ -189,8 +228,15 @@ class DualArmAcquisition:
         for th in threads:
             th.join()
 
+        # The dual summary gets its own auto-increment (the per-arm
+        # stores are incremented inside each engine).
+        summary_name = final
+        i = 1
+        while (output_dir / f"{summary_name}_dualarm_summary.json").exists():
+            summary_name = f"{final}_{i}"
+            i += 1
         summary = {
-            "name": final,
+            "name": summary_name,
             "arms": {
                 arm: results.get(
                     arm, ArmResult(name=arm, error="thread died")
@@ -202,6 +248,6 @@ class DualArmAcquisition:
                 for k, pos in self.stage.snapshot().items()
             },
         }
-        with open(output_dir / f"{final}_dualarm_summary.json", "w") as f:
+        with open(output_dir / f"{summary_name}_dualarm_summary.json", "w") as f:
             json.dump(summary, f, indent=2)
         return results

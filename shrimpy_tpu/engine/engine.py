@@ -40,6 +40,14 @@ from shrimpy_tpu.tracking.position import PositionStore, PositionUpdateManager
 
 logger = logging.getLogger(__name__)
 
+# Nominal laser power of the replay brightness model: the recording's
+# brightness corresponds to source_exposure_ms at THIS power. Both
+# halves of the model (_run_autoexposure's acquire callback and
+# _effective_exposure_ms's render scaling) must use the same value or
+# autoexposure would pick an operating point the replay then renders at
+# a different brightness.
+NOMINAL_LASER_POWER = 10.0
+
 
 class SkipEvent(Exception):
     """Skip the remaining frames of a position; the writer zero-pads.
@@ -266,6 +274,13 @@ class AcquisitionEngine:
                     "a single-FOV source has exactly one position; got "
                     f"{positions}"
                 )
+            if not positions:
+                # positions: [] (or a CSV matching zero rows) would
+                # otherwise create the output store and crash mid-run.
+                raise ValueError(
+                    "the plan selects zero positions (empty positions "
+                    "list / CSV); select at least one"
+                )
             source_of = {p: p for p in positions}
         channels = (
             [c.name for c in plan.channels]
@@ -441,15 +456,14 @@ class AcquisitionEngine:
                         )
                     src_key = source_of[p_key]
                     if not autofocus.engage(t, p_idx):
-                        # SkipEvent contract: zero-padded volumes on disk.
-                        try:
-                            raise SkipEvent(len(channels) * nz)
-                        except SkipEvent:
-                            zeros = np.zeros((nz, ny, nx), np.float32)
-                            for ci in range(len(channels)):
-                                out_pos.write((t, ci), zeros)
-                            skipped.append((t, p_key))
-                            continue
+                        # SkipEvent contract (reference mantis_engine.py
+                        # autofocus failure path): zero-padded volumes
+                        # stay on disk and the visit is recorded skipped.
+                        zeros = np.zeros((nz, ny, nx), np.float32)
+                        for ci in range(len(channels)):
+                            out_pos.write((t, ci), zeros)
+                        skipped.append((t, p_key))
+                        continue
                     if t == 0 and plan.autoexposure.enabled:
                         # Per-well exposure selection on the first visit
                         # (archive acq_engine.py:1414-1441).
@@ -569,6 +583,13 @@ class AcquisitionEngine:
                 "skipped_autofocus": [[t, p] for t, p in skipped],
                 "interval_overruns": [[t, round(s, 3)] for t, s in overruns],
                 "refocus_events": [[t, p, d] for t, p, d in self._refocus_events],
+                # TOTAL accumulated offsets (restored + this chunk's):
+                # chunk restore reads this, so offsets survive 3+ chunks
+                # (summing only the latest chunk's events would drop
+                # whatever IT had restored).
+                "refocus_total_z": {
+                    p: int(v) for p, v in self._refocus_z.items()
+                },
                 "exposures": {
                     p: [e, pw] for p, (e, pw) in self._exposures.items()
                 },
@@ -597,6 +618,10 @@ class AcquisitionEngine:
                     "acquisition %s failed after %d volumes: %s",
                     final_name, n_volumes, run_error,
                 )
+            if log_file:
+                from shrimpy_tpu.utils.logging import release_log_file
+
+                release_log_file(log_file)
         return out_path
 
     # -- helpers -------------------------------------------------------------
@@ -623,8 +648,16 @@ class AcquisitionEngine:
         except (OSError, json.JSONDecodeError):
             logger.warning("could not read previous chunk summary %s", latest)
             return
-        for t, p, delta in summary.get("refocus_events", []):
-            self._refocus_z[p] = self._refocus_z.get(p, 0) + int(delta)
+        totals = summary.get("refocus_total_z")
+        if totals is not None:
+            # Totals carry restored + own offsets across any chunk count.
+            for p, total in totals.items():
+                self._refocus_z[p] = int(total)
+        else:
+            # Older summaries: fall back to this chunk's own events
+            # (lossy past two chunks, but the best available record).
+            for t, p, delta in summary.get("refocus_events", []):
+                self._refocus_z[p] = self._refocus_z.get(p, 0) + int(delta)
         if self._refocus_z:
             logger.info(
                 "restored refocus offsets from %s: %s", latest.name, self._refocus_z
@@ -642,7 +675,7 @@ class AcquisitionEngine:
             ae_name = ae.channel or channels[0]
             if channels[ci] == ae_name:
                 exposure, power = self._exposures[p_key]
-                return exposure * (power / 10.0)
+                return exposure * (power / NOMINAL_LASER_POWER)
         return ch_exposure[ci]
 
     def _run_autoexposure(
@@ -674,7 +707,7 @@ class AcquisitionEngine:
         )
         base = self.source.volume(src_key or p_key, 0, c)
         mid = base[base.shape[0] // 2].astype(np.float64)
-        nominal_power = 10.0
+        nominal_power = NOMINAL_LASER_POWER
 
         def acquire(exposure_ms, laser_power):
             # Replay camera model: recorded brightness corresponds to

@@ -343,6 +343,13 @@ class AcquisitionPlan(BaseModel):
                 "channels must be a non-empty list (omit it or use null "
                 "for all source channels)"
             )
+        if self.positions is not None and not self.positions:
+            # Same trap as channels: [] — an explicit empty selection
+            # would create the output store then crash mid-run.
+            raise ValueError(
+                "positions must be a non-empty list (omit it or use "
+                "null for all source positions)"
+            )
         if self.axis_order != "tpcz":
             # Declared-and-rejected rather than silently ignored: the
             # replay engine's loop nesting is t -> p -> c -> z only.

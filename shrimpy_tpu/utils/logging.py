@@ -11,6 +11,7 @@ from __future__ import annotations
 import logging
 import logging.handlers
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -18,6 +19,7 @@ CONSOLE_FORMAT = "%(levelname).4s %(name)s: %(message)s"
 FILE_FORMAT = "%(asctime)s %(levelname)-8s %(name)s [%(processName)s] %(message)s"
 
 _ROOT = "shrimpy_tpu"
+_LOCK = threading.Lock()
 
 
 def configure_logging(
@@ -29,33 +31,59 @@ def configure_logging(
     """Configure console logging; optionally add a per-acquisition file.
 
     Returns the log file path when ``log_dir`` is given. Repeated calls
-    reconfigure idempotently (handlers are replaced, not stacked).
+    reconfigure idempotently (the console handler is replaced, not
+    stacked). File handlers belonging to OTHER acquisitions are left
+    alone — dual-arm engines configure concurrently from their own
+    threads, and closing a partner's live handler would truncate its
+    log mid-run (messages then land in every attached file; callers
+    release their own with :func:`release_log_file` when done).
     """
     logger = logging.getLogger(_ROOT)
-    logger.setLevel(logging.DEBUG)
-    logger.propagate = False
-    for h in list(logger.handlers):
-        logger.removeHandler(h)
-        h.close()  # flush + release the fd (reconfigured per acquisition)
+    with _LOCK:
+        logger.setLevel(logging.DEBUG)
+        logger.propagate = False
+        for h in list(logger.handlers):
+            if isinstance(h, logging.FileHandler):
+                if getattr(h, "_shrimpy_acq", None) != acquisition_name:
+                    continue  # another acquisition's live log file
+            logger.removeHandler(h)
+            h.close()  # flush + release the fd
 
-    console = logging.StreamHandler(sys.stderr)
-    console.setLevel(level)
-    console.setFormatter(logging.Formatter(CONSOLE_FORMAT))
-    logger.addHandler(console)
+        console = logging.StreamHandler(sys.stderr)
+        console.setLevel(level)
+        console.setFormatter(logging.Formatter(CONSOLE_FORMAT))
+        logger.addHandler(console)
 
-    if log_dir is None:
-        return None
-    log_dir = Path(log_dir) / "logs"
-    log_dir.mkdir(parents=True, exist_ok=True)
-    stamp = time.strftime("%Y%m%dT%H%M%S")
-    name = acquisition_name or "shrimpy_tpu"
-    log_file = log_dir / f"{stamp}_{name}.log"
-    fh = logging.FileHandler(log_file)
-    fh.setLevel(logging.DEBUG)  # file gets DEBUG, console stays at `level`
-    fh.setFormatter(logging.Formatter(FILE_FORMAT))
-    logger.addHandler(fh)
+        if log_dir is None:
+            return None
+        log_dir = Path(log_dir) / "logs"
+        log_dir.mkdir(parents=True, exist_ok=True)
+        stamp = time.strftime("%Y%m%dT%H%M%S")
+        name = acquisition_name or "shrimpy_tpu"
+        log_file = log_dir / f"{stamp}_{name}.log"
+        fh = logging.FileHandler(log_file)
+        fh.setLevel(logging.DEBUG)  # file gets DEBUG, console stays at `level`
+        fh.setFormatter(logging.Formatter(FILE_FORMAT))
+        fh._shrimpy_acq = acquisition_name
+        logger.addHandler(fh)
     log_environment(logger)
     return log_file
+
+
+def release_log_file(log_file: str | Path) -> None:
+    """Detach and close the per-acquisition file handler for ``log_file``.
+
+    Called by the engine when its acquisition finishes so sequential
+    acquisitions in one process don't keep appending to earlier files.
+    """
+    logger = logging.getLogger(_ROOT)
+    with _LOCK:
+        for h in list(logger.handlers):
+            if isinstance(h, logging.FileHandler) and Path(
+                getattr(h, "baseFilename", "")
+            ) == Path(log_file):
+                logger.removeHandler(h)
+                h.close()
 
 
 def log_environment(logger: logging.Logger) -> None:

@@ -151,8 +151,12 @@ def test_family_auto_increment_moves_arms_together(tmp_path):
     r1 = make().run(tmp_path / "out", "dual")
     r2 = make().run(tmp_path / "out", "dual")
     assert r1["lf"].output.endswith("dual_lf.zarr")
-    assert r2["lf"].output.endswith("dual_1_lf.zarr")
-    assert r2["ls"].output.endswith("dual_1_ls.zarr")
+    # The chunk index lands at the END of each arm's name (the engine's
+    # own auto-increment scheme), so the refocus chunk-family glob
+    # ("dual_lf" or "dual_lf_<digits>") matches across dual re-runs —
+    # an index in the middle ("dual_1_lf") would never restore offsets.
+    assert r2["lf"].output.endswith("dual_lf_1.zarr")
+    assert r2["ls"].output.endswith("dual_ls_1.zarr")
 
 
 def test_dual_config_validation():
