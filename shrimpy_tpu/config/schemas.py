@@ -71,6 +71,8 @@ class DeskewSettings(BaseModel):
             raise ValueError("average_n_slices must be >= 1")
         if not (0.0 < self.ls_angle_deg < 90.0):
             raise ValueError("ls_angle_deg must be in (0, 90)")
+        if self.px_to_scan_ratio is not None and not self.px_to_scan_ratio > 0:
+            raise ValueError("px_to_scan_ratio must be > 0")
         return self
 
     def require_ratio(self) -> float:

@@ -79,6 +79,13 @@ class ViewerFeeder:
             # file-based stand-in for the reference's queue handle.
             import json
 
+            # A previous acquisition's volume index references a dead
+            # ring (possibly with different slot counts): stale entries
+            # would crash or pollute attaching monitors. Unlink BEFORE
+            # publishing the new descriptor — a monitor attaching
+            # between the two steps must never pair the new ring with
+            # the old index.
+            (self.preview_dir / "volumes.jsonl").unlink(missing_ok=True)
             (self.preview_dir / "ring.json").write_text(
                 json.dumps(
                     {
@@ -89,10 +96,6 @@ class ViewerFeeder:
                     }
                 )
             )
-            # A previous acquisition's volume index references a dead
-            # ring (possibly with different slot counts): stale entries
-            # would crash or pollute attaching monitors.
-            (self.preview_dir / "volumes.jsonl").unlink(missing_ok=True)
         ctx = mp.get_context("spawn")
         self._queue = ctx.Queue(maxsize=QUEUE_MAX)
         self._proc = ctx.Process(

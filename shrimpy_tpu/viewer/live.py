@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import json
 import logging
+import os
+import re
 from pathlib import Path
 
 import numpy as np
@@ -40,6 +42,11 @@ from shrimpy_tpu.viewer.deskew_preview import deskew_preview_plane
 from shrimpy_tpu.viewer.ring import FrameRing
 
 logger = logging.getLogger(__name__)
+
+
+def _slug(s: str) -> str:
+    """Filesystem/URL-safe name fragment for preview filenames."""
+    return re.sub(r"[^A-Za-z0-9._-]", "_", s)
 
 
 # Channel-name substring -> display colormap; first match wins, default
@@ -112,12 +119,19 @@ class LiveMonitor:
         changed = False
         view = self._read_control("view.json")
         if view is not None:
-            follow = bool(view.get("follow", True))
-            pinned = view.get("t")
-            pinned = int(pinned) if pinned is not None else None
-            if (follow, pinned) != (self.follow, self.pinned_t):
-                self.follow, self.pinned_t = follow, pinned
-                changed = True
+            try:
+                # view.json is hand-editable: a malformed-but-valid-JSON
+                # value ({"t": "2 "} / {"t": [2]}) must not kill the
+                # monitor loop.
+                follow = bool(view.get("follow", True))
+                pinned = view.get("t")
+                pinned = int(pinned) if pinned is not None else None
+            except (TypeError, ValueError):
+                logger.warning("invalid view.json values (ignored): %r", view)
+            else:
+                if (follow, pinned) != (self.follow, self.pinned_t):
+                    self.follow, self.pinned_t = follow, pinned
+                    changed = True
             # ``{"contrast": "refresh"}`` drops the frozen limits so the
             # next render re-stretches per channel — the knob for the
             # deliberate divergence from the reference's per-update
@@ -137,7 +151,14 @@ class LiveMonitor:
         if geo is not None:
             try:
                 new = DeskewSettings(**geo)
-                new.require_ratio()  # a preview geometry must be renderable
+                ratio = new.require_ratio()  # must be renderable
+                if not ratio >= 1e-3:
+                    # (ns-1)/ratio sizes the preview grid: a near-zero
+                    # ratio means an OverflowError or a multi-GB alloc
+                    # on every render.
+                    raise ValueError(
+                        f"px_to_scan_ratio {ratio} too small to preview"
+                    )
             except Exception:
                 logger.exception("invalid deskew.json (ignored)")
             else:
@@ -197,11 +218,23 @@ class LiveMonitor:
 
     # -- render ----------------------------------------------------------------
     def render_dirty(self) -> int:
-        """Render all dirty layers; returns how many were drawn."""
+        """Render all dirty layers; returns how many were drawn.
+
+        Per-layer isolation: one bad render (bad geometry, filesystem
+        error) must not starve the other layers or leave ``state.json``
+        stale; the failing layer is logged and retried next time it
+        dirties. ``state.json`` is rewritten only when there was work —
+        an idle monitor must not churn the disk every poll tick.
+        """
+        if not self._dirty:
+            return 0
         n = 0
         for key in sorted(self._dirty):
-            if self._render_layer(key):
-                n += 1
+            try:
+                if self._render_layer(key):
+                    n += 1
+            except Exception:
+                logger.exception("render failed for layer %s (skipped)", key)
         self._dirty.clear()
         self._write_state()
         return n
@@ -262,10 +295,14 @@ class LiveMonitor:
         for ax in axes:
             ax.axis("off")
         fig.tight_layout()
-        fig.savefig(
-            self.out_dir / f"live_p{str(p).replace('/', '_')}_{channel}.png",
-            dpi=72,
-        )
+        # Channel names routinely carry '/'+spaces (filter specs like
+        # 'GFP EX488 EM525/50'): slug BOTH name parts, and publish
+        # atomically — the web server read_bytes() the same file while
+        # the browser polls, and a mid-savefig read returns a torn PNG.
+        final = self.out_dir / f"live_p{_slug(str(p))}_{_slug(channel)}.png"
+        tmp = final.with_suffix(".png.tmp")
+        fig.savefig(tmp, format="png", dpi=72)
+        os.replace(tmp, final)
         plt.close(fig)
 
     def _write_state(self) -> None:
@@ -294,6 +331,12 @@ class VolumeIndexTail:
     def poll(self) -> list[dict]:
         try:
             with open(self.path, "rb") as f:
+                size = os.fstat(f.fileno()).st_size
+                if size < self._offset:
+                    # Truncated/recreated (a new acquisition reused the
+                    # directory): restart from the top instead of going
+                    # silently blind behind a stale offset.
+                    self._offset = 0
                 f.seek(self._offset)
                 chunk = f.read()
         except FileNotFoundError:

@@ -31,6 +31,7 @@ import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
+from urllib.parse import unquote
 
 from shrimpy_tpu.utils.fileio import atomic_write_text
 
@@ -225,7 +226,9 @@ class _Handler(BaseHTTPRequestHandler):
                     continue  # unlinked between glob and stat (eviction)
             self._send_json(imgs)
         elif path.startswith("/img/"):
-            name = path[len("/img/"):]
+            # Browsers percent-encode names (the listing is used
+            # verbatim in the <img> URL), so decode before the checks.
+            name = unquote(path[len("/img/"):])
             # Serve only flat PNG names out of out_dir — no traversal.
             if "/" in name or name != Path(name).name or not name.endswith(".png"):
                 self._send_json({"error": "bad name"}, 404)
@@ -245,6 +248,11 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             n = int(self.headers.get("Content-Length", 0))
+            # Control bodies are tiny JSON objects; a huge (or negative)
+            # Content-Length would buffer arbitrary bytes into memory /
+            # block the handler thread.
+            if not 0 <= n <= 65536:
+                raise ValueError("control body too large")
             body = json.loads(self.rfile.read(n) or b"{}")
             if not isinstance(body, dict):
                 raise ValueError("control body must be a JSON object")
