@@ -226,10 +226,14 @@ class DeconvolveSettings(BaseModel):
     #   Tukey) instead of XLA's FFT, which runs ~14x off the bandwidth
     #   roofline on TPU. Same math, same grid; large non-separable
     #   volumes run several times faster.
+    # * "dft3": plain whole-volume update with matmul-DFT transforms —
+    #   no z-banding, so no banded-sum traffic; the fastest option when
+    #   the full 3-D spectrum fits HBM (the production carry does not —
+    #   use dft2z there).
     # "auto" = platform-resolved 2z backend for 3-D volumes (dft2z on
     # TPU, fft2z elsewhere — CPU/GPU FFTs are near-optimal), fft3
     # otherwise.
-    fft_backend: Literal["auto", "fft3", "fft2z", "dft2z"] = "auto"
+    fft_backend: Literal["auto", "fft3", "fft2z", "dft2z", "dft3"] = "auto"
     fft_z_chunk: int = 8
 
     @model_validator(mode="after")

@@ -50,7 +50,9 @@ import numpy as np
 from shrimpy_tpu.config.schemas import DeconvolveSettings
 from shrimpy_tpu.ops.dft import default_transform as dft_default_transform
 from shrimpy_tpu.ops.dft import irdft2 as dft_irdft2
+from shrimpy_tpu.ops.dft import irdft3 as dft_irdft3
 from shrimpy_tpu.ops.dft import rdft2 as dft_rdft2
+from shrimpy_tpu.ops.dft import rdft3 as dft_rdft3
 from shrimpy_tpu.utils.cache import LruCache
 from shrimpy_tpu.utils.fft import next_fast_len, next_fast_len_tpu
 
@@ -95,7 +97,12 @@ def _embed_psf(psf: jnp.ndarray, grid: tuple[int, ...]) -> jnp.ndarray:
     return jnp.roll(embedded, shifts, axis=tuple(range(psf.ndim)))
 
 
-@partial(jax.jit, static_argnames=("iterations", "grid", "pads", "epsilon", "pad_mode"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "grid", "pads", "epsilon", "pad_mode", "transform"
+    ),
+)
 def _rl_jit(
     image: jnp.ndarray,
     psf: jnp.ndarray,
@@ -105,18 +112,30 @@ def _rl_jit(
     pads: tuple[tuple[int, int], ...],
     epsilon: float,
     pad_mode: str,
+    transform: str = "xla",
 ):
+    # transform="matmul" (backend "dft3", 3-D volumes only) evaluates
+    # every transform as MXU matmul-DFT einsums (ops/dft.py): the
+    # fastest non-separable option where the full 3-D spectrum fits
+    # HBM; dft2z's z-banded layout covers the bigger carries.
+    if transform == "matmul":
+        fwd = dft_rdft3
+        inv = lambda a: dft_irdft3(a, grid[-1])
+    else:
+        fwd = jnp.fft.rfftn
+        inv = lambda a: jnp.fft.irfftn(a, s=grid)
+
     image = image.astype(jnp.float32)
     padded = jnp.pad(image, pads, mode=pad_mode)
-    otf = jnp.fft.rfftn(_embed_psf(psf, grid))
+    otf = fwd(_embed_psf(psf, grid))
 
     data = jnp.maximum(padded, 0.0)
     est0 = jnp.maximum(padded, epsilon)
 
     def step(est, _):
-        conv = jnp.fft.irfftn(jnp.fft.rfftn(est) * otf, s=grid)
+        conv = inv(fwd(est) * otf)
         ratio = data / jnp.maximum(conv, epsilon)
-        corr = jnp.fft.irfftn(jnp.fft.rfftn(ratio) * jnp.conj(otf), s=grid)
+        corr = inv(fwd(ratio) * jnp.conj(otf))
         return est * corr, None
 
     est, _ = jax.lax.scan(step, est0, None, length=iterations)
@@ -1126,7 +1145,7 @@ def rl_fft(image, psf_np, settings, iterations: int):
     """
     grid, pads = _padded_grid_shape(tuple(image.shape), tuple(psf_np.shape))
     fft_backend = resolve_fft_backend(settings, image.ndim)
-    if fft_backend in ("fft2z", "dft2z") and image.ndim != 3:
+    if fft_backend in ("fft2z", "dft2z", "dft3") and image.ndim != 3:
         raise ValueError(
             f"fft_backend='{fft_backend}' needs a 3-D volume (got "
             f"{image.ndim}-D); use fft_backend='fft3'"
@@ -1151,6 +1170,7 @@ def rl_fft(image, psf_np, settings, iterations: int):
         pads=pads,
         epsilon=settings.epsilon,
         pad_mode=settings.pad_mode,
+        transform="matmul" if fft_backend == "dft3" else "xla",
     )
 
 

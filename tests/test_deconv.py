@@ -153,6 +153,23 @@ def test_dft2z_matches_fft3_on_nonseparable_psf(rng):
     assert rel <= 2e-4, f"dft2z vs fft3 relative max abs err {rel:.2e}"
 
 
+def test_dft3_matches_fft3(rng):
+    """dft3 (whole-volume matmul-DFT update, no z-banding) is the same
+    circular update as fft3 with the transforms swapped for MXU
+    einsums."""
+    truth, psf, blurred = _blurred_scene(rng, shape=(16, 40, 40))
+    fft3 = np.asarray(richardson_lucy(
+        blurred, psf, DeconvolveSettings(algorithm="fft", fft_backend="fft3"),
+        iterations=6,
+    ))
+    dft3 = np.asarray(richardson_lucy(
+        blurred, psf, DeconvolveSettings(algorithm="fft", fft_backend="dft3"),
+        iterations=6,
+    ))
+    rel = np.abs(dft3 - fft3).max() / np.abs(fft3).max()
+    assert rel <= 2e-4, f"dft3 vs fft3 relative max abs err {rel:.2e}"
+
+
 def test_auto_backend_resolves_per_platform(rng):
     """auto on a 3-D volume routes to the platform-resolved 2z backend
     (dft2z on TPU, fft2z elsewhere); the result must equal an explicit
