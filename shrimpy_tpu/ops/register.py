@@ -75,12 +75,11 @@ def _trilinear_sample(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("output_shape", "in_shape"))
+@partial(jax.jit, static_argnames=("output_shape",))
 def _translate_apply_jit(
     vol,
     offset,
     output_shape: tuple[int, int, int],
-    in_shape: tuple[int, int, int],
 ):
     """Pure-translation warp without gathers: 8 masked rolls + lerp.
 
@@ -97,7 +96,8 @@ def _translate_apply_jit(
     vol[u + offset] past the output extent).
     """
     vol = vol.astype(jnp.float32)
-    work = tuple(max(s, o) for s, o in zip(in_shape, output_shape))
+    # vol.shape is static inside jit: the work grid needs no extra arg.
+    work = tuple(max(s, o) for s, o in zip(vol.shape, output_shape))
     if tuple(vol.shape) != work:
         pads = [(0, w - s) for s, w in zip(vol.shape, work)]
         vol = jnp.pad(vol, pads)
@@ -198,14 +198,13 @@ def _shear_pass_1d(arr, axis, scale, off_grid, d_lo, d_hi):
 
 @partial(
     jax.jit,
-    static_argnames=("output_shape", "in_shape", "kind", "bounds"),
+    static_argnames=("output_shape", "kind", "bounds"),
 )
 def _triangular_apply_jit(
     vol,
     matrix,
     offset,
     output_shape: tuple[int, int, int],
-    in_shape: tuple[int, int, int],
     kind: str,
     bounds: tuple,
 ):
@@ -223,7 +222,7 @@ def _triangular_apply_jit(
     grid-constant, machine precision (tests/test_register.py).
     """
     vol = vol.astype(jnp.float32)
-    work = tuple(max(s, o) for s, o in zip(in_shape, output_shape))
+    work = tuple(max(s, o) for s, o in zip(vol.shape, output_shape))
     if tuple(vol.shape) != work:
         pads = [(0, w - s) for s, w in zip(vol.shape, work)]
         vol = jnp.pad(vol, pads)
@@ -293,8 +292,7 @@ def affine_apply(
         is_translation = False  # traced matrix: general path
     if is_translation:
         return _translate_apply_jit(
-            vol, jnp.asarray(offset, dtype=jnp.float32), output_shape,
-            in_shape,
+            vol, jnp.asarray(offset, dtype=jnp.float32), output_shape
         )
     kind = triangular_kind(matrix)
     if kind is not None:
@@ -316,7 +314,6 @@ def affine_apply(
                     jnp.asarray(matrix, dtype=jnp.float32),
                     jnp.asarray(offset, dtype=jnp.float32),
                     output_shape,
-                    in_shape,
                     kind,
                     bounds,
                 )
@@ -330,17 +327,31 @@ def affine_apply(
 # ---------------------------------------------------------------------------
 
 
-def mse_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean((a - b) ** 2)
+def mse_loss(
+    a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """MSE, optionally weighted (``w`` masks out-of-support voxels)."""
+    if w is None:
+        return jnp.mean((a - b) ** 2)
+    return jnp.sum(w * (a - b) ** 2) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def ncc_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def ncc_loss(
+    a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """1 - normalized cross-correlation (robust to intensity scaling —
-    the point for cross-modality label-free vs fluorescence data)."""
-    a = a - jnp.mean(a)
-    b = b - jnp.mean(b)
-    denom = jnp.sqrt(jnp.sum(a**2) * jnp.sum(b**2)) + 1e-8
-    return 1.0 - jnp.sum(a * b) / denom
+    the point for cross-modality label-free vs fluorescence data),
+    optionally weighted."""
+    if w is None:
+        a = a - jnp.mean(a)
+        b = b - jnp.mean(b)
+        denom = jnp.sqrt(jnp.sum(a**2) * jnp.sum(b**2)) + 1e-8
+        return 1.0 - jnp.sum(a * b) / denom
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    a = a - jnp.sum(w * a) / n
+    b = b - jnp.sum(w * b) / n
+    denom = jnp.sqrt(jnp.sum(w * a**2) * jnp.sum(w * b**2)) + 1e-8
+    return 1.0 - jnp.sum(w * a * b) / denom
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +364,7 @@ class RegistrationResult:
     matrix: np.ndarray  # (3, 3) ZYX inverse map
     offset: np.ndarray  # (3,)
     translation_seed: np.ndarray  # (3,) PCC estimate
-    final_loss: float
+    final_loss: float | None  # None when no refinement ran ('pcc' mode)
 
 
 @partial(
@@ -392,6 +403,8 @@ def _refine_jit(
     # displacement at the far edge, commensurate with the offset.
     coord_scale = float(max(fixed.shape))
 
+    ones = jnp.ones_like(moving)
+
     def objective(params):
         dm = params["dm"]
         if param == "triangular":
@@ -402,7 +415,18 @@ def _refine_jit(
         matrix = scale + dm / coord_scale
         offset = params["off"]
         warped = _affine_apply_jit(moving, matrix, offset, out_shape)
-        return loss_fn(warped, fixed_s)
+        # Score ONLY in-support voxels: the warp renders out-of-support
+        # samples as 0, and comparing those zeros against real fixed
+        # content rewards transforms that pull samples inward — the
+        # loss genuinely decreases while the map shrinks away from a
+        # correct PCC seed (measured ~9% scale error on border-filling
+        # data). The support mask is the same warp applied to ones,
+        # held out of the gradient (piecewise-constant in the params).
+        support = _affine_apply_jit(ones, matrix, offset, out_shape)
+        w = jax.lax.stop_gradient(
+            (support > 0.999).astype(jnp.float32)
+        )
+        return loss_fn(warped, fixed_s, w)
 
     params0 = {
         "dm": jnp.zeros((3, 3), jnp.float32),
@@ -472,11 +496,13 @@ def estimate_registration(
     offset0 = jnp.asarray(shift, dtype=jnp.float32)
 
     if settings.method == "pcc":
+        # No refinement ran: final_loss is None (NaN would serialize as
+        # the non-RFC token `NaN` in the register CLI's transform JSON).
         return RegistrationResult(
             matrix=np.eye(3, dtype=np.float32),
             offset=np.asarray(offset0),
             translation_seed=np.asarray(shift),
-            final_loss=float("nan"),
+            final_loss=None,
         )
 
     matrix, offset, final_loss, seed_loss = _refine_jit(

@@ -214,14 +214,20 @@ class Tracker:
     journal: ShiftJournal | None = None
     debug_writer: object | None = None  # tracking.debug.DebugWriter
     _references: dict = field(default_factory=dict)  # per-position stacks
+    # (shape, sigma) -> synthetic blob template (roi_center_pcc method)
+    _template_cache: dict = field(default_factory=dict)
 
     def update(self, stack_zyx: np.ndarray, t: int, p: int | str = 0) -> TrackerResult:
         cfg = self.config
         stack = np.asarray(stack_zyx, dtype=np.float32)
 
         if cfg.tracking_interval > 1 and t % cfg.tracking_interval != 0:
-            zero = np.zeros(3)
-            return TrackerResult(zero, zero, zero, reanchored=False, skipped=True)
+            # Distinct arrays: a caller mutating one field in place
+            # (e.g. accumulating drift) must not corrupt the others.
+            return TrackerResult(
+                np.zeros(3), np.zeros(3), np.zeros(3),
+                reanchored=False, skipped=True,
+            )
 
         shift_px, reanchored = self._compute_shift(stack, t, p)
         shift_um, stage_xyz = process_shift(
@@ -323,8 +329,16 @@ class Tracker:
         """Referenceless PCC against a centered synthetic Gaussian-blob
         template (reference ``tracking.py:710-732``)."""
         sigma = self.config.roi_center.blob_sigma
-        center = tuple((n - 1) / 2.0 for n in stack.shape)
-        template = gaussian_blob(stack.shape, center, (sigma,) * 3)
+        # The template depends only on (shape, sigma): cache it instead
+        # of rebuilding a volume-sized array every timepoint (which also
+        # re-ships it host->device for the PCC each update).
+        cache_key = (tuple(stack.shape), float(sigma))
+        template = self._template_cache.get(cache_key)
+        if template is None:
+            center = tuple((n - 1) / 2.0 for n in stack.shape)
+            template = gaussian_blob(stack.shape, center, (sigma,) * 3)
+            self._template_cache.clear()  # one geometry live at a time
+            self._template_cache[cache_key] = template
         # PCC(template, stack) = displacement of the object from the
         # volume center — same convention as com - center above.
         return phase_cross_correlation(

@@ -135,7 +135,9 @@ class PositionUpdateManager:
             # (position_update.py:409-413).
             logger.exception("updater failed for t=%d p=%s; keeping position", t, p)
             return False
-        corrected = baseline - stage_shift_xyz
+        from shrimpy_tpu.tracking.core import corrected_position
+
+        corrected = corrected_position(baseline, stage_shift_xyz)
         self.store.set(p, *corrected)
         logger.info(
             "position %s corrected by %s -> %s", p, stage_shift_xyz, corrected

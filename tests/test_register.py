@@ -96,6 +96,38 @@ def test_refine_divergence_falls_back_to_seed(rng):
     np.testing.assert_allclose(np.diag(res.matrix), 1.0, atol=0.05)
 
 
+def test_refine_not_biased_by_border_zeros():
+    """Content filling the FOV (the label-free case): refinement must
+    not shrink the map toward the volume interior. The warp renders
+    out-of-support samples as 0; scoring those zeros against real fixed
+    content used to reward inward-pulling transforms (~9% scale error
+    from a near-exact PCC seed) while the loss genuinely decreased —
+    the loss now masks out-of-support voxels."""
+    from scipy.ndimage import shift as nd_shift
+
+    z, y, x = np.meshgrid(
+        np.arange(16) / 4.0, np.arange(32) / 5.0, np.arange(32) / 6.0,
+        indexing="ij",
+    )
+    # Smooth, border-filling scene (no compact support).
+    fixed = (
+        100.0 * (np.sin(z + 0.3) * np.cos(y) + np.cos(x + z))
+    ).astype(np.float32) + 200.0
+    moving = nd_shift(
+        fixed, (-2.0, 3.0, -1.0), order=1, mode="grid-constant"
+    ).astype(np.float32)
+    # Truth: affine_apply(moving, I, offset=(-2, 3, -1)) ~ fixed.
+    res = estimate_registration(
+        fixed, moving,
+        RegistrationSettings(
+            method="pcc+refine", refine_iterations=150,
+            learning_rate=0.05, loss="mse", downsample_yx=1,
+        ),
+    )
+    np.testing.assert_allclose(np.diag(res.matrix), 1.0, atol=0.02)
+    np.testing.assert_allclose(res.offset, [-2.0, 3.0, -1.0], atol=0.3)
+
+
 def test_translation_fast_path_matches_scipy(rng):
     """The gather-free translation warp (identity matrix) matches the
     scipy oracle at subpixel shifts, including boundary zeroing."""
