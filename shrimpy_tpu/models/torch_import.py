@@ -55,7 +55,11 @@ def load_torch_state_dict(path: str | Path) -> dict[str, np.ndarray]:
     for k, v in obj.items():
         if k.startswith("model."):
             k = k[len("model."):]
-        out[k] = np.asarray(v.detach().cpu().numpy(), dtype=np.float32)
+        # .float() first: .numpy() raises on bfloat16 tensors (full-bf16
+        # trained checkpoints are common for cytoland-scale nets).
+        out[k] = np.asarray(
+            v.detach().cpu().float().numpy(), dtype=np.float32
+        )
     return out
 
 

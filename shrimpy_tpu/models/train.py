@@ -36,10 +36,48 @@ class TrainReport:
     stopped_early: bool = False
 
 
+class _VolumeBank:
+    """Lazily-read, per-volume-normalized training volumes.
+
+    A production store's volumes (positions x timepoints x channels)
+    would OOM the host if materialized up front; the bank reads each
+    (input, targets) pair from the store on demand and keeps a bounded
+    LRU of normalized volumes, so small stores behave like the old
+    eager path while big ones stream with eviction.
+    """
+
+    def __init__(self, entries: list, budget_bytes: int = 2 << 30):
+        from shrimpy_tpu.utils.cache import LruCache
+
+        self.entries = entries  # (pos, t, ci, cts, y_slice)
+        self.budget_bytes = budget_bytes
+        self._cache = LruCache(maxsize=8)  # resized on first load
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def load(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(vin (1, Z, Y, X), vout (C, Z, Y, X)), z-score normalized."""
+        pos, t, ci, cts, ysl = self.entries[i]
+        key = (id(pos), t, ysl.start, ysl.stop)
+        if key in self._cache:
+            return self._cache[key]
+        vin = pos.volume(t, ci).astype(np.float32)[None][:, :, ysl]
+        vin = (vin - vin.mean()) / (vin.std() + 1e-6)
+        outs = []
+        for ct in cts:
+            v = pos.volume(t, ct).astype(np.float32)[:, ysl]
+            outs.append((v - v.mean()) / (v.std() + 1e-6))
+        pair = (vin, np.stack(outs))
+        nbytes = pair[0].nbytes + pair[1].nbytes
+        self._cache.maxsize = max(1, int(self.budget_bytes // max(nbytes, 1)))
+        self._cache[key] = pair
+        return pair
+
+
 def _sample_batch(
     rng: np.random.Generator,
-    vols_in: list[np.ndarray],
-    vols_out: list[np.ndarray],
+    bank: _VolumeBank,
     *,
     in_slices: int,
     patch: int,
@@ -50,13 +88,17 @@ def _sample_batch(
     xs, ys = [], []
     half = in_slices // 2
     for _ in range(batch):
-        i = rng.integers(len(vols_in))
-        vin, vout = vols_in[i], vols_out[i]
+        i = int(rng.integers(len(bank)))
+        vin, vout = bank.load(i)
         nz, ny, nx = vin.shape[1:]
-        z = int(rng.integers(half, max(nz - half, half + 1)))
+        # Window [z0, z0 + in_slices) with target plane z0 + half —
+        # exactly in_slices planes for BOTH parities of in_slices (the
+        # old z-half:z+half+1 slice always produced an odd count).
+        z0 = int(rng.integers(0, nz - in_slices + 1))
+        z = z0 + half
         y0 = int(rng.integers(0, max(ny - patch + 1, 1)))
         x0 = int(rng.integers(0, max(nx - patch + 1, 1)))
-        window = vin[0, z - half : z + half + 1, y0 : y0 + patch, x0 : x0 + patch]
+        window = vin[0, z0 : z0 + in_slices, y0 : y0 + patch, x0 : x0 + patch]
         target = vout[:, z, y0 : y0 + patch, x0 : x0 + patch]
         x = np.moveaxis(window, 0, -1)  # (H, W, in_slices)
         y = np.moveaxis(target, 0, -1)  # (H, W, n_out)
@@ -105,54 +147,66 @@ def train_vsunet(
     assert list(settings.out_channels) == list(target_channels)
     store = open_ngff(store_path)
 
-    vols_in, vols_out = [], []
+    # Lazy entries: volumes are read (and normalized) on demand through
+    # a bounded cache — a production store's full residency would OOM
+    # the host while crops are tiny.
+    full = slice(None)
+    entries: list = []
+    nz_min = None
+    ny0 = None
     for pos in store.positions().values():
         names = pos.channel_names
         ci = names.index(input_channel)
         cts = [names.index(c) for c in target_channels]
+        nz_min = pos.shape[2] if nz_min is None else min(nz_min, pos.shape[2])
+        ny0 = pos.shape[3] if ny0 is None else ny0
         for t in range(pos.shape[0]):
-            vin = pos.volume(t, ci).astype(np.float32)[None]
-            vin = (vin - vin.mean()) / (vin.std() + 1e-6)
-            outs = []
-            for ct in cts:
-                v = pos.volume(t, ct).astype(np.float32)
-                outs.append((v - v.mean()) / (v.std() + 1e-6))
-            vols_in.append(vin)
-            vols_out.append(np.stack(outs))
-    if not vols_in:
+            entries.append((pos, t, ci, cts, full))
+    if not entries:
         raise ValueError("no training volumes found")
+    if nz_min < settings.in_slices:
+        raise ValueError(
+            f"volumes have only {nz_min} z planes but in_slices="
+            f"{settings.in_slices}; use a thicker store or fewer slices"
+        )
     if not 0.0 <= val_fraction < 1.0:
         raise ValueError(f"val_fraction={val_fraction} must be in [0, 1)")
 
     # Validation split: whole volumes when we can afford it, else a
     # y-halved split of the single volume.
     rng = np.random.default_rng(seed)
-    n_val = min(
-        int(round(len(vols_in) * val_fraction)), len(vols_in) - 1
-    )
-    if n_val >= 1 and len(vols_in) > 1:
-        order = rng.permutation(len(vols_in))
+    n_val = min(int(round(len(entries) * val_fraction)), len(entries) - 1)
+    if n_val >= 1 and len(entries) > 1:
+        order = rng.permutation(len(entries))
         val_idx = set(order[:n_val].tolist())
-        train_in = [v for i, v in enumerate(vols_in) if i not in val_idx]
-        train_out = [v for i, v in enumerate(vols_out) if i not in val_idx]
-        val_in = [v for i, v in enumerate(vols_in) if i in val_idx]
-        val_out = [v for i, v in enumerate(vols_out) if i in val_idx]
+        train_e = [e for i, e in enumerate(entries) if i not in val_idx]
+        val_e = [e for i, e in enumerate(entries) if i in val_idx]
     elif val_fraction > 0:
-        ny = vols_in[0].shape[2]
+        ny = ny0
         split = max(patch, int(ny * (1 - val_fraction)))
         split = min(split, ny - 1)
-        train_in = [v[:, :, :split] for v in vols_in]
-        train_out = [v[:, :, :split] for v in vols_out]
-        val_in = [v[:, :, split:] for v in vols_in]
-        val_out = [v[:, :, split:] for v in vols_out]
-        if val_in[0].shape[2] < patch:  # too small to crop: no val tier
-            train_in, train_out = vols_in, vols_out
-            val_in, val_out = [], []
+        train_e = [
+            (pos, t, ci, cts, slice(0, split))
+            for pos, t, ci, cts, _ in entries
+        ]
+        val_e = [
+            (pos, t, ci, cts, slice(split, None))
+            for pos, t, ci, cts, _ in entries
+        ]
+        if ny - split < patch:  # too small to crop: no val tier
+            train_e, val_e = entries, []
     else:
-        train_in, train_out = vols_in, vols_out
-        val_in, val_out = [], []
+        train_e, val_e = entries, []
+    train_bank = _VolumeBank(train_e)
+    val_bank = _VolumeBank(val_e) if val_e else None
 
     stainer = VirtualStainer(settings)
+    m = 2**stainer.pad_exp
+    if patch % m:
+        raise ValueError(
+            f"patch={patch} must be divisible by {m} "
+            f"(2**pad_exp of the {settings.architecture} architecture)"
+        )
     model = stainer.model
     params = stainer.params
     opt = optax.adamw(learning_rate)
@@ -175,10 +229,10 @@ def train_vsunet(
     # Fixed validation crops so the early-stop signal is comparable
     # across evaluations.
     val_xy = None
-    if val_in:
+    if val_bank is not None:
         vrng = np.random.default_rng(seed + 1)
         vx, vy = _sample_batch(
-            vrng, val_in, val_out,
+            vrng, val_bank,
             in_slices=settings.in_slices, patch=patch,
             batch=max(batch * 4, 8), augment=False,
         )
@@ -192,7 +246,7 @@ def train_vsunet(
     stopped_early = False
     for i in range(steps):
         x, y = _sample_batch(
-            rng, train_in, train_out,
+            rng, train_bank,
             in_slices=settings.in_slices, patch=patch, batch=batch,
             augment=augment,
         )

@@ -455,7 +455,20 @@ class VirtualStainer:
 
     @classmethod
     def from_ckpt(cls, ckpt_path: str | Path) -> "VirtualStainer":
-        """Build entirely from a checkpoint's vs_model.json sidecar."""
+        """Build entirely from a checkpoint's vs_model.json sidecar.
+
+        A torch-format path (.ckpt/.pt/.pth — no sidecar) defaults to
+        the ``unext2`` architecture, the only one the torch import
+        supports; its dims/blocks must still match the checkpoint
+        (pass explicit :class:`VSModelSettings` when they differ from
+        the cytoland defaults).
+        """
+        if Path(ckpt_path).suffix in {".ckpt", ".pt", ".pth"}:
+            return cls(
+                VSModelSettings(
+                    ckpt_path=str(ckpt_path), architecture="unext2"
+                )
+            )
         return cls(VSModelSettings(ckpt_path=str(ckpt_path)))
 
     # -- checkpointing -------------------------------------------------------
@@ -472,6 +485,19 @@ class VirtualStainer:
         sidecar = read_vs_sidecar(settings.ckpt_path)
         if sidecar is None:
             return settings  # pre-schema checkpoint: trust the config
+        if (
+            sidecar.get("architecture") == "unext2"
+            and sidecar.get("format_version", 1) < 2
+        ):
+            # The cytoland-faithful unext2 rewrite (round 3) changed the
+            # parameter tree; restoring an older checkpoint would fail
+            # deep in orbax with an opaque tree mismatch.
+            raise ValueError(
+                f"checkpoint {sidecar_path} predates the cytoland-"
+                "faithful unext2 architecture (sidecar format_version "
+                f"{sidecar.get('format_version', 1)} < 2); retrain or "
+                "re-import it"
+            )
         merged = settings.model_dump()
         for field in (
             "architecture", "arch_config", "in_slices", "out_channels",
@@ -484,11 +510,17 @@ class VirtualStainer:
                 if field == "arch_config" and user_val is not None:
                     # The sidecar stores the RESOLVED config (defaults
                     # filled in); resolve the user's partial dict the
-                    # same way so a consistent-but-partial arch_config
-                    # is not a false conflict.
+                    # same way — INCLUDING the unet25d top-level
+                    # shorthand knobs (resolved_arch_config's setdefault
+                    # path), so base_width set at the top level plus a
+                    # partial arch_config is not a false conflict.
                     arch = sidecar.get("architecture", settings.architecture)
+                    cfg = dict(user_val)
+                    if arch == "unet25d":
+                        cfg.setdefault("base_width", settings.base_width)
+                        cfg.setdefault("depth", settings.depth)
                     try:
-                        user_val = _ARCH_CONFIGS[arch](**user_val).model_dump()
+                        user_val = _ARCH_CONFIGS[arch](**cfg).model_dump()
                     except Exception:
                         pass  # let the mismatch error below explain it
                 if user_val != sidecar[field]:
@@ -541,8 +573,11 @@ class VirtualStainer:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path.resolve(), self.params)
         arch = self.settings.resolved_arch_config()
+        # format_version 2 = the cytoland-faithful unext2 parameter
+        # tree (round 3); version-1 unext2 checkpoints are rejected at
+        # load (see _reconcile_with_sidecar).
         (path / CKPT_SIDECAR).write_text(json.dumps({
-            "format_version": 1,
+            "format_version": 2,
             "architecture": self.settings.architecture,
             "arch_config": arch.model_dump(),
             "in_slices": self.settings.in_slices,

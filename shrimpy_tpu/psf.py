@@ -73,8 +73,15 @@ def extract_psf(
     vol_zyx: np.ndarray,
     peaks: np.ndarray,
     patch_size_zyx: tuple[int, int, int] = (31, 31, 31),
-) -> np.ndarray | None:
-    """Background-subtracted, normalized average of centered bead patches."""
+    *,
+    return_count: bool = False,
+):
+    """Background-subtracted, normalized average of centered bead patches.
+
+    With ``return_count`` returns ``(psf, n_averaged)`` — the number of
+    patches that actually contributed (out-of-bounds and flat/negative
+    patches are dropped), which is what a report should call n_beads.
+    """
     vol = np.asarray(vol_zyx, dtype=np.float64)
     half = [p // 2 for p in patch_size_zyx]
     patches = []
@@ -90,13 +97,14 @@ def extract_psf(
             continue
         patches.append(patch / patch.max())
     if not patches:
-        return None
+        return (None, 0) if return_count else None
     psf = np.mean(patches, axis=0)
     psf = np.clip(psf, 0.0, None)
     total = psf.sum()
     if total <= 0:
-        return None
-    return (psf / total).astype(np.float32)
+        return (None, 0) if return_count else None
+    psf = (psf / total).astype(np.float32)
+    return (psf, len(patches)) if return_count else psf
 
 
 def _fwhm_1d(profile: np.ndarray, scale: float) -> float:
@@ -218,12 +226,17 @@ def measure_psf(
             "no beads detected away from the patch border; lower "
             "threshold_percentile or use a larger field"
         )
-    psf = extract_psf(vol, peaks, settings["patch_size_zyx"])
+    psf, n_averaged = extract_psf(
+        vol, peaks, settings["patch_size_zyx"], return_count=True
+    )
     if psf is None:
         raise ValueError("bead patches were empty after background subtraction")
 
+    # n_beads = patches actually averaged (flat/negative patches are
+    # dropped by extract_psf), not raw detections.
     report = characterize_psf(
-        psf, scale, n_beads=len(peaks), axis_labels=tuple(settings["axis_labels"])
+        psf, scale, n_beads=n_averaged,
+        axis_labels=tuple(settings["axis_labels"]),
     )
     output_path = Path(output_path)
     output_path.parent.mkdir(parents=True, exist_ok=True)

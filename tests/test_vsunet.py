@@ -86,6 +86,56 @@ def test_preprocessor_requires_phase_before_vs():
         )
 
 
+@pytest.mark.parametrize("in_slices", [4, 5])
+def test_sample_batch_window_width(in_slices, rng, tmp_path):
+    """The sampled z window is EXACTLY in_slices planes for both
+    parities (the old z-half:z+half+1 slice always produced an odd
+    count, crashing even-in_slices training)."""
+    from shrimpy_tpu.io.ngff import create_fov
+    from shrimpy_tpu.models.train import _sample_batch, _VolumeBank
+
+    shape = (1, 2, in_slices, 24, 24)  # nz == in_slices: tightest case
+    pos = create_fov(tmp_path / "w.zarr", shape=shape, dtype="float32",
+                     channel_names=["phase", "nuclei"])
+    pos.write(Ellipsis, rng.random(shape, dtype=np.float32))
+    bank = _VolumeBank([(pos, 0, 0, [1], slice(None))])
+    x, y = _sample_batch(
+        np.random.default_rng(0), bank,
+        in_slices=in_slices, patch=16, batch=3,
+    )
+    assert x.shape == (3, 16, 16, in_slices)
+    assert y.shape == (3, 16, 16, 1)
+
+
+def test_train_vsunet_rejects_thin_store_and_bad_patch(tmp_path, rng):
+    from shrimpy_tpu.io.ngff import create_fov
+    from shrimpy_tpu.models.train import train_vsunet
+
+    shape = (1, 2, 2, 32, 32)  # nz=2 < default in_slices=5
+    pos = create_fov(tmp_path / "thin.zarr", shape=shape, dtype="float32",
+                     channel_names=["phase", "nuclei"])
+    pos.write(Ellipsis, rng.random(shape, dtype=np.float32))
+    with pytest.raises(ValueError, match="z planes"):
+        train_vsunet(
+            tmp_path / "thin.zarr", input_channel="phase",
+            target_channels=["nuclei"],
+            settings=_small_settings(out_channels=["nuclei"]),
+            steps=1, patch=32,
+        )
+    # patch not divisible by 2**pad_exp errors early, not deep in jax.
+    shape = (1, 2, 8, 32, 32)
+    pos = create_fov(tmp_path / "ok.zarr", shape=shape, dtype="float32",
+                     channel_names=["phase", "nuclei"])
+    pos.write(Ellipsis, rng.random(shape, dtype=np.float32))
+    with pytest.raises(ValueError, match="divisible"):
+        train_vsunet(
+            tmp_path / "ok.zarr", input_channel="phase",
+            target_channels=["nuclei"],
+            settings=_small_settings(out_channels=["nuclei"]),
+            steps=1, patch=30,
+        )
+
+
 def test_train_vsunet_learns_identityish(tmp_path, rng):
     """A tiny training run on a learnable mapping (target = input) must
     reduce the loss and produce a checkpoint usable for inference."""
