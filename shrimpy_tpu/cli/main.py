@@ -38,7 +38,11 @@ def cli(verbose: bool, platform: str | None) -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
-    _enable_compilation_cache()
+        # The cache setup imports jax anyway once a platform is forced.
+        _enable_compilation_cache()
+    # Otherwise the cache is enabled lazily by the jax-using verbs
+    # (_run_reconstruct etc.): pure-metadata verbs (plan/info/monitor/
+    # microscopes) must not pay the multi-second jax import.
 
 
 def _enable_compilation_cache() -> None:
@@ -65,6 +69,17 @@ def _enable_compilation_cache() -> None:
         )
 
 
+def _channel_index(names: list, channel: str) -> int:
+    """Channel index with an operator-grade error (not a raw
+    ValueError traceback) listing the available names."""
+    try:
+        return names.index(channel)
+    except ValueError:
+        raise click.ClickException(
+            f"channel {channel!r} not in the store (has {names})"
+        ) from None
+
+
 def _inject_from_store(settings, input_path: Path) -> tuple:
     """Read (pixel size, z step) from the store scale and inject."""
     from shrimpy_tpu.config.schemas import inject_derived_parameters
@@ -83,6 +98,8 @@ def _run_reconstruct(
     from shrimpy_tpu.parallel import make_mesh
     from shrimpy_tpu.runtime import reconstruct_store
     from shrimpy_tpu.utils.timing import profiler_trace
+
+    _enable_compilation_cache()
 
     _inject_from_store(settings, Path(input))
     mesh = None
@@ -251,12 +268,15 @@ def register(
     from shrimpy_tpu.io.ngff import open_ngff
     from shrimpy_tpu.ops.register import estimate_registration
 
+    _enable_compilation_cache()
     pos = open_ngff(input).position()
     mov_pos = open_ngff(moving_input).position() if moving_input else pos
     names = pos.channel_names
     mov_names = mov_pos.channel_names
-    fixed = pos.volume(timepoint, names.index(fixed_channel))
-    moving = mov_pos.volume(timepoint, mov_names.index(moving_channel))
+    fixed = pos.volume(timepoint, _channel_index(names, fixed_channel))
+    moving = mov_pos.volume(
+        timepoint, _channel_index(mov_names, moving_channel)
+    )
     if moving.shape != fixed.shape:
         from shrimpy_tpu.utils.fft import match_shape
 
@@ -291,15 +311,12 @@ def register(
 def track(input, config_path, output):
     """Run DynaTrack shift estimation over a time-lapse store."""
     from shrimpy_tpu.config import DynaTrackConfig
-    from shrimpy_tpu.config.schemas import inject_derived_parameters, load_yaml_config
-    from shrimpy_tpu.io.ngff import open_ngff
+    from shrimpy_tpu.config.schemas import load_yaml_config
     from shrimpy_tpu.tracking import ShiftJournal, Tracker
 
+    _enable_compilation_cache()
     cfg = load_yaml_config(config_path, DynaTrackConfig)
-    store = open_ngff(input)
-    pos = store.position()
-    sz, sy, _ = pos.zyx_scale
-    inject_derived_parameters(cfg, pixel_size_um=sy, z_step_um=sz)
+    store, pos = _inject_from_store(cfg, Path(input))
     # With a preprocessing chain, the tracker consumes the processed
     # product of the INPUT channel; otherwise the tracking channel is
     # read directly from the store.
@@ -309,14 +326,14 @@ def track(input, config_path, output):
         from shrimpy_tpu.tracking.preprocess import Preprocessor
 
         preprocessor = Preprocessor(cfg)
-        c = pos.channel_names.index(cfg.input_channel)
+        c = _channel_index(pos.channel_names, cfg.input_channel)
         # Deskew changes the voxel grid: px->um conversion and the um
         # limits must use the PROCESSED stack's scale.
         track_scale = preprocessor.tracking_scale_zyx(
             tuple(pos.shape[2:]), track_scale
         )
     else:
-        c = pos.channel_names.index(cfg.tracking_channel)
+        c = _channel_index(pos.channel_names, cfg.tracking_channel)
     tracker = Tracker(cfg, scale_zyx_um=track_scale, journal=ShiftJournal(output))
     for key, p in store.positions().items():
         for t in range(p.shape[0]):
@@ -542,37 +559,67 @@ def plan_validate(plan_path, store_path):
     except Exception as e:
         raise click.ClickException(f"invalid plan: {e}") from e
     problems: list[str] = []
+    # Schema-only checks that need no store: the command's contract is
+    # "fail BEFORE the run", so everything checkable here must check.
+    dyn = p.dynatrack_metadata()
+    cfg = None
+    if dyn:
+        from shrimpy_tpu.config.schemas import DynaTrackConfig
+
+        try:
+            cfg = DynaTrackConfig(**dyn)
+        except Exception as e:
+            problems.append(f"dynatrack config: {e}")
     if store_path is not None:
         from shrimpy_tpu.engine.replay import ReplaySource
 
         source = ReplaySource(store_path)
+        names = source.channel_names
         if p.channels:
             for c in p.channels:
-                if c.name not in source.channel_names:
+                if c.name not in names:
                     problems.append(
-                        f"channel {c.name!r} not in store "
-                        f"(has {source.channel_names})"
+                        f"channel {c.name!r} not in store (has {names})"
                     )
         try:
             p.resolve_positions(source.position_keys)
         except ValueError as e:
             problems.append(str(e))
-        dyn = p.dynatrack_metadata()
-        if dyn:
-            from shrimpy_tpu.config.schemas import DynaTrackConfig
-
-            try:
-                cfg = DynaTrackConfig(**dyn)
-                track_src = (
-                    cfg.input_channel if cfg.preprocessing
-                    else cfg.tracking_channel
+        # Checks the ENGINE enforces at run start (after the output
+        # dir and log already exist) — surfaced here instead:
+        if p.stage_positions is not None:
+            src = p.stage_positions.source_position
+            if src is not None and src not in source.position_keys:
+                problems.append(
+                    f"stage_positions.source_position={src!r} not in "
+                    f"the source store (has {source.position_keys})"
                 )
-                if track_src not in source.channel_names:
-                    problems.append(
-                        f"dynatrack channel {track_src!r} not in store"
-                    )
-            except Exception as e:
-                problems.append(f"dynatrack config: {e}")
+        try:
+            p.z.resolve_z_indices(
+                source.shape_tczyx[2], float(source.zyx_scale[0])
+            )
+        except ValueError as e:
+            problems.append(f"z plan: {e}")
+        if p.refocus.enabled and p.refocus.channel is not None:
+            if p.refocus.channel not in names:
+                problems.append(
+                    f"refocus channel {p.refocus.channel!r} not in store"
+                )
+        if p.autoexposure.enabled and p.autoexposure.channel is not None:
+            if p.autoexposure.channel not in names:
+                problems.append(
+                    f"autoexposure channel "
+                    f"{p.autoexposure.channel!r} not in store"
+                )
+        if cfg is not None:
+            track_src = (
+                cfg.input_channel if cfg.preprocessing
+                else cfg.tracking_channel
+            )
+            if track_src not in names:
+                problems.append(
+                    f"dynatrack channel {track_src!r} not in store"
+                )
     if problems:
         raise click.ClickException("; ".join(problems))
     click.echo(json.dumps({"valid": True, "plan": str(plan_path)}))
@@ -599,6 +646,8 @@ def plan_show(plan_path):
 def measure_psf(input, psf_out, geometry, ls_angle_deg, threshold_percentile):
     """Measure a PSF from a bead z-stack store (deskews light-sheet data)."""
     from shrimpy_tpu.config import DeskewSettings
+
+    _enable_compilation_cache()
     from shrimpy_tpu.io.ngff import open_ngff
     from shrimpy_tpu.psf import measure_psf as _measure
 
@@ -675,42 +724,46 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
     journal = in_path.with_suffix(in_path.suffix + ".progress.jsonl")
     while True:
         store = open_ngff(input)
-        done_t: dict[str, set[int]] = {}
+        # Per-(position, t) channel sets via the journal's single
+        # source of truth (runtime/stream.py _Progress.iter_done_keys —
+        # mark_failed records are not done).
+        done_c: dict[str, dict[int, set[int]]] = {}
         if journal.exists():
-            for line in journal.read_text().splitlines():
-                try:
-                    rec = json.loads(line)
-                    if not isinstance(rec, dict) or "failed" in rec:
-                        # mark_failed records carry 'key' too but were
-                        # never written — counting them would preview a
-                        # timepoint that isn't on disk.
-                        continue
-                    pos_key, t, _c = rec["key"].split("|")
-                    t = int(t)  # inside the guard: torn lines skip whole
-                except (json.JSONDecodeError, KeyError, ValueError):
-                    continue
-                done_t.setdefault(pos_key, set()).add(t)
+            from shrimpy_tpu.runtime.stream import _Progress
+
+            for pos_key, t, c in _Progress.iter_done_keys(journal):
+                done_c.setdefault(pos_key, {}).setdefault(t, set()).add(c)
         status = {}
         for key, pos in store.positions().items():
-            t_size = pos.shape[0]
-            ts_written = (
-                sorted(done_t[key])
-                if key in done_t
-                else pos.written_timepoints()
-            )
+            t_size, c_size = pos.shape[0], pos.shape[1]
+            if key in done_c:
+                by_t = done_c[key]
+                # A timepoint counts written only when EVERY channel's
+                # record exists (a failed channel would otherwise show
+                # as a black 'latest' preview of a healthy run).
+                ts_written = sorted(
+                    t for t, cs in by_t.items() if len(cs) >= c_size
+                )
+                # Preview channel: one that is actually on disk for the
+                # newest (possibly partial) timepoint.
+                t_latest = max(by_t) if by_t else None
+                c_prev = min(by_t[t_latest]) if t_latest is not None else 0
+            else:
+                ts_written = pos.written_timepoints()
+                t_latest = ts_written[-1] if ts_written else None
+                c_prev = 0
             status[key] = {
                 "timepoints_written": len(ts_written),
                 "latest": ts_written[-1] if ts_written else None,
                 "of": t_size,
             }
-            if ts_written:
-                t = ts_written[-1]
+            if t_latest is not None:
                 # Read ONLY the mid-z plane of the latest volume.
                 mid_z = pos.shape[2] // 2
-                mid = pos.read((t, 0, mid_z))
+                mid = pos.read((t_latest, c_prev, mid_z))
                 fig, ax = plt.subplots(figsize=(4, 4))
                 ax.imshow(mid, cmap="gray")
-                ax.set_title(f"{key} t={t} mid-z")
+                ax.set_title(f"{key} t={t_latest} c={c_prev} mid-z")
                 ax.axis("off")
                 fig.savefig(
                     out_dir / f"{key.replace('/', '_')}.png",
@@ -786,10 +839,19 @@ def _monitor_live(input, preview_dir, interval, once, ls_angle_deg,
                 "--ls-angle-deg needs --px-to-scan-ratio too (the deskew "
                 "preview resamples the scan axis by pixel/scan_step)"
             )
+        if ls_angle_deg is None:
+            # Symmetric with the check above: the tilt angle is
+            # instrument knowledge (the deskew verb refuses to default
+            # it without a microscope profile); silently assuming 30
+            # deg would render a geometrically wrong preview.
+            raise click.ClickException(
+                "--px-to-scan-ratio needs --ls-angle-deg too (the "
+                "preview's tilt angle is instrument-specific)"
+            )
         from shrimpy_tpu.config.schemas import DeskewSettings
 
         deskew = DeskewSettings(
-            ls_angle_deg=ls_angle_deg if ls_angle_deg is not None else 30.0,
+            ls_angle_deg=ls_angle_deg,
             px_to_scan_ratio=px_to_scan_ratio,
         )
     out_dir = Path(preview_dir) if preview_dir else ring_dir
@@ -850,6 +912,8 @@ def train_vs(input, input_channel, target_channels, ckpt_out, steps, batch,
              early_stop_patience):
     """Train a virtual-staining model on paired channels of a store."""
     from shrimpy_tpu.models.train import train_vsunet
+
+    _enable_compilation_cache()
     from shrimpy_tpu.models.vsunet import VSModelSettings
 
     targets = [c.strip() for c in target_channels.split(",") if c.strip()]

@@ -257,6 +257,11 @@ class AcquisitionEngine:
                 (ny, nx), tuple(self.source.zyx_scale[1:])
             )
             positions = [g.key for g in generated]
+            if not positions:
+                raise ValueError(
+                    "stage_positions generated zero positions (empty "
+                    "well/grid selection)"
+                )
             grid = {g.key: g for g in generated}
             source_of = {g.key: src_key for g in generated}
         else:

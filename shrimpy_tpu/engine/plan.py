@@ -112,6 +112,16 @@ class AutofocusPlan(BaseModel):
     fail_at_indices: list[int] | None = None  # flat (t * n_pos + p) indices
     seed: int = 0
 
+    @model_validator(mode="after")
+    def _check(self):
+        if not 0.0 <= self.success_rate <= 1.0:
+            # success_rate: 90 (meaning 90%) would silently disable the
+            # demo-failure feature (rng.random() < 90 is always true).
+            raise ValueError(
+                f"success_rate must be in [0, 1], got {self.success_rate}"
+            )
+        return self
+
 
 class RefocusPlan(BaseModel):
     """Periodic remote-refocus (the archived O3 routine, reference
@@ -241,6 +251,14 @@ class StagePositionsPlan(BaseModel):
     def _check(self):
         if self.selected_wells is not None:
             rows, cols = self.selected_wells
+            if not rows or not cols:
+                # Empty index lists would generate a zero-position grid
+                # and the run would be a silent no-op (same trap as
+                # channels/positions: []).
+                raise ValueError(
+                    "selected_wells lists must be non-empty (omit "
+                    "selected_wells for all wells)"
+                )
             for r in rows:
                 if not 0 <= r < self.plate.rows:
                     raise ValueError(f"selected well row {r} outside plate")

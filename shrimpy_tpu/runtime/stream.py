@@ -194,6 +194,29 @@ class _Progress:
             f.write(json.dumps(rec) + "\n")
         self.failed.append(rec)
 
+    @staticmethod
+    def iter_done_keys(path: Path):
+        """Yield (position, t, c) for every DONE record in a journal.
+
+        The single source of truth for the journal line format shared
+        with external consumers (the store-mode monitor): dict records
+        only, lines with a ``failed`` field are NOT done, ``key`` is
+        ``"pos|t|c"``.
+        """
+        try:
+            text = Path(path).read_text()
+        except OSError:
+            return
+        for line in text.splitlines():
+            try:
+                rec = json.loads(line)
+                if not isinstance(rec, dict) or "failed" in rec:
+                    continue
+                pos_key, t, c = rec["key"].split("|")
+                yield pos_key, int(t), int(c)
+            except (json.JSONDecodeError, KeyError, ValueError):
+                continue  # torn/corrupt line
+
 
 def reconstruct_store(
     input_path: str | Path,
