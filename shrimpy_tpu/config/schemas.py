@@ -550,6 +550,15 @@ def inject_derived_parameters(
     in config files.
     """
     if isinstance(config, DynaTrackConfig):
+        # A LISTED preprocessing step without a settings block runs with
+        # defaults + these injected parameters (the Preprocessor
+        # contract: never a silent skip) — materialize the block so the
+        # injection has somewhere to land.
+        steps = tuple(config.preprocessing or ())
+        if config.deskew is None and "deskew" in steps:
+            config.deskew = {}
+        if config.phase is None and "phase" in steps:
+            config.phase = {}
         if config.deskew is not None:
             config.deskew.setdefault("pixel_size_um", pixel_size_um)
             config.deskew.setdefault("scan_step_um", z_step_um)

@@ -19,6 +19,11 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# Nominal laser power of the brightness model (the engine renders
+# brightness scaled by power / NOMINAL_LASER_POWER; see
+# engine/engine.py, which re-exports this constant).
+NOMINAL_LASER_POWER = 10.0
+
 
 @dataclass
 class AutoexposureSettings:
@@ -73,8 +78,14 @@ def masked_mean_intensity(
     # The mask exists to drop a handful of hot/dead-bright PIXELS; a
     # large population at the cutoff is genuine overexposure that the
     # mask must not hide (a 60%-saturated frame would otherwise read
-    # 'well exposed' from its background alone).
-    if float(np.mean(image >= hot_cutoff)) > 0.01:
+    # 'well exposed' from its background alone). BUT only when that
+    # population is actually bright: a dark or quantized frame has >=1%
+    # of pixels tied at its own maximum too, and halving exposure there
+    # drives an underexposed sample darker forever.
+    if (
+        float(np.mean(image >= hot_cutoff)) > 0.01
+        and hot_cutoff > settings.max_intensity
+    ):
         return 1, max(exposure_ms / 2.0, settings.min_exposure_ms), laser_power
     valid = image[image < hot_cutoff]
     if valid.size == 0:
@@ -144,7 +155,12 @@ def autoexpose_with_escalation(
     # to surface via clipping, not silently replace with the default.
     exposure = (
         settings.default_exposure_ms if exposure_ms is None
-        else max(exposure_ms, settings.min_exposure_ms)
+        # Clamp BOTH sides: an initial exposure above max_exposure_ms
+        # would be acquired beyond the declared hardware bound and
+        # could be returned as the 'converged' result.
+        else float(np.clip(
+            exposure_ms, settings.min_exposure_ms, settings.max_exposure_ms
+        ))
     )
     for _ in range(max_rounds):
         image = acquire_fn(exposure, laser_power)
@@ -172,8 +188,11 @@ def load_manual_exposures(csv_path: str | Path) -> dict[str, tuple[float, float]
     out: dict[str, tuple[float, float]] = {}
     with open(csv_path, newline="") as f:
         for row in csv.DictReader(f):
+            # Missing/empty laser_power defaults to the NOMINAL power:
+            # the engine multiplies brightness by power/nominal, so a
+            # 0.0 default would render those wells all-black.
             out[row["well"]] = (
                 float(row["exposure_ms"]),
-                float(row.get("laser_power", 0) or 0),
+                float(row.get("laser_power") or NOMINAL_LASER_POWER),
             )
     return out

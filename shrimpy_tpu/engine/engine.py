@@ -45,8 +45,11 @@ logger = logging.getLogger(__name__)
 # halves of the model (_run_autoexposure's acquire callback and
 # _effective_exposure_ms's render scaling) must use the same value or
 # autoexposure would pick an operating point the replay then renders at
-# a different brightness.
-NOMINAL_LASER_POWER = 10.0
+# a different brightness. Defined next to the autoexposure algorithms
+# (manual-CSV default power shares it); re-exported here for the engine.
+from shrimpy_tpu.engine.autoexposure import (  # noqa: E402
+    NOMINAL_LASER_POWER,
+)
 
 
 class SkipEvent(Exception):

@@ -115,13 +115,24 @@ class PositionList:
         reference's useq plans, ``config/mda/mantis/mantis.yaml:16-35``)."""
         entries = []
         grid = int(fovs_per_well**0.5) or 1
+        names = set()
         for ri, row in enumerate(rows):
             for ci, col in enumerate(cols):
                 for f in range(fovs_per_well):
                     fy, fx = divmod(f, grid)
+                    # '/'-joined name: bare concatenation collides for
+                    # label pairs like ('A','11') vs ('A1','1'), and
+                    # get()/update_coords act on the first match.
+                    name = f"{row}/{col}-{f:03d}"
+                    if name in names:
+                        raise ValueError(
+                            f"duplicate position name {name!r} (rows/cols "
+                            "labels overlap)"
+                        )
+                    names.add(name)
                     entries.append(
                         PositionEntry(
-                            name=f"{row}{col}-{f:03d}",
+                            name=name,
                             row=row,
                             col=col,
                             fov=f"{f:03d}",

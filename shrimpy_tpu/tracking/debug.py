@@ -30,6 +30,15 @@ class DebugWriter:
         self.max_timepoints = max_timepoints
         self._store: ngff.NgffStore | None = None
         self._positions: dict[str, ngff.NgffPosition] = {}
+        self._cap_warned = False
+        # A previous run's debug store in the same directory would make
+        # every create_array fail with ALREADY_EXISTS — and because the
+        # never-raise guard spans the whole record(), that silently
+        # killed the PNGs too. Each run starts a fresh store.
+        if self.store_path.exists():
+            import shutil
+
+            shutil.rmtree(self.store_path, ignore_errors=True)
 
     def _position(self, p: str, shape_zyx: tuple[int, int, int]) -> ngff.NgffPosition:
         if self._store is None:
@@ -60,7 +69,10 @@ class DebugWriter:
             stack = np.asarray(stack_zyx, np.float32)
             if t < self.max_timepoints:
                 self._position(p, tuple(stack.shape)).write((t, 0), stack)
-            elif t == self.max_timepoints:
+            elif not self._cap_warned:
+                # Fire-once on ANY t past the cap (tracking_interval > 1
+                # skips exact-equality timepoints).
+                self._cap_warned = True
                 logger.warning(
                     "dynatrack debug store capped at %d timepoints; "
                     "later stacks keep PNG overlays only",

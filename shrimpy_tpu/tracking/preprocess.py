@@ -50,7 +50,9 @@ class Preprocessor:
             self.stainer = VirtualStainer(vs_cfg)
         self.timer = StageTimer()
 
-    def __call__(self, raw_zyx: np.ndarray) -> dict[str, np.ndarray]:
+    def __call__(
+        self, raw_zyx: np.ndarray, *, run_vs: bool = True
+    ) -> dict[str, np.ndarray]:
         out: dict[str, np.ndarray] = {"raw": np.asarray(raw_zyx, np.float32)}
         vol = out["raw"]
         if self.deskew is not None:
@@ -65,7 +67,7 @@ class Preprocessor:
             with self.timer.stage("phase"):
                 vol = np.asarray(reconstruct_phase(vol, self.phase))
             out["phase"] = vol
-        if self.stainer is not None:
+        if self.stainer is not None and run_vs:
             with self.timer.stage("vs"):
                 vol_c = _pad_for_unet(vol, self.stainer.pad_exp)
                 preds = self.stainer.predict(vol_c)
@@ -99,9 +101,18 @@ class Preprocessor:
         return tuple(float(v) for v in raw_scale_zyx)
 
     def tracking_stack(self, raw_zyx: np.ndarray) -> np.ndarray:
-        """The stack the tracker consumes (``config.tracking_channel``)."""
-        products = self(raw_zyx)
+        """The stack the tracker consumes (``config.tracking_channel``).
+
+        Stages downstream of the resolved product are skipped: with
+        ``preprocessing: [deskew, phase, vs]`` and a non-VS tracking
+        channel, running the UNet per tracked timepoint would burn a
+        full inference whose output nobody reads.
+        """
         channel = self.config.tracking_channel
+        needs_vs = self.stainer is not None and channel not in (
+            "phase", "deskewed", "raw"
+        )
+        products = self(raw_zyx, run_vs=needs_vs)
         if channel in products:
             return products[channel]
         # The input channel name maps to the most-processed product

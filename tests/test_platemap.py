@@ -31,9 +31,9 @@ def test_update_coords(tmp_path):
 def test_plate_grid():
     plist = PositionList.from_plate_grid(["A", "B"], ["1", "2", "3"], fovs_per_well=4)
     assert len(plist) == 2 * 3 * 4
-    e = plist.get("B2-003")
+    e = plist.get("B/2-003")
     assert e.row == "B" and e.col == "2" and e.fov == "003"
     # wells are spaced by the pitch
-    a1 = plist.get("A1-000")
-    b1 = plist.get("B1-000")
+    a1 = plist.get("A/1-000")
+    b1 = plist.get("B/1-000")
     assert b1.y_um - a1.y_um == 9000.0
