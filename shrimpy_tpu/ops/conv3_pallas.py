@@ -130,7 +130,7 @@ def _conv3_pallas_jit(vol, *, taps_key, radii, interpret):
     out = pl.pallas_call(
         kernel,
         grid=(nz_p // bz, ny_p // by, nx_p // bx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (bz, by, bx), lambda z, y, x: (z, y, x), memory_space=pltpu.VMEM
         ),
@@ -225,7 +225,7 @@ def _convzy_pallas_jit(vol, gy, *, kz_key, radii, interpret):
         kernel,
         grid=(nz_p // bz, ny_p // by, nx_p // bx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((by, sy), lambda z, y, x: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -414,7 +414,7 @@ def _convzy_linear_jit(
         kernel,
         grid=(nzb, nyb, nxb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((by, sy), lambda z, y, x: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

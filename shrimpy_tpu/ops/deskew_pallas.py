@@ -328,7 +328,7 @@ def _deskew_pallas_jit(
         num_scalar_prefetch=2,
         grid=(nzb, nyb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # raw, DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # raw, DMA'd manually
             pl.BlockSpec(
                 (1, 1, bz_raw * _META_ROWS, BLOCK_Y),
                 lambda zb, yb, *_: (zb, yb, 0, 0),

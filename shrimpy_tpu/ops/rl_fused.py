@@ -576,7 +576,7 @@ def _rl_fused_pass(
         kernel,
         grid=(nyb, nxb, nzb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (bz, by, bx), lambda y, x, z: (z, y, x), memory_space=pltpu.VMEM
             ),

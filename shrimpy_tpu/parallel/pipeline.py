@@ -261,7 +261,7 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
     n_space = mesh.devices.shape[1]
     spec_x = NamedSharding(mesh, P("batch", None, None, "space"))
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from shrimpy_tpu.parallel.fft import fft3_sharded, ifft3_sharded
 
@@ -341,7 +341,7 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
                     P(None, None, None, "space"),
                 ),
                 out_specs=P("batch", None, None, "space"),
-                check_rep=False,
+                check_vma=False,
             )(vol, tf_ri)
             if zp:
                 vol = _constrain(vol[:, zp:-zp])
@@ -400,7 +400,7 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
                 mesh=mesh,
                 in_specs=(P("batch", None, None, "space"),),
                 out_specs=P("batch", None, None, "space"),
-                check_rep=False,
+                check_vma=False,
             )(padded)
             crop = tuple(
                 slice(lo, lo + n) for (lo, _), n in zip(pads, vol.shape[1:])
@@ -452,7 +452,7 @@ def build_reconstruct_step(
         # vmap cannot trace through pallas_call with manual DMAs, which
         # in round 1 forced the slow XLA fallbacks here. (Shard-
         # evenness is validated by the caller-facing wrapper below.)
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         if deskew_fn is not None:
             # Deskew is pointwise in X: runs fully sharded over
@@ -463,7 +463,7 @@ def build_reconstruct_step(
                 mesh=mesh,
                 in_specs=(spec_in,),
                 out_specs=spec_in,
-                check_rep=False,  # pallas_call outputs carry no replication info
+                check_vma=False,  # pallas_call outputs carry no replication info
             )(vol)
         if settings.shard_volumes:
             # >HBM volumes: no whole-volume reshard — X stays sharded
@@ -494,7 +494,7 @@ def build_reconstruct_step(
                 mesh=mesh,
                 in_specs=(spec, P()),
                 out_specs=spec,
-                check_rep=False,  # pallas_call outputs carry no replication info
+                check_vma=False,  # pallas_call outputs carry no replication info
             )(vol, tf)
         return vol
 
