@@ -116,14 +116,19 @@ def get_deskewed_shape(
 
     The counterpart of biahub's ``get_deskewed_data_shape`` as used at
     reference ``preprocessing.py:167-178``. Voxel size is
-    ``(n_avg * px * sin(theta), px, px)`` with ``px`` the camera pixel
-    size.
+    ``(n_avg * px, px, px)`` with ``px`` the camera pixel size: THIS
+    implementation's output z grid is one camera pixel per slice — the
+    resample takes ``t = zo / sin(theta)`` so ``z_lab(zo) = zo * px``
+    (and consistently, ``nz_full = (nt-1)*sin(theta) + 1`` slices span
+    the physical z extent ``(nt-1)*px*sin(theta)``). The earlier
+    ``px*sin(theta)`` figure described a tilt-pitch z grid this kernel
+    never produced and understated the physical z spacing 2x at 30 deg.
     """
     g = _geometry(raw_shape_szx, settings)
     n = settings.average_n_slices
     nz = -(-g["nz_full"] // n)
     px = pixel_size_um if pixel_size_um is not None else (settings.pixel_size_um or 1.0)
-    voxel = (n * px * g["sin_t"], px, px)
+    voxel = (n * px, px, px)
     return (nz, g["ny"], g["nx"]), voxel
 
 

@@ -77,16 +77,24 @@ def gaussian_blur(vol, sigma) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _histogram(flat, bins: int):
+    """(lo, span, int32 counts) shared by the percentile and Otsu
+    kernels. int32 counts: a float32 accumulator stops incrementing at
+    2**24, which a production-size stack's background bin easily
+    exceeds (212M voxels)."""
+    lo = jnp.min(flat)
+    span = jnp.maximum(jnp.max(flat) - lo, 1e-12)
+    idx = jnp.clip(((flat - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
+    counts = jnp.zeros(bins, jnp.int32).at[idx].add(1)
+    return lo, span, counts
+
+
 @partial(jax.jit, static_argnames=("bins",))
 def _percentile_jit(vol, q, bins: int):
     flat = vol.astype(jnp.float32).ravel()
-    lo = jnp.min(flat)
-    hi = jnp.max(flat)
-    span = jnp.maximum(hi - lo, 1e-12)
-    idx = jnp.clip(((flat - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
     # Integer counts + integer cumsum: exact CDF (a float32 cumsum loses
     # whole counts at 1e5+ voxels, which matters in sparse tails).
-    counts = jnp.zeros(bins, jnp.int32).at[idx].add(1)
+    lo, span, counts = _histogram(flat, bins)
     cdf = jnp.cumsum(counts)
     target = q / 100.0 * flat.shape[0]
     # Smallest bin whose cumulative count reaches the target -> upper edge.
@@ -112,14 +120,7 @@ def histogram_percentile(vol, q: float, bins: int = 4096) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("bins",))
 def _multi_otsu_jit(vol, bins: int):
     flat = vol.astype(jnp.float32).ravel()
-    lo = jnp.min(flat)
-    hi = jnp.max(flat)
-    span = jnp.maximum(hi - lo, 1e-12)
-    idx = jnp.clip(((flat - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
-    # int32 counts: a float32 accumulator stops incrementing at 2**24,
-    # which a production-size stack's background bin easily exceeds
-    # (212M voxels) — the same reason _percentile_jit counts in int32.
-    hist = jnp.zeros(bins, jnp.int32).at[idx].add(1)
+    lo, span, hist = _histogram(flat, bins)
     p = hist.astype(jnp.float32) / flat.shape[0]
     centers = lo + (jnp.arange(bins, dtype=jnp.float32) + 0.5) / bins * span
 
@@ -220,18 +221,25 @@ def center_of_mass(weights) -> jnp.ndarray:
 
 
 def otsu_component_mask(vol, component: int = 0, sigma: float = 0.0, bins: int = 256):
-    """Blur -> multi-Otsu -> select intensity class as a mask.
+    """Blur -> multi-Otsu -> threshold ABOVE the selected component.
 
-    ``component`` 0 selects the brightest class, 1 the middle class —
-    the reference's ``otsu_component`` semantics
-    (``SegmentationSettings``, ``tracking.py:69-84``).
+    The reference's ``otsu_component`` selects which 3-class Otsu
+    threshold to binarize against (``_multiotsu_threshold`` returns
+    ``thresholds[component]`` and ``_binary_mask`` masks
+    ``img > threshold``, ``tracking.py:425-542``): 0 = the LOWER
+    threshold (middle + bright classes), 1 = the UPPER threshold
+    (brightest class only). A config carried over from the reference
+    must segment the same voxels.
     """
     vol = jnp.asarray(vol, dtype=jnp.float32)
     if sigma > 0:
         vol = gaussian_blur(vol, sigma)
     t1, t2 = multi_otsu(vol, bins=bins)
     if component == 0:
-        return (vol > t2).astype(jnp.float32), vol
+        return (vol > t1).astype(jnp.float32), vol
     if component == 1:
-        return ((vol > t1) & (vol <= t2)).astype(jnp.float32), vol
-    raise ValueError(f"otsu_component must be 0 (bright) or 1 (middle), got {component}")
+        return (vol > t2).astype(jnp.float32), vol
+    raise ValueError(
+        f"otsu_component must be 0 (lower threshold) or 1 (upper), "
+        f"got {component}"
+    )

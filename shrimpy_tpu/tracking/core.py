@@ -319,8 +319,13 @@ class Tracker:
                 from shrimpy_tpu.ops.features import histogram_percentile
 
                 bg = float(histogram_percentile(vol, rc.background_percentile))
-                vol = np.clip(vol - bg, 0.0, None)
-            weights = vol
+                vol = vol - bg
+            # Clamp even without a background floor: negative values
+            # (phase data) must not pull the centroid the wrong way —
+            # weights are non-negative mass only (reference
+            # _intensity_center_of_mass clamps unconditionally,
+            # tracking.py:596-650).
+            weights = np.clip(vol, 0.0, None)
         com = np.asarray(center_of_mass(weights), dtype=np.float64)
         center = (np.asarray(stack.shape, dtype=np.float64) - 1.0) / 2.0
         return com - center

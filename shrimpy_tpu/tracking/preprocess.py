@@ -83,7 +83,7 @@ class Preprocessor:
         """Voxel scale (um) of the stack the tracker consumes.
 
         Deskew CHANGES the grid — its output voxel is
-        ``(n_avg * px * sin(theta), px, px)``, not the raw
+        ``(n_avg * px, px, px)`` (unit-pixel z grid), not the raw
         ``(scan_step, px, px)`` — so px->um conversion and the um
         deadband/clip limits must use the deskewed scale (the reference
         injects derived pixel sizes post-deskew, ``manager.py:242-262``).

@@ -107,7 +107,14 @@ def stage_timer(name: str, level: int = logging.INFO):
     try:
         yield
     finally:
-        logger.log(level, "%s took %.3fs (%s)", name, time.monotonic() - t0, memory_report())
+        # memory_report() costs a per-device memory_stats RPC (a full
+        # dispatch round-trip over a tunneled TPU): only pay it when
+        # the record will actually be emitted.
+        if logger.isEnabledFor(level):
+            logger.log(
+                level, "%s took %.3fs (%s)",
+                name, time.monotonic() - t0, memory_report(),
+            )
 
 
 @contextlib.contextmanager

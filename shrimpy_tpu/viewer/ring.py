@@ -94,13 +94,22 @@ class FrameRing:
             return None
         return self.read(int(np.argmax(self._seq)))
 
-    def read_rows(self, row: int, slots: list[int]) -> np.ndarray:
+    def read_rows(self, row: int, slots: list[int | None]) -> np.ndarray:
         """Gather one Y-row from each listed slot -> (len(slots), X).
 
         The deskew-preview gather: one tilt row across the scan stack
         (~MBs instead of ~GBs, reference ``ring_buffer.py:98-112``).
+        ``None`` slots (missing frames) yield a zero row, and present
+        slots gather in ONE fancy-index copy — a per-slot Python loop
+        over a production scan (~1200 slots) costs 1200 separate
+        indexing ops per preview tick.
         """
-        return np.stack([self._frames[s, row, :].copy() for s in slots])
+        out = np.zeros((len(slots), self._frames.shape[2]), self._frames.dtype)
+        present = [i for i, s in enumerate(slots) if s is not None]
+        if present:
+            idx = [slots[i] for i in present]
+            out[present] = self._frames[idx, row, :]
+        return out
 
     # -- lifecycle -----------------------------------------------------------
     def close(self) -> None:

@@ -52,7 +52,11 @@ def test_deskewed_shape_and_voxel_size():
     # y band: (1201-1)/0.386 - 255*cos(30) ~ 2887.5
     assert 2800 < ny < 2950
     assert voxel[1] == voxel[2] == 0.116
-    assert voxel[0] == pytest.approx(3 * 0.116 * 0.5, rel=1e-6)
+    # Output z spacing is ONE CAMERA PIXEL per slice (t = zo/sin(theta)
+    # => z_lab(zo) = zo*px): 128 unit-px slices span the physical
+    # (256-1)*px*sin(30)=127.5 px z extent. The old px*sin(theta)
+    # figure understated the physical spacing 2x at 30 deg.
+    assert voxel[0] == pytest.approx(3 * 0.116, rel=1e-6)
 
 
 def test_deskew_beads_land_at_lab_positions():

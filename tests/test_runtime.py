@@ -42,7 +42,7 @@ def test_reconstruct_fov_deskew(tmp_path, ls_fov):
     # voxel metadata follows the deskew geometry
     sz, sy, sx = out.zyx_scale
     assert sy == pytest.approx(0.116)
-    assert sz == pytest.approx(0.116 * 0.5, rel=1e-3)  # px*sin(30)
+    assert sz == pytest.approx(0.116, rel=1e-3)  # unit-pixel z grid
     # summary sidecar on disk
     sidecar = json.loads((tmp_path / "out.zarr" / "reconstruct_summary.json").read_text())
     assert sidecar["volumes"] == 1

@@ -198,9 +198,10 @@ def test_debug_artifacts(tmp_path):
 
 def test_tracking_scale_uses_deskewed_voxel():
     """With deskew in the preprocessing chain the tracker's px->um
-    conversion must use the DESKEWED voxel (n_avg*px*sin(theta), px,
-    px), not the raw scan scale (reference manager.py:242-262 injects
-    derived pixel sizes post-deskew)."""
+    conversion must use the DESKEWED voxel (n_avg*px, px, px — the
+    deskew output z grid is one camera pixel per slice), not the raw
+    scan scale (reference manager.py:242-262 injects derived pixel
+    sizes post-deskew)."""
     import numpy as np
 
     from shrimpy_tpu.config.schemas import DynaTrackConfig
@@ -220,7 +221,9 @@ def test_tracking_scale_uses_deskewed_voxel():
     pre = Preprocessor(cfg)
     raw_scale = (0.3, 0.116, 0.116)  # scan step 0.3 um
     scale = pre.tracking_scale_zyx((64, 128, 128), raw_scale)
-    assert np.isclose(scale[0], 3 * 0.116 * 0.5)  # n_avg*px*sin(30)
+    # Unit-pixel output z grid: n_avg*px per averaged slice (the old
+    # px*sin(theta) figure understated the physical spacing 2x at 30).
+    assert np.isclose(scale[0], 3 * 0.116)
     assert scale[1:] == (0.116, 0.116)
 
     cfg2 = DynaTrackConfig(
