@@ -27,10 +27,6 @@ from shrimpy_tpu.engine.plan import AutofocusPlan
 logger = logging.getLogger(__name__)
 
 
-class AutofocusFailure(Exception):
-    """Raised when autofocus cannot engage at a position."""
-
-
 class DemoAutofocus:
     """Simulated PFS: deterministic failures + seeded random success."""
 
@@ -81,12 +77,19 @@ def _focus_metric_jit(
             cx[-1] = 1.0
         power = jnp.abs(rdft2(centered)) ** 2
         return jnp.sum(power * (mask[None] * cx[None, None]), axis=(1, 2))
-    fx = jnp.fft.fftfreq(nx, d=pixel_size_um)
+    # rfft2 + interior-bin double-weighting (same algebra as the matmul
+    # branch): the input is real and the mask mirror-symmetric, so the
+    # full complex fft2 did 2x the transform work for the same sums.
+    nxr = nx // 2 + 1
+    fx = jnp.fft.rfftfreq(nx, d=pixel_size_um)
     f = jnp.sqrt(fy[:, None] ** 2 + fx[None, :] ** 2)
     mask = (f >= lo * cutoff) & (f <= hi * cutoff)
-    spectra = jnp.fft.fft2(centered)
-    power = jnp.abs(spectra) ** 2
-    return jnp.sum(power * mask[None], axis=(1, 2))
+    cx = np.full(nxr, 2.0, np.float32)
+    cx[0] = 1.0
+    if nx % 2 == 0:
+        cx[-1] = 1.0
+    power = jnp.abs(jnp.fft.rfft2(centered)) ** 2
+    return jnp.sum(power * (mask[None] * cx[None, None]), axis=(1, 2))
 
 
 def focus_from_transverse_band(

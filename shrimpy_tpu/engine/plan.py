@@ -120,6 +120,15 @@ class AutofocusPlan(BaseModel):
             raise ValueError(
                 f"success_rate must be in [0, 1], got {self.success_rate}"
             )
+        if not self.enabled and (
+            self.fail_at_indices is not None or self.success_rate != 1.0
+        ):
+            # Declared failure behavior with the feature off would be
+            # silently inert (engage() returns True unconditionally).
+            raise ValueError(
+                "autofocus failure settings (fail_at_indices / "
+                "success_rate) require enabled: true"
+            )
         return self
 
 

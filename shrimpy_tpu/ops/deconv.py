@@ -1082,39 +1082,48 @@ def richardson_lucy(
             )
 
     if terms is not None:
-        backend = _resolve_separable_backend(
-            settings.separable_backend, tuple(image.shape), tuple(psf_np.shape)
-        )
-        if backend == "fused":
-            from shrimpy_tpu.ops.rl_fused import rl_fused, rl_fused_supported
-
-            if not rl_fused_supported(tuple(image.shape), tuple(psf_np.shape)):
-                raise ValueError(
-                    "geometry/PSF outside the fused kernel's constraints "
-                    f"(image {tuple(image.shape)}, psf {tuple(psf_np.shape)}); "
-                    "use separable_backend='linear_pallas' or 'matmul'"
-                )
-            return rl_fused(image, psf_np, terms, settings, iters)
-        if backend == "linear_pallas":
-            return _rl_sep_linear(image, psf_np, terms, settings, iters)
-        if backend == "zy_pallas":
-            return _rl_sep_zy(image, psf_np, terms, settings, iters)
-        pads = _sep_pads(tuple(image.shape), tuple(psf_np.shape))
-        grid = tuple(n + lo + hi for n, (lo, hi) in zip(image.shape, pads))
-        radii = tuple(k // 2 for k in psf_np.shape)
-        mats = _sep_matrices_device(terms, grid, radii)
-        return _rl_sep_jit(
-            image,
-            *mats,
-            iterations=iters,
-            pads=pads,
-            epsilon=settings.epsilon,
-            pad_mode=settings.pad_mode,
-            precision=settings.matmul_precision,
-            radii=radii,
-        )
+        return rl_separable(image, psf_np, terms, settings, iters)
 
     return rl_fft(image, psf_np, settings, iters)
+
+
+def rl_separable(image, psf_np, terms, settings, iterations: int):
+    """Separable-path RL: resolve the backend for THIS image shape and
+    run it. The single dispatch point shared by :func:`richardson_lucy`
+    and the pipeline (``parallel/pipeline.py``), so a new backend or a
+    changed pads/grid convention can never leave one caller behind.
+    """
+    backend = _resolve_separable_backend(
+        settings.separable_backend, tuple(image.shape), tuple(psf_np.shape)
+    )
+    if backend == "fused":
+        from shrimpy_tpu.ops.rl_fused import rl_fused, rl_fused_supported
+
+        if not rl_fused_supported(tuple(image.shape), tuple(psf_np.shape)):
+            raise ValueError(
+                "geometry/PSF outside the fused kernel's constraints "
+                f"(image {tuple(image.shape)}, psf {tuple(psf_np.shape)}); "
+                "use separable_backend='linear_pallas' or 'matmul'"
+            )
+        return rl_fused(image, psf_np, terms, settings, iterations)
+    if backend == "linear_pallas":
+        return _rl_sep_linear(image, psf_np, terms, settings, iterations)
+    if backend == "zy_pallas":
+        return _rl_sep_zy(image, psf_np, terms, settings, iterations)
+    pads = _sep_pads(tuple(image.shape), tuple(psf_np.shape))
+    grid = tuple(n + lo + hi for n, (lo, hi) in zip(image.shape, pads))
+    radii = tuple(k // 2 for k in psf_np.shape)
+    mats = _sep_matrices_device(terms, grid, radii)
+    return _rl_sep_jit(
+        image,
+        *mats,
+        iterations=iterations,
+        pads=pads,
+        epsilon=settings.epsilon,
+        pad_mode=settings.pad_mode,
+        precision=settings.matmul_precision,
+        radii=radii,
+    )
 
 
 def resolve_fft_backend(settings: DeconvolveSettings, ndim: int) -> str:

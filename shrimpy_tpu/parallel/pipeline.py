@@ -22,10 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from shrimpy_tpu.config.schemas import ReconstructSettings
-from shrimpy_tpu.ops.deconv import (
-    _padded_grid_shape,
-    _sep_pads,
-)
+from shrimpy_tpu.ops.deconv import _padded_grid_shape
 from shrimpy_tpu.ops.deskew import _deskew_xla, get_deskewed_shape
 from shrimpy_tpu.ops.phase import _apply_inverse_jit, compute_transfer_function
 
@@ -33,7 +30,6 @@ from shrimpy_tpu.ops.phase import _apply_inverse_jit, compute_transfer_function
 def _deconv_fn(
     settings: ReconstructSettings,
     psf: np.ndarray | None,
-    mesh: Mesh | None = None,
 ):
     """Per-volume RL stage with the PSF baked at build time.
 
@@ -71,42 +67,10 @@ def _deconv_fn(
             # Backend resolution sees the per-volume (per-device-local
             # under shard_map) shape, so the fast Pallas backends run
             # on the mesh path too (round-1 forced "matmul" there).
-            from shrimpy_tpu.ops.deconv import _resolve_separable_backend
+            # One shared dispatch with richardson_lucy (ops/deconv.py).
+            from shrimpy_tpu.ops.deconv import rl_separable
 
-            backend = _resolve_separable_backend(
-                deconv.separable_backend, tuple(vol.shape), tuple(psf_np.shape)
-            )
-            if backend == "fused":
-                from shrimpy_tpu.ops.rl_fused import (
-                    rl_fused,
-                    rl_fused_supported,
-                )
-
-                if not rl_fused_supported(
-                    tuple(vol.shape), tuple(psf_np.shape)
-                ):
-                    raise ValueError(
-                        f"separable_backend='fused' does not support "
-                        f"volume {tuple(vol.shape)} with PSF "
-                        f"{tuple(psf_np.shape)} (needs y >= one slab and "
-                        "x >= bx + 256); use separable_backend='auto'"
-                    )
-                return rl_fused(vol, psf_np, terms, deconv, deconv.iterations)
-            if backend == "linear_pallas":
-                from shrimpy_tpu.ops.deconv import _rl_sep_linear
-
-                return _rl_sep_linear(vol, psf_np, terms, deconv, deconv.iterations)
-            if backend == "zy_pallas":
-                from shrimpy_tpu.ops.deconv import _rl_sep_zy
-
-                return _rl_sep_zy(vol, psf_np, terms, deconv, deconv.iterations)
-            pads = _sep_pads(tuple(vol.shape), tuple(psf_np.shape))
-            grid = tuple(n + lo + hi for n, (lo, hi) in zip(vol.shape, pads))
-            radii = tuple(k // 2 for k in psf_np.shape)
-            from shrimpy_tpu.ops.deconv import _sep_matrices_device
-
-            mats = _sep_matrices_device(terms, grid, radii)
-            return _rl_sep_inline(vol, mats, deconv, pads, radii)
+            return rl_separable(vol, psf_np, terms, deconv, deconv.iterations)
 
         return rl
 
@@ -119,21 +83,6 @@ def _deconv_fn(
         return rl_fft(vol, psf_np, deconv, deconv.iterations)
 
     return rl
-
-
-def _rl_sep_inline(vol, mats, deconv, pads, radii):
-    from shrimpy_tpu.ops.deconv import _rl_sep_jit
-
-    return _rl_sep_jit(
-        vol,
-        *(jnp.asarray(m) for m in mats),
-        iterations=deconv.iterations,
-        pads=pads,
-        epsilon=deconv.epsilon,
-        pad_mode=deconv.pad_mode,
-        precision=deconv.matmul_precision,
-        radii=radii,
-    )
 
 
 def _register_fn(settings: ReconstructSettings):
@@ -209,7 +158,7 @@ def _stage_fns(
             )
 
     reg_fn = _register_fn(settings)
-    rl_fn = _deconv_fn(settings, psf, mesh)
+    rl_fn = _deconv_fn(settings, psf)
     fft_fn = None
     if phase is not None or rl_fn is not None or reg_fn is not None:
 
@@ -257,7 +206,17 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
     if deconv is not None:
         if psf is None:
             raise ValueError("deconvolve stage enabled but no PSF provided")
-        psf_np = np.asarray(psf, dtype=np.float32)
+        # Same PSF conditioning as the unsharded path (_deconv_fn):
+        # support cropping shrinks the padded grid — which matters MOST
+        # here, on the memory-critical >HBM route — and psf_crop_tol
+        # must not be silently inert on one path.
+        from shrimpy_tpu.ops.deconv import _crop_psf_support, _pad_psf_to_odd
+
+        psf_np = _pad_psf_to_odd(
+            _crop_psf_support(
+                np.asarray(psf, dtype=np.float32), deconv.psf_crop_tol
+            )
+        )
     n_space = mesh.devices.shape[1]
     spec_x = NamedSharding(mesh, P("batch", None, None, "space"))
 
@@ -312,8 +271,8 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
                 ))
             if vol.shape[2] % n_space:
                 raise ValueError(
-                    f"shard_volumes: Y extent {vol.shape[2]} must divide "
-                    f"the space axis ({n_space}) for the slab transpose"
+                    f"shard_volumes: Y extent {vol.shape[2]} must be divisible "
+                    f"by the space axis ({n_space}) for the slab transpose"
                 )
 
             from shrimpy_tpu.ops.phase import _resolve_transform
@@ -352,8 +311,8 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
             )
             if grid[1] % n_space or grid[2] % n_space:
                 raise ValueError(
-                    f"shard_volumes: padded RL grid {grid} must divide the "
-                    f"space axis ({n_space}) on Y and X"
+                    f"shard_volumes: padded RL grid {grid} must be divisible by "
+                    f"the space axis ({n_space}) on Y and X"
                 )
             eps = deconv.epsilon
             iterations = deconv.iterations
@@ -435,6 +394,16 @@ def build_reconstruct_step(
     chips, the reshard is one all-to-all over ICI.
     """
     deskew_fn, fft_fn = _stage_fns(settings, psf, mesh)
+
+    if settings.shard_volumes and (mesh is None or mesh.devices.shape[1] < 2):
+        # Without a space axis the >HBM flag would silently run whole
+        # volumes (and OOM with an opaque allocator error on exactly
+        # the volumes the flag exists for).
+        raise ValueError(
+            "shard_volumes requires a device mesh with space > 1 "
+            "(pass --devices N --space S to the CLI, or make_mesh(n, "
+            "space=s))"
+        )
 
     def batched(raw, tf):
         vol = raw
@@ -525,13 +494,13 @@ def build_reconstruct_step(
         n_batch_ax, n_space_ax = mesh.devices.shape
         if raw.shape[0] % n_batch_ax:
             raise ValueError(
-                f"batch size {raw.shape[0]} must divide the mesh batch "
-                f"axis ({n_batch_ax}); pad the work list or pick a mesh "
+                f"batch size {raw.shape[0]} must be divisible by the mesh "
+                f"batch axis ({n_batch_ax}); pad the work list or pick a mesh "
                 "with --devices/--batch so volumes shard evenly"
             )
         if raw.shape[3] % n_space_ax:
             raise ValueError(
-                f"X extent {raw.shape[3]} must divide the mesh space "
+                f"X extent {raw.shape[3]} must be divisible by the mesh space "
                 f"axis ({n_space_ax}); use a space factor that divides "
                 "X (or space=1)"
             )

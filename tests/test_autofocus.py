@@ -61,8 +61,14 @@ def test_demo_autofocus_deterministic_failures():
 
 
 def test_demo_autofocus_disabled_always_locks():
-    af = DemoAutofocus(AutofocusPlan(enabled=False, success_rate=0.0), 2)
+    af = DemoAutofocus(AutofocusPlan(enabled=False), 2)
     assert all(af.engage(t, p) for t in range(3) for p in range(2))
+    # Declared failure behavior with the feature off would be silently
+    # inert: the schema rejects the contradiction.
+    with pytest.raises(ValueError, match="enabled"):
+        AutofocusPlan(enabled=False, success_rate=0.0)
+    with pytest.raises(ValueError, match="enabled"):
+        AutofocusPlan(fail_at_indices=[1])
 
 
 def test_demo_autofocus_seeded_rate():

@@ -199,11 +199,11 @@ def test_shard_volumes_phase_slab_fft(rng):
 
 def test_mesh_divisibility_errors_are_actionable(rng):
     psf = gaussian_psf((5, 5, 5), (1.0, 1.0, 1.0))
-    with pytest.raises(ValueError, match="batch size 3 must divide"):
+    with pytest.raises(ValueError, match="batch size 3 must be divisible"):
         reconstruct_batch(
             _batch(rng, b=3), SETTINGS, psf=psf, mesh=make_mesh(8, space=2)
         )
-    with pytest.raises(ValueError, match="X extent .* must divide"):
+    with pytest.raises(ValueError, match="X extent .* must be divisible"):
         reconstruct_batch(
             _batch(rng, b=4, shape=(24, 16, 130)), SETTINGS, psf=psf,
             mesh=make_mesh(8, space=4),
