@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from shrimpy_tpu.ops.dft import cdft as dft_cdft
 from shrimpy_tpu.ops.dft import default_transform as dft_default_transform
 from shrimpy_tpu.ops.dft import irdft2 as dft_irdft2
 from shrimpy_tpu.ops.dft import irdft3 as dft_irdft3
@@ -99,8 +100,14 @@ def _pcc_jit(
     return jnp.stack(refined)
 
 
-@partial(jax.jit, static_argnames=("fft_shape", "factor", "halfwidth"))
-def _dft_refine_jit(ref, mov, coarse_shift, fft_shape, factor: int, halfwidth: int):
+@partial(
+    jax.jit,
+    static_argnames=("fft_shape", "factor", "halfwidth", "transform"),
+)
+def _dft_refine_jit(
+    ref, mov, coarse_shift, fft_shape, factor: int, halfwidth: int,
+    transform: str = "xla",
+):
     """Local matrix-DFT upsampling around the coarse peak.
 
     The Guizar-Sicairos single-step DFT refinement: evaluate the
@@ -110,7 +117,18 @@ def _dft_refine_jit(ref, mov, coarse_shift, fft_shape, factor: int, halfwidth: i
     """
     ref = match_shape(ref.astype(jnp.float32) - jnp.mean(ref), fft_shape, mode="constant")
     mov = match_shape(mov.astype(jnp.float32) - jnp.mean(mov), fft_shape, mode="constant")
-    cross = jnp.fft.fftn(ref) * jnp.conj(jnp.fft.fftn(mov))
+    if transform == "matmul" and ref.ndim <= 3:
+        # Forward spectra as MXU matmul-DFT einsums (the upsampling
+        # matrices below are already matmuls).
+        def fftn_m(x):
+            y = x.astype(jnp.complex64)
+            for ax in range(-x.ndim, 0):
+                y = dft_cdft(y, ax)
+            return y
+
+        cross = fftn_m(ref) * jnp.conj(fftn_m(mov))
+    else:
+        cross = jnp.fft.fftn(ref) * jnp.conj(jnp.fft.fftn(mov))
 
     n_pts = 2 * halfwidth * factor + 1
     # Correlation value at displacement d: sum_k cross[k] exp(-2i pi k.d/N)
@@ -170,6 +188,7 @@ def phase_cross_correlation(
     shift = _pcc_jit(ref, mov, fft_shape, upsample == "parabolic", transform)
     if upsample == "dft":
         shift = _dft_refine_jit(
-            ref, mov, jnp.asarray(shift), fft_shape, int(upsample_factor), 1
+            ref, mov, jnp.asarray(shift), fft_shape, int(upsample_factor), 1,
+            transform,
         )
     return np.asarray(shift)

@@ -40,7 +40,7 @@ def test_pcc_matmul_transform_matches_xla(rng, ndim):
     shape = (48, 40) if ndim == 2 else (12, 32, 24)
     ref = rng.random(shape, dtype=np.float32)
     mov = _roll(ref, tuple([2] + [-3] * (ndim - 1)))
-    for upsample in (None, "parabolic"):
+    for upsample in (None, "parabolic", "dft"):
         mm = phase_cross_correlation(
             ref, mov, upsample=upsample, transform="matmul"
         )
