@@ -647,6 +647,16 @@ def _child_main(argv: list[str]) -> None:
         print(json.dumps(_CONFIG_FNS[argv[1]](variant)))
     elif argv[0] == "--parity":
         print(json.dumps({"parity_err": _parity_check()}))
+    elif argv[0] == "--probe":
+        # Tunnel liveness: the cheapest possible device round-trip.
+        import jax
+        import jax.numpy as jnp
+
+        ok = float(jnp.sum(jnp.ones((128, 128)))) == 128.0 * 128.0
+        print(json.dumps({
+            "alive": bool(ok),
+            "platform": jax.devices()[0].platform,
+        }))
     else:
         raise SystemExit(f"unknown child args: {argv}")
 
@@ -689,6 +699,37 @@ def main() -> None:
 
     def child_timeout(margin: float = 30.0) -> float:
         return min(CHILD_TIMEOUT_S, remaining() - margin)
+
+    # Tunnel liveness probe BEFORE anything expensive: the axon relay
+    # has been observed fully unresponsive for hours (even
+    # jax.devices() hangs). Without this, every geometry child would
+    # burn its full timeout and the run would be killed with NOTHING on
+    # stdout; with it, a dead tunnel still yields a parseable record
+    # that says so.
+    alive = False
+    for attempt in range(3):
+        payload, _ = _run_child(["--probe"], min(120.0, child_timeout()))
+        if payload is not None and payload.get("alive"):
+            alive = True
+            break
+        if remaining() < 240.0:
+            break
+        print(
+            f"# device probe failed (attempt {attempt + 1}); waiting",
+            file=sys.stderr,
+        )
+        time.sleep(45.0)
+    if not alive:
+        print(json.dumps({
+            "metric": "deskew+rl20 reconstruction throughput per chip",
+            "value": None,
+            "unit": "GVox/s",
+            "vs_baseline": None,
+            "error": "tpu unreachable: device probe timed out repeatedly "
+            "(axon tunnel down); no measurement was possible this run",
+            "configs": [],
+        }), flush=True)
+        return
 
     # Headline FIRST (best-first geometries, stop at the first that
     # measures) — the throughput number is the record that must survive
