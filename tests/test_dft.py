@@ -102,6 +102,23 @@ def test_cdft_matches_numpy_fft(axis, rng):
     assert ierr <= 1e-5, f"axis {axis}: inv rel err {ierr:.2e}"
 
 
+@pytest.mark.parametrize(
+    "shape", [(1, 1, 1), (1, 4, 1), (2, 1, 6), (1, 1, 8), (3, 257, 2)]
+)
+def test_rdft3_degenerate_lengths(shape, rng):
+    """Length-1/2 axes and prime lengths (257 -> direct matrix) are
+    exact in both directions."""
+    from shrimpy_tpu.ops.dft import irdft3, rdft3
+
+    x = rng.standard_normal(shape).astype(np.float32)
+    ref = np.fft.rfftn(x)
+    got = np.asarray(rdft3(x))
+    err = np.max(np.abs(got - ref)) / max(np.max(np.abs(ref)), 1e-12)
+    back = np.asarray(irdft3(got.astype(np.complex64), shape[-1]))
+    rerr = np.max(np.abs(back - x)) / max(np.max(np.abs(x)), 1e-12)
+    assert err <= 1e-5 and rerr <= 1e-5, (shape, err, rerr)
+
+
 def test_balanced_factors():
     assert _balanced_factors(300) == (15, 20)
     assert _balanced_factors(384) == (16, 24)
