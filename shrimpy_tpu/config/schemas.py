@@ -186,7 +186,8 @@ class DeconvolveSettings(BaseModel):
     # the true crossover near rank 56. 24 keeps >2x margin while
     # bounding compile time and vmem. Applies to both the strict tier
     # (aberrated-but-clean PSFs often need rank 7-10) and the denoise
-    # tier (which stops at the first sufficient rank anyway).
+    # tier (which stops at the residual-drop plateau once the
+    # sufficiency target is met, so it rarely reaches the cap).
     max_extended_terms: int = 24
     # MXU matmul precision for the separable path. TPU default matmuls
     # are bf16 (1e-2 error over 20 iterations — fails the 1e-3 parity

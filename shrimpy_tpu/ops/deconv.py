@@ -452,8 +452,10 @@ def plan_separable_terms(
        crossover near rank 56, docs/kernels.md) keeps every extended
        rank far below the FFT path — logged;
     3. if that fails and ``psf_denoise != 'off'``: rank-K truncation
-       (up to extended rank, stopping at the first K that suffices),
-       accepted when the discarded residual is below
+       (up to extended rank; terms accumulate until the residual-drop
+       PLATEAU past the sufficiency target — the knee where further
+       rank models iid noise, not structure), accepted when the
+       discarded residual is below
        ``psf_denoise_max_residual`` (noise-like) — logged, because the
        working PSF becomes the denoised one;
     4. otherwise None (caller uses the FFT path, also logged so the
@@ -838,15 +840,21 @@ def _rl_sep_linear(image, psf_np, terms, settings, iterations):
                 {
                     "kz": tuple(float(v) for v in wz),
                     "kz_f": tuple(float(v) for v in wz[::-1]),
-                    "gy": jnp.asarray(lp_y_stencil(wy, layout)),
-                    "gy_f": jnp.asarray(lp_y_stencil(wy[::-1], layout)),
+                    # HOST numpy in the cached closure: a jnp.asarray
+                    # made while an OUTER trace is active is that
+                    # trace's tracer, and a cache hit from a later
+                    # trace would die with UnexpectedTracerError (the
+                    # rl_fused kernel fixed the same hazard). They
+                    # become constants inside run()'s own jit.
+                    "gy": np.asarray(lp_y_stencil(wy, layout)),
+                    "gy_f": np.asarray(lp_y_stencil(wy[::-1], layout)),
                     "radii": (len(wz) // 2, len(wy) // 2),
                 }
             )
             txs.append(_toeplitz_banded(nx_p, wx))
             txs_f.append(_toeplitz_banded(nx_p, wx[::-1]))
-        txs = jnp.asarray(np.stack(txs))
-        txs_f = jnp.asarray(np.stack(txs_f))
+        txs = np.stack(txs)
+        txs_f = np.stack(txs_f)
         epsilon = settings.epsilon
         pad_mode = settings.pad_mode
 
@@ -861,7 +869,7 @@ def _rl_sep_linear(image, psf_np, terms, settings, iterations):
                     dims=dims,
                     interpret=interpret,
                 )
-                tx = (txs_f if flip else txs)[k]
+                tx = jnp.asarray((txs_f if flip else txs)[k])
                 out = out + jnp.einsum("ab,zyb->zya", tx, h, precision=prec)
             return out
 
@@ -925,15 +933,17 @@ def _rl_sep_zy(image, psf_np, terms, settings, iterations):
                 {
                     "kz": tuple(float(v) for v in wz),
                     "kz_f": tuple(float(v) for v in wz[::-1]),
-                    "gy": jnp.asarray(_y_stencil(wy, 128, len(wy) // 2)),
-                    "gy_f": jnp.asarray(_y_stencil(wy[::-1], 128, len(wy) // 2)),
+                    # HOST numpy in the cached closure (see the
+                    # linear backend above for why).
+                    "gy": np.asarray(_y_stencil(wy, 128, len(wy) // 2)),
+                    "gy_f": np.asarray(_y_stencil(wy[::-1], 128, len(wy) // 2)),
                     "radii": (len(wz) // 2, len(wy) // 2),
                 }
             )
             cxs.append(_circulant(grid[2], wx))
             cxs_f.append(_circulant(grid[2], wx[::-1]))
-        cxs = jnp.asarray(np.stack(cxs))
-        cxs_f = jnp.asarray(np.stack(cxs_f))
+        cxs = np.stack(cxs)
+        cxs_f = np.stack(cxs_f)
         epsilon = settings.epsilon
         pad_mode = settings.pad_mode
 
@@ -947,7 +957,7 @@ def _rl_sep_zy(image, psf_np, terms, settings, iterations):
                     radii=tm["radii"],
                     interpret=interpret,
                 )
-                cx = (cxs_f if flip else cxs)[k]
+                cx = jnp.asarray((cxs_f if flip else cxs)[k])
                 out = out + jnp.einsum("ab,zyb->zya", cx, h, precision=prec)
             return out
 
@@ -1005,7 +1015,11 @@ def _crop_psf_support(psf_np: np.ndarray, rel_tol: float) -> np.ndarray:
     """
     if rel_tol <= 0:
         return psf_np
-    mask = psf_np > rel_tol * float(psf_np.max())
+    # Magnitude threshold: user-supplied PSFs (psf_path .npy) may carry
+    # negative sidelobes or over-subtracted background; a signed
+    # comparison would count those planes as empty and crop arbitrary
+    # negative mass past the rel_tol contract.
+    mask = np.abs(psf_np) > rel_tol * float(np.abs(psf_np).max())
     slices = []
     for ax in range(psf_np.ndim):
         other = tuple(a for a in range(psf_np.ndim) if a != ax)

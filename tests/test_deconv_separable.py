@@ -188,6 +188,29 @@ def test_zy_pallas_backend_matches_its_oracle(rng):
     assert err <= 1e-3, f"rel err {err:.2e}"
 
 
+@pytest.mark.parametrize("backend", ["linear_pallas", "zy_pallas"])
+def test_pallas_backend_cache_survives_retrace(rng, backend):
+    """The per-(shape, psf, settings) program caches must hold HOST
+    constants: a closure built while an OUTER jit trace is active used
+    to capture that trace's tracers, and a cache hit from a later trace
+    (e.g. the plate runtime's final partial batch retracing the same
+    jit) died with UnexpectedTracerError."""
+    import jax
+
+    truth, psf, blurred = _scene(rng, shape=(10, 32, 32))
+    settings = DeconvolveSettings(
+        algorithm="separable", separable_backend=backend, iterations=2
+    )
+
+    def f(v):
+        return richardson_lucy(v, psf, settings)
+
+    a = np.asarray(jax.jit(f)(blurred))  # builds the cache inside trace 1
+    # A DIFFERENT jit program, same shapes -> cache hit from trace 2.
+    b = np.asarray(jax.jit(lambda v: f(v) * 1.0)(blurred))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
 def test_zy_pallas_agrees_with_matmul_backend(rng):
     truth, psf, blurred = _scene(rng, shape=(10, 32, 32))
     zy = np.asarray(richardson_lucy(
