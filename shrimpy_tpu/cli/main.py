@@ -150,14 +150,23 @@ def deskew(
     from shrimpy_tpu.config import DeskewSettings, ReconstructSettings
     from shrimpy_tpu.config.microscopes import get_microscope
 
+    # Resolve the profile EVEN when the angle is explicit: an unknown
+    # name (typo) or an unimplemented profile (isim's coming-soon seam)
+    # must error like the replay verbs, not silently run with whatever
+    # optics were typed.
+    try:
+        prof = get_microscope(microscope)
+    except KeyError as exc:
+        raise click.ClickException(str(exc)) from None
+    if not prof.implemented:
+        # Same seam as `replay` (reference cli/acquire.py:150-163).
+        raise click.ClickException(
+            f"{prof.name} support is not yet implemented. Coming soon!"
+        )
     if ls_angle_deg is None:
         # The instrument's geometry is profile knowledge (reference
         # seeds LS_ANGLE_DEG per microscope); a profile without one
         # cannot deskew by default.
-        try:
-            prof = get_microscope(microscope)
-        except KeyError as exc:
-            raise click.ClickException(str(exc)) from None
         if prof.ls_angle_deg is None:
             raise click.ClickException(
                 f"microscope {microscope!r} declares no light-sheet "

@@ -25,12 +25,25 @@ from shrimpy_tpu.io.ngff import NgffPosition, NgffStore, create_fov, create_hcs
 
 
 def coordinate_encoded_value(p: int, t: int, c: int, z: int) -> int:
-    """The reference's coordinate encoding (test_replay_camera.py:33-49)."""
+    """The reference's coordinate encoding (test_replay_camera.py:33-49).
+
+    The strides are the reference's verbatim (parity), which makes the
+    encoding AMBIGUOUS past t=2 when p>0 (one position step == three
+    timepoint steps: (p=1, t=0) == (p=0, t=3)); a fixture in that
+    regime could not catch a served-wrong-position bug, so it is
+    rejected rather than silently weakened.
+    """
+    if p > 0 and t > 2:
+        raise ValueError(
+            f"coordinate encoding is ambiguous for (p={p}, t={t}): "
+            "p*30000 collides with t*10000 past t=2; use t <= 2 in "
+            "multi-position fixtures"
+        )
     value = p * 30000 + t * 10000 + c * 1000 + z
     if value > 65535:
         raise ValueError(
             f"coordinate encoding {value} for (p={p}, t={t}, c={c}, z={z}) "
-            "exceeds uint16; use smaller fixture extents (p <= 2, t <= 6)"
+            "exceeds uint16; use smaller fixture extents"
         )
     return value
 
@@ -210,14 +223,19 @@ def synthetic_ls_stack(
     rng = np.random.default_rng(seed)
     theta = math.radians(ls_angle_deg)
     ns, nt, nx = raw_shape_szx
-    # Sample beads safely inside the fully-covered deskewed region.
+    # Sample beads safely inside the fully-covered deskewed region:
+    # the raw scan coordinate of lab (z, y) is s = r*(y - z/tan(theta)),
+    # so y is parameterized RELATIVE to its z-dependent lower coverage
+    # bound — an absolute y range would push beads off the scan edge
+    # for tall-tilt shapes (nt large vs ns).
     z_max = (nt - 1) * math.sin(theta)
+    z = rng.uniform(0.2 * z_max, 0.8 * z_max, n_beads)
+    u = rng.uniform(0.1, 0.9, n_beads)  # fractional scan position
+    y = z / math.tan(theta) + u * (ns - 1) / px_to_scan_ratio
     beads = np.stack(
         [
-            rng.uniform(0.2 * z_max, 0.8 * z_max, n_beads),  # z (lab)
-            rng.uniform(
-                0.3 * (ns - 1) / px_to_scan_ratio, 0.7 * (ns - 1) / px_to_scan_ratio, n_beads
-            ),  # y (lab)
+            z,  # z (lab)
+            y,  # y (lab): s = r*(y - z/tan) = u*(ns-1), always in range
             rng.uniform(0.2 * nx, 0.8 * nx, n_beads),  # x
         ],
         axis=1,

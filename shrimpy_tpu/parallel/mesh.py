@@ -50,9 +50,15 @@ def make_mesh(
     additionally shards each volume's X axis across ``space`` chips.
     """
     devices = list(devices if devices is not None else jax.devices())
-    n = n_devices or len(devices)
+    n = len(devices) if n_devices is None else n_devices
+    if n < 1:
+        # `or` would make 0 silently mean 'all devices' and a negative
+        # value would slice/reshape into a smaller mesh with no error.
+        raise ValueError(f"n_devices must be >= 1, got {n}")
     if n > len(devices):
         raise ValueError(f"requested {n} devices, have {len(devices)}")
+    if space < 1:
+        raise ValueError(f"space must be >= 1, got {space}")
     if n % space:
         raise ValueError(f"n_devices={n} not divisible by space={space}")
     grid = np.array(devices[:n]).reshape(n // space, space)

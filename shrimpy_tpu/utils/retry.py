@@ -2,9 +2,12 @@
 
 The reference wraps every public MMCore method with 3-attempt / 5 s
 retry via ``__getattribute__`` interception, with no-retry exclusion
-lists (``shrimpy/robust_cmmcore.py:13-84``). Here the same policy
-guards flaky IO backends (network filesystems, object stores) behind
-the replay source and the zarr reader/writer.
+lists (``shrimpy/robust_cmmcore.py:13-84``). Here the production
+wiring is :func:`robust_call` around the streaming runtime's
+tensorstore read/write futures (``runtime/stream.py``, per-item
+failure containment). :class:`RobustProxy` is the reference-shaped
+general wrapper for METHOD calls only — dunder-dispatched protocols
+(indexing, iteration) bypass ``__getattr__`` and are not retried.
 """
 
 from __future__ import annotations
@@ -34,6 +37,8 @@ def robust_call(
     exclusion lists, ``robust_cmmcore.py:17-21``). The last failure
     re-raises.
     """
+    if attempts < 1:
+        raise ValueError(f"attempts must be >= 1, got {attempts}")
     last: BaseException | None = None
     for attempt in range(1, attempts + 1):
         try:
@@ -66,8 +71,13 @@ def retry(
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
+            # Close over the wrapped call: forwarding the user kwargs
+            # into robust_call alongside its own attempts/wait_s/
+            # no_retry keywords would TypeError on any wrapped callable
+            # that itself takes a kwarg by those names.
             return robust_call(
-                fn, *args, attempts=attempts, wait_s=wait_s, no_retry=no_retry, **kwargs
+                lambda: fn(*args, **kwargs),
+                attempts=attempts, wait_s=wait_s, no_retry=no_retry,
             )
 
         return wrapper
@@ -120,7 +130,8 @@ class RobustProxy:
         @functools.wraps(attr)
         def robust(*args, **kwargs):
             return robust_call(
-                attr, *args, attempts=attempts, wait_s=wait_s, no_retry=no_retry, **kwargs
+                lambda: attr(*args, **kwargs),
+                attempts=attempts, wait_s=wait_s, no_retry=no_retry,
             )
 
         return robust

@@ -473,12 +473,26 @@ def test_deskew_angle_defaults_from_microscope_profile(runner, tmp_path):
     )
 
     synthetic_ls_stack(tmp_path / "ls.zarr", raw_shape_szx=(32, 24, 16))
+    # isim is declared-but-unimplemented: the seam message fires FIRST
+    # (even with an explicit angle — no silent wrong-optics runs).
     result = runner.invoke(cli, [
         "deskew", str(tmp_path / "ls.zarr"), "-o", str(tmp_path / "o.zarr"),
         "--px-to-scan-ratio", "0.386", "--microscope", "isim",
     ])
     assert result.exit_code != 0
-    assert "declares no light-sheet angle" in result.output
+    assert "not yet implemented" in result.output
+
+    register_microscope(MicroscopeProfile(name="no-angle-scope"))
+    try:
+        result = runner.invoke(cli, [
+            "deskew", str(tmp_path / "ls.zarr"),
+            "-o", str(tmp_path / "o.zarr"),
+            "--px-to-scan-ratio", "0.386", "--microscope", "no-angle-scope",
+        ])
+        assert result.exit_code != 0
+        assert "declares no light-sheet angle" in result.output
+    finally:
+        _REGISTRY.pop("no-angle-scope", None)
 
     register_microscope(MicroscopeProfile(
         name="steep-scope", ls_angle_deg=45.0,
