@@ -208,8 +208,10 @@ def test_pyramid_write_through(tmp_path, ls_fov):
     base = pos.read((0, 0))
     lvl2 = np.asarray(pos.array("2")[0, 0].read().result())
     assert lvl2.shape[1] == base.shape[1] // 4
-    # mean-pooled level tracks the base content
-    assert lvl2.max() == pytest.approx(base.max(), rel=0.5)
+    # mean-pooled level tracks the base content: a 4x4 mean pool of a
+    # sharp bead divides its peak by at most 16 and never raises it.
+    assert 0 < lvl2.max() <= base.max() * 1.001
+    assert lvl2.max() >= base.max() / 16.0
 
     # resume run must not duplicate the levels
     resumed = reconstruct_store(
