@@ -230,11 +230,15 @@ class DeconvolveSettings(BaseModel):
     # * "dft3": plain whole-volume update with matmul-DFT transforms —
     #   no z-banding, so no banded-sum traffic; the fastest option when
     #   the full 3-D spectrum fits HBM (the production carry does not —
-    #   use dft2z there).
+    #   use dft2z/dftz there).
+    # * "dftz": the dft2z layout with the banded z sum replaced by an
+    #   exact z-DFT matmul + one OTF multiply per half-step — removes
+    #   the kz-fold spectral HBM traffic while staying memory-bounded
+    #   (~13 GB at the production carry; two spectral buffers).
     # "auto" = platform-resolved 2z backend for 3-D volumes (dft2z on
     # TPU, fft2z elsewhere — CPU/GPU FFTs are near-optimal), fft3
     # otherwise.
-    fft_backend: Literal["auto", "fft3", "fft2z", "dft2z", "dft3"] = "auto"
+    fft_backend: Literal["auto", "fft3", "fft2z", "dft2z", "dft3", "dftz"] = "auto"
     fft_z_chunk: int = 8
 
     @model_validator(mode="after")

@@ -143,6 +143,138 @@ def _rl_jit(
     return est[crop]
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "grid", "pads", "epsilon", "pad_mode", "z_chunk"
+    ),
+)
+def _rl_dftz_jit(
+    image: jnp.ndarray,
+    psf: jnp.ndarray,
+    *,
+    iterations: int,
+    grid: tuple[int, int, int],
+    pads: tuple[tuple[int, int], ...],
+    epsilon: float,
+    pad_mode: str,
+    z_chunk: int,
+):
+    """RL with chunked matmul-DFT (y, x) transforms and an exact z-DFT.
+
+    Same circular update and grid as :func:`_rl_fft2z_jit`, but instead
+    of the banded z sum — whose kz sliding-window reads cost ~kz x the
+    spectral buffer in HBM traffic per half-step — the z axis goes
+    through a dense (Gz x Gz) matmul-DFT (``ops/dft.py`` cdft; Gz is
+    ~144 at production, deep enough for the MXU), turning the banded
+    convolution into ONE elementwise OTF multiply per half-step:
+
+        Conv^3d = OTFz . DFTz(Est^2d);  Corr^3d = conj(OTFz) . DFTz(Ratio^2d)
+
+    with ``OTFz[w] = sum_t hband[t] W_Gz^{w (t - rz)}`` built chunk-wise
+    on the fly (never resident). Memory stays bounded like fft2z: the
+    2-D transforms remain z-chunked and the only full-grid buffers are
+    est, data and two spectral buffers (the z transform cannot run in
+    place) — ~13 GB at the production carry.
+    """
+    from shrimpy_tpu.ops.dft import cdft as dft_cdft
+
+    gz, gy, gx = grid
+    gxr = gx // 2 + 1
+    kz = int(psf.shape[0])
+    rz = kz // 2
+    c = z_chunk
+    n_chunks = gz // c
+    assert n_chunks * c == gz, (gz, c)
+
+    image = image.astype(jnp.float32)
+    padded = jnp.pad(image, pads, mode=pad_mode)
+    data = jnp.maximum(padded, 0.0)
+    est0 = jnp.maximum(padded, epsilon)
+
+    psf = psf.astype(jnp.float32)
+    psf = psf / jnp.sum(psf)
+    planes = jnp.pad(
+        psf, ((0, 0), (0, gy - psf.shape[1]), (0, gx - psf.shape[2]))
+    )
+    planes = jnp.roll(
+        planes, (-(psf.shape[1] // 2), -(psf.shape[2] // 2)), axis=(1, 2)
+    )
+    hband = dft_rdft2(planes)  # (kz, gy, gxr)
+    # z-DFT factors of the embedded psf z-profile: plane t sits at
+    # z = (t - rz) mod gz (the _embed_psf roll convention).
+    wf = np.exp(
+        -2j * np.pi
+        * np.outer(np.arange(gz), np.arange(kz) - rz)
+        / gz
+    ).astype(np.complex64)  # (gz, kz)
+
+    def fwd2_chunks(vol, out):
+        """Chunked rfft2 of a real (gz, gy, gx) volume into ``out``."""
+
+        def body(i, acc):
+            ch = jax.lax.dynamic_slice_in_dim(vol, i * c, c, 0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, dft_rdft2(ch), i * c, 0
+            )
+
+        return jax.lax.fori_loop(0, n_chunks, body, out)
+
+    def zdft(s, inverse):
+        flat = s.reshape(gz, gy * gxr)
+        return dft_cdft(flat, -2, inverse=inverse).reshape(gz, gy, gxr)
+
+    def otf_mul(a, conj_: bool):
+        """B[w] = A[w] * OTFz[w], chunk-wise (OTFz is never resident)."""
+
+        def body(i, b):
+            wchunk = jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(wf), i * c, c, 0
+            )
+            otf = jnp.einsum("wt,tyx->wyx", wchunk, hband)
+            if conj_:
+                otf = jnp.conj(otf)
+            a_ch = jax.lax.dynamic_slice_in_dim(a, i * c, c, 0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                b, a_ch * otf, i * c, 0
+            )
+
+        return jax.lax.fori_loop(0, n_chunks, body, a)
+
+    def step(est, _):
+        spec = jnp.zeros((gz, gy, gxr), jnp.complex64)
+        spec = fwd2_chunks(est, spec)
+        conv_spec = zdft(otf_mul(zdft(spec, False), False), True)
+
+        # Per chunk: real conv -> ratio -> ratio spectrum overwrites
+        # conv_spec in place (row i is consumed before it is written).
+        def body_ratio(i, cs):
+            ch = jax.lax.dynamic_slice_in_dim(cs, i * c, c, 0)
+            conv = dft_irdft2(ch, gx)
+            dchunk = jax.lax.dynamic_slice_in_dim(data, i * c, c, 0)
+            ratio = dchunk / jnp.maximum(conv, epsilon)
+            return jax.lax.dynamic_update_slice_in_dim(
+                cs, dft_rdft2(ratio), i * c, 0
+            )
+
+        ratio_spec = jax.lax.fori_loop(0, n_chunks, body_ratio, conv_spec)
+        corr_spec = zdft(otf_mul(zdft(ratio_spec, False), True), True)
+
+        def body_mult(i, e):
+            ch = jax.lax.dynamic_slice_in_dim(corr_spec, i * c, c, 0)
+            corr = dft_irdft2(ch, gx)
+            echunk = jax.lax.dynamic_slice_in_dim(e, i * c, c, 0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                e, echunk * corr, i * c, 0
+            )
+
+        return jax.lax.fori_loop(0, n_chunks, body_mult, est), None
+
+    est, _ = jax.lax.scan(step, est0, None, length=iterations)
+    crop = tuple(slice(lo, lo + n) for (lo, _), n in zip(pads, image.shape))
+    return est[crop]
+
+
 def _fft2z_chunk(grid_z: int, requested: int) -> int:
     """Largest divisor of ``grid_z`` that is <= ``requested`` (>= 1).
 
@@ -1168,10 +1300,21 @@ def rl_fft(image, psf_np, settings, iterations: int):
     """
     grid, pads = _padded_grid_shape(tuple(image.shape), tuple(psf_np.shape))
     fft_backend = resolve_fft_backend(settings, image.ndim)
-    if fft_backend in ("fft2z", "dft2z", "dft3") and image.ndim != 3:
+    if fft_backend in ("fft2z", "dft2z", "dft3", "dftz") and image.ndim != 3:
         raise ValueError(
             f"fft_backend='{fft_backend}' needs a 3-D volume (got "
             f"{image.ndim}-D); use fft_backend='fft3'"
+        )
+    if fft_backend == "dftz":
+        return _rl_dftz_jit(
+            image,
+            jnp.asarray(psf_np),
+            iterations=iterations,
+            grid=grid,
+            pads=pads,
+            epsilon=settings.epsilon,
+            pad_mode=settings.pad_mode,
+            z_chunk=_fft2z_chunk(grid[0], settings.fft_z_chunk),
         )
     if fft_backend in ("fft2z", "dft2z"):
         return _rl_fft2z_jit(

@@ -153,6 +153,31 @@ def test_dft2z_matches_fft3_on_nonseparable_psf(rng):
     assert rel <= 2e-4, f"dft2z vs fft3 relative max abs err {rel:.2e}"
 
 
+def test_dftz_matches_fft3_on_nonseparable_psf(rng):
+    """dftz (chunked 2-D matmul-DFTs + exact z-DFT instead of the
+    banded z sum) is the same circular update as fft3."""
+    vol = rng.uniform(0, 100, (24, 60, 72)).astype(np.float32)
+    zz, yy, xx = np.meshgrid(
+        np.arange(7) - 3.0, np.arange(9) - 4.0, np.arange(9) - 4.0,
+        indexing="ij",
+    )
+    psf = np.exp(
+        -0.5 * (((zz + 0.9 * yy) / 1.2) ** 2
+                + ((yy + 0.8 * xx) / 1.8) ** 2 + (xx / 2.5) ** 2)
+    ).astype(np.float32)
+    psf /= psf.sum()
+    fft3 = np.asarray(richardson_lucy(
+        vol, psf, DeconvolveSettings(algorithm="fft", fft_backend="fft3"),
+        iterations=6,
+    ))
+    dftz = np.asarray(richardson_lucy(
+        vol, psf, DeconvolveSettings(algorithm="fft", fft_backend="dftz"),
+        iterations=6,
+    ))
+    rel = np.abs(dftz - fft3).max() / np.abs(fft3).max()
+    assert rel <= 2e-4, f"dftz vs fft3 relative max abs err {rel:.2e}"
+
+
 def test_dft3_matches_fft3(rng):
     """dft3 (whole-volume matmul-DFT update, no z-banding) is the same
     circular update as fft3 with the transforms swapped for MXU
