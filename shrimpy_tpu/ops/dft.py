@@ -4,8 +4,9 @@ XLA's TPU FFT lowers to a generic decomposition that measures ~14x off
 the chip's bandwidth roofline (docs/kernels.md), which makes the
 non-separable Richardson-Lucy fallback the slowest path in the system.
 A DFT is a matrix product, and the MXU executes matmuls at near peak —
-so for 5-smooth grid lengths we evaluate the transform as a four-step
-Cooley-Tukey factorization:
+so the transform is evaluated as a four-step Cooley-Tukey
+factorization (exact for ANY length: composite lengths factor, small
+or near-prime ones take the direct matrix):
 
     N = N1 * N2, n = N2*n1 + n2, k = N1*k2 + k1
     X[k] = sum_{n2} W_N2^{n2 k2} * ( W_N^{n2 k1} * sum_{n1} x[n1,n2] W_N1^{n1 k1} )
@@ -148,9 +149,7 @@ def _cmul_contract(sub, xr, xi, mr, mi, precision, imag_out=True):
 
 
 def _cmul_elem(ar, ai, br, bi):
-    """Elementwise complex multiply on (re, im) pairs (ai may be None)."""
-    if ai is None:
-        return ar * br, ar * bi
+    """Elementwise complex multiply on (re, im) pairs."""
     return ar * br - ai * bi, ar * bi + ai * br
 
 
@@ -211,16 +210,30 @@ def rdft2(x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     gxr = gx // 2 + 1
     x = x.astype(jnp.float32)
     if _is_direct(gx):
-        # Direct route: contract straight to the half spectrum (the
-        # four-step output is factor-interleaved, so only the direct
-        # matrix can be pre-truncated).
+        # Direct route: contract straight to the half spectrum.
         mr, mi = _direct_mats(gx, False)
         xr, xi = _cmul_contract(
             _DIRECT_SUBS[-1], x, None, mr[:, :gxr], mi[:, :gxr], precision
         )
     else:
-        xr, xi = _cdft(x, None, -1, False, precision)
-        xr, xi = xr[..., :gxr], xi[..., :gxr]
+        # Four-step with stage-2 column truncation: the flat output
+        # index is k = N1*k2 + k1, so only k2 < ceil(gxr / N1) columns
+        # can produce bins below gxr — slicing F2 there skips ~half of
+        # stage 2's einsum work for the half spectrum.
+        n1, n2, f1r, f1i, twr, twi, f2r, f2i = _four_step_mats(gx, False)
+        k2_keep = (gxr - 1) // n1 + 1
+        split = x.shape[:-1] + (n1, n2)
+        ar, ai = _cmul_contract(
+            _SUBS[(-1, 1)], x.reshape(split), None, f1r, f1i, precision
+        )
+        br, bi = _cmul_elem(ar, ai, twr, twi)
+        yr, yi = _cmul_contract(
+            _SUBS[(-1, 2)], br, bi,
+            f2r[:, :k2_keep], f2i[:, :k2_keep], precision,
+        )
+        flat = x.shape[:-1] + (k2_keep * n1,)
+        xr = yr.reshape(flat)[..., :gxr]
+        xi = yi.reshape(flat)[..., :gxr]
     yr, yi = _cdft(xr, xi, -2, False, precision)
     return jax.lax.complex(yr, yi)
 
@@ -240,10 +253,10 @@ def irdft2(s: jnp.ndarray, gx: int, *, precision=None) -> jnp.ndarray:
         # Direct route: half-spectrum inverse matrix (interior bins
         # doubled) — no Hermitian-tail materialization.
         mr, mi = _direct_irdft_mats(gx)
-        ein = lambda a, b: jnp.einsum(
-            _DIRECT_SUBS[-1], a, b, precision=precision
+        yr, _ = _cmul_contract(
+            _DIRECT_SUBS[-1], sr, si, mr, mi, precision, imag_out=False
         )
-        return ein(sr, mr) - ein(si, mi)
+        return yr
     # Hermitian tail: S[gx - k] = conj(S[k]) for k in [1, gx - gxr].
     tr = sr[..., 1 : gx - gxr + 1][..., ::-1]
     ti = -si[..., 1 : gx - gxr + 1][..., ::-1]
@@ -264,7 +277,7 @@ def cdft(
     """
     precision = PRECISION if precision is None else precision
     ax = axis if axis < 0 else axis - x.ndim
-    assert ax in (-1, -2, -3), axis
+    assert ax in (-1, -2, -3) and -ax <= x.ndim, (axis, x.shape)
     x = x.astype(jnp.complex64)
     shape = x.shape
     if ax == -3:
