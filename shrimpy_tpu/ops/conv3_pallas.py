@@ -33,12 +33,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
+from shrimpy_tpu.utils.shapes import round_up as _round_up
 
 
 def _choose_tiles(nz: int, ny: int, nx: int, radii) -> tuple[int, int, int]:
-    """Tile sizes: live VMEM (input slab + t1 + t2 + out) under ~10 MB."""
+    """Tile sizes: the INPUT SLAB under ~4 MB (the live set — slab +
+    t1 + t2 + out — then lands around ~10 MB of VMEM)."""
     rz, ry, rx = radii
     bx = min(_round_up(nx, 128), 256)
     by = min(_round_up(ny, 8), 128)
@@ -157,6 +157,11 @@ def _conv3_pallas_jit(vol, *, taps_key, radii, interpret):
 # x stays a dense circulant einsum in XLA (already MXU-efficient).
 
 
+# y tile height shared by _convzy_pallas_jit's block scheme and the
+# caller-built stencils (convzy_circular_pallas).
+_CIRC_BY = 128
+
+
 def _y_stencil(taps: np.ndarray, by: int, ry: int) -> np.ndarray:
     """(by, by+2ry) window stencil: out[a] = sum_i taps[i] * w[a + 2ry - i]."""
     g = np.zeros((by, by + 2 * ry), np.float32)
@@ -171,7 +176,7 @@ def _convzy_pallas_jit(vol, gy, *, kz_key, radii, interpret):
     kz = np.asarray(kz_key, np.float32)
     rz, ry = radii
     nz, ny, nx = vol.shape
-    bz, by, bx = 8, 128, min(_round_up(nx, 128), 512)
+    bz, by, bx = 8, _CIRC_BY, min(_round_up(nx, 128), 512)
     nz_p, ny_p, nx_p = (_round_up(n, b) for n, b in zip(vol.shape, (bz, by, bx)))
     sy = by + 2 * ry
     sy_dma = _round_up(sy, 8)
@@ -257,7 +262,9 @@ def convzy_circular_pallas(
     if flip:
         kz, ky = kz[::-1], ky[::-1]
     ry = len(ky) // 2
-    gy = jnp.asarray(_y_stencil(ky, 128, ry))
+    # 128 = _convzy_pallas_jit's internal y tile (by); the stencil
+    # must be built for the SAME tile height the kernel blocks on.
+    gy = jnp.asarray(_y_stencil(ky, _CIRC_BY, ry))
     return _convzy_pallas_jit(
         jnp.asarray(vol),
         gy,
@@ -284,9 +291,26 @@ _LP_BZ, _LP_BY, _LP_BX = 8, 128, 512
 def lp_layout(
     g_shape: tuple[int, int, int], rz: int, ry: int
 ) -> dict:
-    """Padded-carry layout for the linear (zero-boundary) RL backend."""
+    """Padded-carry layout for the linear (zero-boundary) RL backend.
+
+    Guards the kernel's radius contract HERE (not just at the deconv
+    call sites): out-of-bound radii don't fail loudly downstream — the
+    halo slab start clips under REAL output rows and the result is
+    silently wrong (measured rel err ~1.5 at ry=129).
+    """
     gz, gy, gx = g_shape
     bz, by = _LP_BZ, _LP_BY
+    if rz > bz:
+        raise ValueError(
+            f"linear_pallas supports PSF z radius <= {bz} (got {rz})"
+        )
+    if ry > by - 3:
+        # sy = round_up(by + 2*ry + shift, 8) with the slab start
+        # quantized down by up to 7 rows: ry past ~by-3 can push the
+        # clipped slab under real rows.
+        raise ValueError(
+            f"linear_pallas supports PSF y radius <= {by - 3} (got {ry})"
+        )
     nz_p = _round_up(gz, bz)
     ny_p = _round_up(gy, by)
     # x has no halo in the z+y kernel, so pad only to the 128-lane

@@ -904,6 +904,12 @@ def _resolve_separable_backend(
 
     if radii[0] > _LP_BZ:
         return "matmul"
+    from shrimpy_tpu.ops.conv3_pallas import _LP_BY
+
+    if radii[1] > _LP_BY - 3:
+        # Past ~by-3 the quantized y halo slab clips under real rows
+        # (lp_layout rejects it loudly); the matmul grid has no bound.
+        return "matmul"
     # HBM guard: the padded-carry layout holds ~6 live volume-sized
     # buffers; past ~12 GB the tighter matmul grid is the one that fits.
     from shrimpy_tpu.ops.conv3_pallas import lp_layout

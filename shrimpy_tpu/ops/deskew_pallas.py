@@ -213,7 +213,8 @@ def _kernel(
     s_lo_ref,  # (nzb, nyb) int32, scalar-prefetch
     t_lo_ref,  # (nzb,) int32, scalar-prefetch
     raw_ref,  # (T_eff, S_eff, Xp) f32, HBM
-    meta_ref,  # (1, 1, BLOCK_Z * 8, BLOCK_Y) f32
+    meta_ref,  # (1, 1, bz_raw * 8, BLOCK_Y) f32 (bz_raw >= BLOCK_Z
+    #            when average_n_slices does not divide BLOCK_Z)
     out_ref,  # (bz_raw // a_avg, BLOCK_Y, Xp) f32 (averaged rows)
     vm,  # (2, t_span, span, Xp) f32 scratch
     sems,  # DMA sems, (2,)
