@@ -204,8 +204,12 @@ class DeconvolveSettings(BaseModel):
     #   (zeros are absorbing under the multiplicative update), z+y
     #   kernel + banded-Toeplitz x — no in-loop padding at all.
     # "auto" picks linear_pallas on TPU, matmul elsewhere.
+    # * "fused_iter": one pallas_call per WHOLE RL iteration (both
+    #   half-steps z-pipelined through a VMEM ratio ring) — the lowest
+    #   HBM-traffic backend (~4.3 vs fused's ~6.7 carry volumes/iter).
     separable_backend: Literal[
-        "auto", "matmul", "zy_pallas", "linear_pallas", "fused"
+        "auto", "matmul", "zy_pallas", "linear_pallas", "fused",
+        "fused_iter",
     ] = "auto"
     # Precision schedule for the fused backend: run this many LEADING
     # iterations with 2-pass bf16 dots (~20% faster/iter) before the

@@ -41,6 +41,7 @@ for parity tests.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -879,6 +880,17 @@ def _resolve_separable_backend(
         return "matmul"
     radii = tuple(k // 2 for k in psf_shape)
     g_shape = tuple(n + 2 * r for n, r in zip(image_shape, radii))
+    # Whole-iteration kernel: lowest HBM traffic, but opt-in until the
+    # hardware bake-off lands (SHRIMPY_RL_FUSE_ITER=1; docs/kernels.md).
+    if os.environ.get("SHRIMPY_RL_FUSE_ITER", "0") == "1":
+        from shrimpy_tpu.ops.rl_fused_iter import iter_best_layout
+
+        best_it = iter_best_layout(tuple(image_shape), tuple(psf_shape))
+        if (
+            best_it is not None
+            and 3 * int(np.prod(best_it[0]["shape"])) * 4 <= 11e9
+        ):
+            return "fused_iter"
     # The fully fused RL kernel is the fast path whenever the geometry
     # satisfies its constraints (radii fit the block scheme, the y/x
     # extents cover one slab) and ~4 carry-sized buffers fit HBM.
@@ -1248,6 +1260,21 @@ def rl_separable(image, psf_np, terms, settings, iterations: int):
     backend = _resolve_separable_backend(
         settings.separable_backend, tuple(image.shape), tuple(psf_np.shape)
     )
+    if backend == "fused_iter":
+        from shrimpy_tpu.ops.rl_fused_iter import (
+            rl_fused_iter,
+            rl_iter_supported,
+        )
+
+        if not rl_iter_supported(
+            tuple(image.shape), tuple(psf_np.shape), n_terms=len(terms)
+        ):
+            raise ValueError(
+                "geometry/PSF outside the fused_iter kernel's constraints "
+                f"(image {tuple(image.shape)}, psf {tuple(psf_np.shape)}); "
+                "use separable_backend='fused' or 'matmul'"
+            )
+        return rl_fused_iter(image, psf_np, terms, settings, iterations)
     if backend == "fused":
         from shrimpy_tpu.ops.rl_fused import rl_fused, rl_fused_supported
 
