@@ -83,11 +83,12 @@ def main() -> None:
 
         return run
 
-    if case in ("rl20", "rl20_matmul", "rl20_fused"):
+    if case in ("rl20", "rl20_matmul", "rl20_fused", "rl20_fused_iter"):
         backend = {
             "rl20": "linear_pallas",
             "rl20_matmul": "matmul",
             "rl20_fused": "fused",
+            "rl20_fused_iter": "fused_iter",
         }[case]
         settings = DeconvolveSettings(
             iterations=20, algorithm="separable", separable_backend=backend
@@ -182,7 +183,7 @@ def main() -> None:
             "ms": round(t * 1e3 / N_LOOP, 2),
             "carry_shape": layout["shape"],
         }
-    elif case == "parity_fused":
+    elif case in ("parity_fused", "parity_fused_iter"):
         # Parity of the bf16 3-pass fused RL vs the fp64 oracle, on the
         # REAL MXU (interpret-mode tests run f32 and can't see this).
         from shrimpy_tpu.ops.deconv import richardson_lucy_reference_separable
@@ -193,7 +194,9 @@ def main() -> None:
             np.float32
         )
         settings = DeconvolveSettings(
-            iterations=20, algorithm="separable", separable_backend="fused"
+            iterations=20,
+            algorithm="separable",
+            separable_backend=case.removeprefix("parity_"),
         )
         ours = np.asarray(richardson_lucy(jnp.asarray(vol_np), psf, settings))
         pads = tuple((k // 2, k // 2) for k in psf.shape)

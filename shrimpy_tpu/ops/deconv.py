@@ -872,7 +872,10 @@ _LINEAR_MIN_Y = 2000
 
 
 def _resolve_separable_backend(
-    backend: str, image_shape: tuple[int, ...], psf_shape: tuple[int, ...]
+    backend: str,
+    image_shape: tuple[int, ...],
+    psf_shape: tuple[int, ...],
+    n_terms: int = 1,
 ) -> str:
     if backend != "auto":
         return backend
@@ -882,10 +885,16 @@ def _resolve_separable_backend(
     g_shape = tuple(n + 2 * r for n, r in zip(image_shape, radii))
     # Whole-iteration kernel: lowest HBM traffic, but opt-in until the
     # hardware bake-off lands (SHRIMPY_RL_FUSE_ITER=1; docs/kernels.md).
+    # The layout VMEM bound scales with the decomposition's term count,
+    # so auto must size it with the REAL n_terms: a multi-term PSF that
+    # fits at n_terms=1 but not at 3 falls through to 'fused' here
+    # instead of failing rl_separable's supported re-check.
     if os.environ.get("SHRIMPY_RL_FUSE_ITER", "0") == "1":
         from shrimpy_tpu.ops.rl_fused_iter import iter_best_layout
 
-        best_it = iter_best_layout(tuple(image_shape), tuple(psf_shape))
+        best_it = iter_best_layout(
+            tuple(image_shape), tuple(psf_shape), n_terms=n_terms
+        )
         if (
             best_it is not None
             and 3 * int(np.prod(best_it[0]["shape"])) * 4 <= 11e9
@@ -1258,7 +1267,10 @@ def rl_separable(image, psf_np, terms, settings, iterations: int):
     changed pads/grid convention can never leave one caller behind.
     """
     backend = _resolve_separable_backend(
-        settings.separable_backend, tuple(image.shape), tuple(psf_np.shape)
+        settings.separable_backend,
+        tuple(image.shape),
+        tuple(psf_np.shape),
+        n_terms=len(terms),
     )
     if backend == "fused_iter":
         from shrimpy_tpu.ops.rl_fused_iter import (
