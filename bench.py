@@ -807,7 +807,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 2 and sys.argv[1] in ("--geom", "--config", "--parity"):
+    if len(sys.argv) >= 2 and sys.argv[1] in (
+        "--geom", "--config", "--parity", "--probe"
+    ):
         _child_main(sys.argv[1:])
     else:
         main()

@@ -45,6 +45,12 @@ def main() -> None:
         help="time rdft2/irdft2 vs jnp.fft on z-chunk-shaped batches "
         "of the PADDED RL grid (the shapes the dft2z backend runs)",
     )
+    ap.add_argument(
+        "--stages", action="store_true",
+        help="time the pieces of ONE dft2z iteration at the padded "
+        "grid: chunked rdft2 sweep, z-cdft, chunked OTF multiply — "
+        "localizes where an iteration's wall time goes",
+    )
     args = ap.parse_args()
 
     import jax
@@ -90,6 +96,73 @@ def main() -> None:
             _ = float(jnp.sum(jnp.abs(out)))
             dt = (time.perf_counter() - t0) / n
             print(f"{name} @ {(c, gy, gx)}: {dt * 1e3:.2f} ms", flush=True)
+        return
+
+    if args.stages:
+        from shrimpy_tpu.ops.deconv import _fft2z_chunk
+        from shrimpy_tpu.ops.dft import cdft, irdft2, rdft2
+
+        shape = tuple(int(v) for v in args.shape.split(","))
+        grid, _ = _padded_grid_shape(shape, psf.shape)
+        gz, gy, gx = grid
+        gxr = gx // 2 + 1
+        c = _fft2z_chunk(gz, 8)
+        n_chunks = gz // c
+        print(f"padded grid {grid}, z-chunk {c} x {n_chunks}", flush=True)
+        vol = jax.random.uniform(jax.random.key(0), grid, jnp.float32)
+        spec0 = jax.jit(
+            lambda v: jnp.fft.rfftn(v, axes=(1, 2))
+        )(vol)
+
+        @jax.jit
+        def fwd_sweep(v):
+            out = jnp.zeros((gz, gy, gxr), jnp.complex64)
+
+            def body(i, acc):
+                ch = jax.lax.dynamic_slice_in_dim(v, i * c, c, 0)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    acc, rdft2(ch), i * c, 0
+                )
+
+            return jax.lax.fori_loop(0, n_chunks, body, out)
+
+        @jax.jit
+        def inv_sweep(s):
+            out = jnp.zeros((gz, gy, gx), jnp.float32)
+
+            def body(i, acc):
+                ch = jax.lax.dynamic_slice_in_dim(s, i * c, c, 0)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    acc, irdft2(ch, gx), i * c, 0
+                )
+
+            return jax.lax.fori_loop(0, n_chunks, body, out)
+
+        @jax.jit
+        def z_cdft(s):
+            flat = s.reshape(gz, gy * gxr)
+            return cdft(flat, -2).reshape(gz, gy, gxr)
+
+        @jax.jit
+        def elementwise(s):
+            return s * jnp.conj(s)
+
+        for name, fn, arg in (
+            ("fwd 2-D sweep (rdft2 chunks)", fwd_sweep, vol),
+            ("inv 2-D sweep (irdft2 chunks)", inv_sweep, spec0),
+            ("z cdft (dense matmul)", z_cdft, spec0),
+            ("elementwise spectral mult", elementwise, spec0),
+        ):
+            _ = float(jnp.sum(jnp.abs(fn(arg))))
+            t0 = time.perf_counter()
+            n = 5
+            for _i in range(n):
+                out = fn(arg)
+            _ = float(jnp.sum(jnp.abs(out)))
+            dt = (time.perf_counter() - t0) / n
+            print(f"{name}: {dt * 1e3:.1f} ms", flush=True)
+        # One dft2z iteration ~= 2 fwd sweeps + 2 inv sweeps + 4 z
+        # cdfts + 2 OTF multiplies + ratio/mult elementwise.
         return
 
     if not args.skip_parity:

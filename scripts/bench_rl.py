@@ -9,7 +9,9 @@ Cases
   rl20            linear_pallas RL-20 end-to-end
   rl20_matmul     circulant-matmul backend RL-20
   rl20_fused      fused-kernel RL-20 (the TPU default backend)
+  rl20_fused_iter whole-iteration fused RL-20 (opt-in backend)
   parity_fused    fused RL-20 vs the fp64 oracle on the REAL MXU
+  parity_fused_iter  fused_iter RL-20 vs the fp64 oracle on the REAL MXU
   convzy          one fused z+y kernel call (per-call cost)
   einsum_x        one dense-x Toeplitz einsum (legacy x pass)
   einsum_x_banded one block-banded-128 x application

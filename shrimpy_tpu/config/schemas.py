@@ -332,12 +332,36 @@ class RoiCenterSettings(BaseModel):
     blur_sigma: float = 0.0
 
 
+class TemplateSettings(BaseModel):
+    """Parameters for the ``template_matching`` method (reference archive
+    ``autotracker.py:162-184``): per-axis ``(start, stop)`` bounds of
+    the template region sliced from the reference stack."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    slice_zyx: tuple[
+        tuple[int, int], tuple[int, int], tuple[int, int]
+    ] | None = None
+
+    @model_validator(mode="after")
+    def _check(self) -> "TemplateSettings":
+        if self.slice_zyx is not None:
+            for ax, (start, stop) in enumerate(self.slice_zyx):
+                if start < 0 or stop <= start:
+                    raise ValueError(
+                        f"template slice_zyx[{ax}]={start, stop} must satisfy "
+                        "0 <= start < stop"
+                    )
+        return self
+
+
 TRACKING_METHODS = (
     "pcc",
     "intensity_center_of_mass",
     "roi_center_pcc",
     "multiotsu_center_of_mass",
     "multiotsu_pcc",
+    "template_matching",
 )
 
 # Methods whose target is the ROI centre rather than a stored reference
@@ -369,6 +393,7 @@ class DynaTrackConfig(BaseModel):
     tracking_method: str = "pcc"
     segmentation: SegmentationSettings = Field(default_factory=SegmentationSettings)
     roi_center: RoiCenterSettings = Field(default_factory=RoiCenterSettings)
+    template: TemplateSettings = Field(default_factory=TemplateSettings)
     reference_update_interval: int = 0
     tracking_channel: str
     preprocessing: list[str] | None = None
@@ -385,6 +410,14 @@ class DynaTrackConfig(BaseModel):
             raise ValueError(
                 f"Unknown tracking_method={self.tracking_method!r}; "
                 f"use one of {TRACKING_METHODS}"
+            )
+        if self.tracking_method == "template_matching" and (
+            self.template.slice_zyx is None
+        ):
+            raise ValueError(
+                "tracking_method='template_matching' requires "
+                "template.slice_zyx (per-axis (start, stop) bounds of the "
+                "template region in the reference stack)"
             )
         # Channel-name rules (reference tracking.py:180-190): the
         # intermediate products are not trackable by name; "vs_*" target

@@ -356,6 +356,24 @@ class AcquisitionEngine:
         skipped: list[tuple[int, str]] = []
         overruns: list[tuple[int, float]] = []
         n_volumes = 0
+        # XY stage-speed model (reference mantis_engine.py:285-324):
+        # per-position home coordinates in stage microns. Platemap CSV
+        # rows carry real stage coords; generated grid tiles and
+        # tracking corrections already live in the per-visit pixel
+        # offset, which converts to microns via the lateral scale.
+        home_xy_um: dict[str, tuple[float, float]] = {
+            p: (0.0, 0.0) for p in positions
+        }
+        if plan.positions_csv is not None:
+            from shrimpy_tpu.io.platemap import PositionList
+
+            for entry in PositionList.read(plan.positions_csv):
+                key = entry.hcs_key or entry.name
+                if key in home_xy_um:
+                    home_xy_um[key] = (float(entry.x_um), float(entry.y_um))
+        last_xy_um: tuple[float, float] | None = None
+        stage_moves: list[list] = []
+        stage_move_total_s = 0.0
         # Run control (pause/resume/abort, engine/control.py): honored
         # at safe boundaries only — before a timepoint (always, and
         # BEFORE the dual-arm barrier hook so paused arms never burn the
@@ -463,6 +481,39 @@ class AcquisitionEngine:
                             offset[2] + g.offset_px_yx[1],
                         )
                     src_key = source_of[p_key]
+                    if plan.stage.model_speed:
+                        # Charge the XY move its travel time BEFORE
+                        # autofocus, like the live engine's speed-
+                        # modulated go_to_position (reference
+                        # mantis_engine.py:285-324; archive
+                        # acq_engine.py:840-890 moves then focuses).
+                        sy, sx = (
+                            float(v) for v in self.source.zyx_scale[1:]
+                        )
+                        hx, hy = home_xy_um[p_key]
+                        target_xy = (
+                            hx + offset[2] * sx, hy + offset[1] * sy
+                        )
+                        if last_xy_um is not None:
+                            dist = float(
+                                np.hypot(
+                                    target_xy[0] - last_xy_um[0],
+                                    target_xy[1] - last_xy_um[1],
+                                )
+                            )
+                            move = plan.stage.move_time_s(dist)
+                            if move is not None:
+                                speed, move_s = move
+                                stage_moves.append(
+                                    [t, p_key, round(dist, 3),
+                                     speed, round(move_s, 4)]
+                                )
+                                stage_move_total_s += move_s
+                                if plan.stage.time_scale > 0:
+                                    time.sleep(
+                                        move_s * plan.stage.time_scale
+                                    )
+                        last_xy_um = target_xy
                     if not autofocus.engage(t, p_idx):
                         # SkipEvent contract (reference mantis_engine.py
                         # autofocus failure path): zero-padded volumes
@@ -601,6 +652,11 @@ class AcquisitionEngine:
                 "exposures": {
                     p: [e, pw] for p, (e, pw) in self._exposures.items()
                 },
+                # Per-move stage timing (reference speed rule,
+                # mantis_engine.py:285-324): rows of
+                # [t, position, distance_um, speed_mm_s, move_s].
+                "stage_moves": stage_moves,
+                "stage_move_s": round(stage_move_total_s, 3),
                 "volumes_acquired": n_volumes,
                 "aborted_at": aborted_at,
                 "error": run_error,

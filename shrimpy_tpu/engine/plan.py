@@ -319,6 +319,57 @@ class StagePositionsPlan(BaseModel):
         return out
 
 
+class StagePlan(BaseModel):
+    """XY stage-speed model for timing-faithful replay pacing.
+
+    The reference live engine modulates XY stage speed per move to hold
+    autofocus lock (reference ``mantis_engine.py:285-324``; constants
+    ``:30-35``): moves shorter than ``short_distance_um`` run at
+    ``slow_speed_mm_s``, longer moves at ``fast_speed_mm_s``, and moves
+    under ``negligible_distance_um`` are ignored. With ``model_speed``
+    on, the replay engine charges each position move its travel time
+    (``distance / speed``, scaled by ``time_scale``) before the visit
+    and records every move in the summary sidecar, so session replay
+    feeds stage motion into the per-timepoint latency budget exactly
+    like the live engine does.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    model_speed: bool = False
+    slow_speed_mm_s: float = 2.0
+    fast_speed_mm_s: float = 5.75
+    short_distance_um: float = 2000.0
+    negligible_distance_um: float = 1.0
+    # 1.0 = sleep the full travel time (real-time replay); 0.0 = record
+    # move times in the summary without sleeping (fast replay).
+    time_scale: float = 1.0
+
+    @model_validator(mode="after")
+    def _check(self):
+        if self.slow_speed_mm_s <= 0 or self.fast_speed_mm_s <= 0:
+            raise ValueError("stage speeds must be > 0")
+        if self.time_scale < 0:
+            raise ValueError("time_scale must be >= 0")
+        if self.negligible_distance_um < 0:
+            raise ValueError("negligible_distance_um must be >= 0")
+        return self
+
+    def move_time_s(
+        self, distance_um: float
+    ) -> tuple[float, float] | None:
+        """(speed_mm_s, travel seconds) for one XY move, or None for a
+        negligible move (reference ``mantis_engine.py:305-318``)."""
+        if distance_um < self.negligible_distance_um:
+            return None
+        speed = (
+            self.slow_speed_mm_s
+            if distance_um < self.short_distance_um
+            else self.fast_speed_mm_s
+        )
+        return speed, distance_um / 1000.0 / speed
+
+
 class GeneratedPosition(BaseModel):
     """One stage-position grid point: output HCS key + replay offset."""
 
@@ -353,6 +404,7 @@ class AcquisitionPlan(BaseModel):
     autofocus: AutofocusPlan = Field(default_factory=AutofocusPlan)
     refocus: RefocusPlan = Field(default_factory=RefocusPlan)
     autoexposure: AutoexposurePlan = Field(default_factory=AutoexposurePlan)
+    stage: StagePlan = Field(default_factory=StagePlan)
     metadata: dict = Field(default_factory=dict)
     # Stall watchdog: a (t, p) visit exceeding this wall time is logged
     # as an error (the reference's 100 s sequence-stall watchdog,

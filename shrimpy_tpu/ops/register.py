@@ -245,6 +245,213 @@ def _triangular_apply_jit(
     return arr[tuple(slice(0, o) for o in output_shape)]
 
 
+# Blocked candidate-window path (full-affine, gather-free) -----------------
+#
+# Joint trilinear interpolation of an affine map is a per-element sum
+# over the 8 corners of ``floor(in(u))`` — a gather in general. But
+# over a SMALL output block, the integer offset ``floor(in_a(u)) -
+# u_a`` only spans a few values per axis when the matrix is close to a
+# (permuted) identity — rotations of a few degrees, mild scales/shears:
+# exactly the refined cross-modality maps of this domain. So: tile the
+# output into (8, 32, 128) blocks; per block, dynamic-slice ONE input
+# window positioned by the map at the block corner; then accumulate
+# ``weight_k(u) * window[u_loc + k]`` over the static candidate set
+# ``k`` — every read is a static slice of the window, every weight an
+# iota expression, everything fuses into VPU FMAs. Exact: the same
+# corner sum as joint trilinear, just enumerated by candidate instead
+# of gathered (the triangular fast path plays the same trick one axis
+# at a time; this is the 3-D product version, affordable because the
+# block bounds the per-axis spread).
+
+_BLOCK_ZYX = (8, 32, 128)
+# Upper bound on the per-block candidate product (K_z*K_y*K_x): maps
+# whose spread exceeds this (large rotations/scales) fall back to the
+# gather. At 1024 the VPU FMA work is still a few ms at (64, 256, 256)
+# vs ~300 ms for the gather; beyond it the window DMA amp also grows.
+_MAX_CANDIDATES = 1024
+
+
+def _blocked_plan(matrix, offset, in_shape, output_shape):
+    """Host-side plan: block grid, candidate ranges, pad extents.
+
+    Returns None when the map is outside this path's envelope.
+
+    Geometry: per block, the window anchor is
+    ``floor(in_a(block corner)) + floor(S_min_a)`` where ``S_a(u) =
+    in_a(u) - in_a(corner) - u_loc_a`` is the identity-relative drift,
+    with signed bounds ``S_min_a <= S_a <= S_max_a`` attained at block
+    corners (affine). Then ``k_a(u) = floor(in_a(u) - anchor_a) -
+    u_loc_a`` satisfies ``0 <= k_a <= 1 + ceil(S_max_a) -
+    floor(S_min_a)`` — the static candidate range.
+    """
+    m = np.asarray(matrix, np.float64)
+    t = np.asarray(offset, np.float64)
+    if m.shape != (3, 3) or not (
+        np.all(np.isfinite(m)) and np.all(np.isfinite(t))
+    ):
+        return None
+    block = tuple(min(b, o) for b, o in zip(_BLOCK_ZYX, output_shape))
+    grid = tuple(-(-o // b) for o, b in zip(output_shape, block))
+    # Output domain actually evaluated: padded to block multiples.
+    dom = tuple(g * b for g, b in zip(grid, block))
+
+    k_hi = []
+    s_min = []
+    for a in range(3):
+        smin = sum(
+            min(0.0, m[a, j] - (1.0 if j == a else 0.0)) * (block[j] - 1)
+            for j in range(3)
+        )
+        smax = sum(
+            max(0.0, m[a, j] - (1.0 if j == a else 0.0)) * (block[j] - 1)
+            for j in range(3)
+        )
+        # One-candidate margin each side: the runtime coordinates are
+        # f32, and a knife-edge voxel whose exact d sits on the bound
+        # can round one step outside the exact range — its corner
+        # weight would silently vanish. The margin costs only the
+        # (cheap, all-zero-weight) edge candidates.
+        s_min.append(int(np.floor(smin)) - 1)
+        k_hi.append(1 + int(np.ceil(smax)) - int(np.floor(smin)) + 2)
+    n_cand = int(np.prod([k + 1 for k in k_hi]))
+    if n_cand > _MAX_CANDIDATES:
+        return None
+    # Window extent: reads go up to u_loc_max + k_hi.
+    win = tuple(b + k for b, k in zip(block, k_hi))
+
+    # Pads so every window slice is in-bounds (affine extremes are at
+    # the PADDED output domain's corners; dynamic_slice must never
+    # clamp or the window would disagree with the weight coordinates).
+    corners = np.array(
+        [
+            [z, y, x]
+            for z in (0.0, dom[0] - 1.0)
+            for y in (0.0, dom[1] - 1.0)
+            for x in (0.0, dom[2] - 1.0)
+        ],
+        np.float64,
+    )
+    ins = corners @ m.T + t
+    lo = np.floor(ins.min(axis=0)).astype(int)
+    hi = np.floor(ins.max(axis=0)).astype(int)
+    # anchor ranges over [lo + s_min, hi + s_min]; slice end over
+    # [.., hi + s_min + win].
+    pad_lo = tuple(
+        int(max(0, -(l + s))) + 1 for l, s in zip(lo, s_min)
+    )
+    pad_hi = tuple(
+        int(max(0, h + s + w - n)) + 1
+        for h, s, w, n in zip(hi, s_min, win, in_shape)
+    )
+    return {
+        "block": block,
+        "k_hi": tuple(k_hi),
+        "s_min": tuple(s_min),
+        "win": win,
+        "pad_lo": pad_lo,
+        "pad_hi": pad_hi,
+        "grid": grid,
+    }
+
+
+@partial(jax.jit, static_argnames=("output_shape", "plan_key"))
+def _affine_apply_blocked_jit(
+    vol, matrix, offset, output_shape: tuple[int, int, int], plan_key
+):
+    """Gather-free full-affine warp (see the plan note above).
+
+    ``plan_key`` is the hashable plan tuple (block, k_hi, s_min, win,
+    pads, grid) — static so the candidate loops unroll.
+    """
+    block, k_hi, s_min, win, pad_lo, pad_hi, grid = plan_key
+    vol = vol.astype(jnp.float32)
+    vol_p = jnp.pad(vol, list(zip(pad_lo, pad_hi)))
+    matrix = matrix.astype(jnp.float32)
+    offset = offset.astype(jnp.float32)
+    pad_lo_f = jnp.asarray(pad_lo, jnp.float32)
+
+    # Local output-coordinate iotas over one block (shared, static).
+    iotas = [
+        jax.lax.broadcasted_iota(jnp.int32, block, a).astype(jnp.float32)
+        for a in range(3)
+    ]
+
+    def one_block(bidx):
+        base = [
+            bidx[a].astype(jnp.float32) * block[a] for a in range(3)
+        ]
+        corner_in = [
+            matrix[a, 0] * base[0]
+            + matrix[a, 1] * base[1]
+            + matrix[a, 2] * base[2]
+            + offset[a]
+            + pad_lo_f[a]
+            for a in range(3)
+        ]
+        anchor = [
+            jnp.floor(corner_in[a]).astype(jnp.int32) + s_min[a]
+            for a in range(3)
+        ]
+        window = jax.lax.dynamic_slice(vol_p, tuple(anchor), win)
+        # Input coords of the block's voxels relative to the anchor.
+        loc = [
+            corner_in[a]
+            - anchor[a].astype(jnp.float32)
+            + matrix[a, 0] * iotas[0]
+            + matrix[a, 1] * iotas[1]
+            + matrix[a, 2] * iotas[2]
+            for a in range(3)
+        ]
+        fl = [jnp.floor(loc[a]) for a in range(3)]
+        frac = [loc[a] - fl[a] for a in range(3)]
+        # Candidate index: floor(loc) - u_loc in [0, k_hi] by the plan.
+        d = [
+            fl[a].astype(jnp.int32) - iotas[a].astype(jnp.int32)
+            for a in range(3)
+        ]
+
+        acc = jnp.zeros(block, jnp.float32)
+        for kz in range(k_hi[0] + 1):
+            wz = jnp.where(d[0] == kz, 1.0 - frac[0], 0.0) + jnp.where(
+                d[0] == kz - 1, frac[0], 0.0
+            )
+            for ky in range(k_hi[1] + 1):
+                wy = jnp.where(d[1] == ky, 1.0 - frac[1], 0.0) + jnp.where(
+                    d[1] == ky - 1, frac[1], 0.0
+                )
+                wzy = wz * wy
+                for kx in range(k_hi[2] + 1):
+                    wx = jnp.where(
+                        d[2] == kx, 1.0 - frac[2], 0.0
+                    ) + jnp.where(d[2] == kx - 1, frac[2], 0.0)
+                    piece = jax.lax.slice(
+                        window,
+                        (kz, ky, kx),
+                        (kz + block[0], ky + block[1], kx + block[2]),
+                    )
+                    acc = acc + wzy * wx * piece
+        return acc
+
+    # Sequential map over the block grid, then stitch. (lax.map keeps
+    # the program one fused block body; blocks are plenty of vector
+    # work each.)
+    idx = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(grid[0]), jnp.arange(grid[1]), jnp.arange(grid[2]),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 3)
+    blocks = jax.lax.map(lambda b: one_block((b[0], b[1], b[2])), idx)
+    out = blocks.reshape(*grid, *block)
+    out = out.transpose(0, 3, 1, 4, 2, 5).reshape(
+        grid[0] * block[0], grid[1] * block[1], grid[2] * block[2]
+    )
+    return out[
+        : output_shape[0], : output_shape[1], : output_shape[2]
+    ]
+
+
 @partial(jax.jit, static_argnames=("output_shape",))
 def _affine_apply_jit(vol, matrix, offset, output_shape: tuple[int, int, int]):
     vol = vol.astype(jnp.float32)
@@ -278,6 +485,10 @@ def affine_apply(
     - exactly triangular matrix (the ``pcc+refine`` default
       parameterization) with a small per-axis shift range -> exact
       sequential 1-D shear passes (masked rolls, still no gather);
+    - any other concrete near-identity map (small rotations/scales/
+      shears — candidate product <= 256 per (8, 32, 128) block) -> the
+      blocked candidate-window warp (static slices + fused VPU FMAs,
+      still no gather);
     - anything else (or a traced matrix) -> the one-shot trilinear
       gather.
     """
@@ -317,6 +528,28 @@ def affine_apply(
                     kind,
                     bounds,
                 )
+    # Full-affine concrete maps (rotations): the blocked candidate-
+    # window path when the per-block spread is small enough.
+    try:
+        m_np = np.asarray(matrix)
+        off_np = np.asarray(offset)
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        m_np = None
+        off_np = None
+    if m_np is not None and off_np is not None:
+        plan = _blocked_plan(m_np, off_np, in_shape, output_shape)
+        if plan is not None:
+            plan_key = (
+                plan["block"], plan["k_hi"], plan["s_min"], plan["win"],
+                plan["pad_lo"], plan["pad_hi"], plan["grid"],
+            )
+            return _affine_apply_blocked_jit(
+                vol,
+                jnp.asarray(matrix, dtype=jnp.float32),
+                jnp.asarray(offset, dtype=jnp.float32),
+                output_shape,
+                plan_key,
+            )
     return _affine_apply_jit(
         vol, jnp.asarray(matrix), jnp.asarray(offset, dtype=jnp.float32), output_shape
     )

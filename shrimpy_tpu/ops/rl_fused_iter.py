@@ -24,7 +24,15 @@ volume's HBM round-trip AND the est aux read: ~4.3 carry volumes per
 iteration (double-halo'd est slab ~1.9 + data slab ~1.4 + est write
 1.0), at the price of recomputing the ratio's y/x halos (~1.3x the
 stage-A compute). This is option (d) of the round-2 verdict's x-pass
-bake-off list; measured numbers live in docs/kernels.md.
+bake-off list.
+
+MEASURED VERDICT (round 4, v5e): the theory loses. 63.15 ms/iter at
+the production carry (128, 2888, 1600) vs rl_fused's 35.64, and 31.46
+vs 19.42 at (128, 2888, 820) — the halo recompute plus the ratio
+ring's serialization of the two half-step pipelines costs ~1.8x more
+than the saved DMA. Kept as an opt-in reference implementation
+(``SHRIMPY_RL_FUSE_ITER=1``); the bake-off row is in docs/kernels.md
+(round-3 x-pass table, row f).
 
 Numerics are the same 3-pass bf16 (Precision.HIGH) dot scheme as
 ``rl_fused`` — stage A's ratio is held in f32 VMEM exactly as the HBM

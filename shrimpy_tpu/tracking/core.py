@@ -2,7 +2,9 @@
 
 Functional re-implementation of the reference's ``DynaTrackUpdater``
 (reference ``shrimpy/dynatrack/tracking.py:822-1313``): the five
-tracking methods and their dispatch (``:1244-1281``), px->um scaling
+tracking methods and their dispatch (``:1244-1281``) plus the archived
+engine's ``template_matching`` as a sixth (reference archive
+``autotracker.py:162-184``), px->um scaling
 (``:1283-1291``), deadband/clip limits (``:822-868``), dampening
 (``:1297-1299``), the image->stage 3x3 matrix transform
 (``:1172-1181``), baseline-relative correction (position minus shift,
@@ -27,6 +29,7 @@ import numpy as np
 from shrimpy_tpu.config.schemas import DynaTrackConfig, ShiftSettings
 from shrimpy_tpu.io.synthetic import gaussian_blob
 from shrimpy_tpu.ops.features import center_of_mass, otsu_component_mask
+from shrimpy_tpu.ops.match import template_match_shift
 from shrimpy_tpu.ops.pcc import phase_cross_correlation
 
 logger = logging.getLogger(__name__)
@@ -267,7 +270,7 @@ class Tracker:
         if method == "roi_center_pcc":
             return self._roi_template_pcc(stack), False
 
-        # Reference-based methods: pcc / multiotsu_pcc.
+        # Reference-based methods: pcc / multiotsu_pcc / template_matching.
         target = stack
         if method == "multiotsu_pcc":
             mask, blurred = otsu_component_mask(
@@ -290,6 +293,15 @@ class Tracker:
             # baked into the new baseline — inherent to the policy).
             self._references[p] = np.array(target)  # copy: callers may reuse buffers
             return np.zeros(3), True
+
+        if method == "template_matching":
+            # NCC of a reference-sliced template over the moving stack
+            # (reference archive autotracker.py:162-184); same sign
+            # convention as PCC (positive = object moved positive).
+            shift = template_match_shift(
+                ref, target, cfg.template.slice_zyx
+            )
+            return shift, False
 
         shift = phase_cross_correlation(
             ref, target, maximum_shift=cfg.shift.maximum

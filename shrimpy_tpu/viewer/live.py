@@ -16,6 +16,9 @@ files:
 * ``view.json`` is the scrub control: ``{"follow": false, "t": 2}``
   pins the displayed timepoint (the user grabbing the time slider);
   ``{"follow": true}`` resumes auto-advance (the Home key, ``:293-329``);
+  ``{"z": 40}`` scrubs the rendered z plane (napari's z slider over the
+  lazy (p,t,z,y,x) array, ``:293-329``) — omit/null restores the
+  mid-plane default;
 * ``deskew.json`` is the editable-geometry control: changing
   ``ls_angle_deg`` / ``px_to_scan_ratio`` re-renders the deskewed side
   view from ring row-gathers without waiting for new frames
@@ -94,6 +97,9 @@ class LiveMonitor:
         self._volumes: dict[tuple[str, str], dict[int, dict]] = {}
         self.follow = True
         self.pinned_t: int | None = None
+        # z-scrub: None renders the mid-plane; an int pins that plane
+        # (clamped per volume) — napari's z slider equivalent.
+        self.pinned_z: int | None = None
         # Per-channel contrast limits, frozen at first render so
         # brightness stays comparable across timepoints (reference
         # auto-contrasts per channel, _napari_process.py:416-433).
@@ -126,11 +132,17 @@ class LiveMonitor:
                 follow = bool(view.get("follow", True))
                 pinned = view.get("t")
                 pinned = int(pinned) if pinned is not None else None
+                pinned_z = view.get("z")
+                pinned_z = int(pinned_z) if pinned_z is not None else None
             except (TypeError, ValueError):
                 logger.warning("invalid view.json values (ignored): %r", view)
             else:
-                if (follow, pinned) != (self.follow, self.pinned_t):
-                    self.follow, self.pinned_t = follow, pinned
+                if (follow, pinned, pinned_z) != (
+                    self.follow, self.pinned_t, self.pinned_z
+                ):
+                    self.follow = follow
+                    self.pinned_t = pinned
+                    self.pinned_z = pinned_z
                     changed = True
             # ``{"contrast": "refresh"}`` drops the frozen limits so the
             # next render re-stretches per channel — the knob for the
@@ -264,6 +276,13 @@ class LiveMonitor:
         self._last_drawn[f"{p}|{channel}"] = t
         return True
 
+    def _plane_index(self, nz: int) -> int:
+        """Rendered z plane: the scrubbed plane (clamped to the
+        volume's extent, like napari's slider) or the mid-plane."""
+        if self.pinned_z is None:
+            return nz // 2
+        return max(0, min(self.pinned_z, nz - 1))
+
     def _contrast_limits(self, channel: str, vol: np.ndarray) -> tuple[float, float]:
         if self.contrast_mode == "auto" or channel not in self.contrast:
             lo, hi = np.percentile(vol, [1.0, 99.7])
@@ -281,8 +300,10 @@ class LiveMonitor:
         panels = 2 + (self.deskew is not None)
         fig, axes = plt.subplots(1, panels, figsize=(4 * panels, 4))
         cmap = colormap_for_channel(channel)
-        axes[0].imshow(vol[vol.shape[0] // 2], cmap=cmap, vmin=lo, vmax=hi)
-        axes[0].set_title(f"p={p} {channel} t={t} mid")
+        zi = self._plane_index(vol.shape[0])
+        axes[0].imshow(vol[zi], cmap=cmap, vmin=lo, vmax=hi)
+        label = "mid" if self.pinned_z is None else "scrub"
+        axes[0].set_title(f"p={p} {channel} t={t} z={zi} ({label})")
         axes[1].imshow(vol.max(axis=0), cmap="magma", vmin=lo, vmax=hi)
         axes[1].set_title("max projection")
         if self.deskew is not None:
@@ -309,6 +330,7 @@ class LiveMonitor:
         state = {
             "follow": self.follow,
             "pinned_t": self.pinned_t,
+            "pinned_z": self.pinned_z,
             "contrast": {c: list(v) for c, v in self.contrast.items()},
             "displayed": self._last_drawn,
             "evicted": self.evicted,

@@ -69,6 +69,7 @@ _PAGE = """<!DOCTYPE html>
 <div class="controls">
   <label><input type="checkbox" id="follow" checked> follow latest</label>
   <label>t <input type="number" id="t" min="0" value="0"></label>
+  <label>z <input type="number" id="z" min="0" placeholder="mid"></label>
   <button id="apply">apply</button>
   <button id="home">home (follow)</button>
   <button id="restretch">re-stretch contrast</button>
@@ -95,7 +96,7 @@ const mtimes = {};
 // clicks that change nothing.
 fetch("/meta").then(r => r.json()).then(meta => {
   if (!meta.live) {
-    for (const id of ["follow", "t", "apply", "home", "restretch",
+    for (const id of ["follow", "t", "z", "apply", "home", "restretch",
                       "autoc", "angle", "ratio", "geom"])
       document.getElementById(id).disabled = true;
     document.getElementById("mode-note").textContent =
@@ -121,8 +122,10 @@ async function post(url, body) {
   await fetch(url, {method: "POST", body: JSON.stringify(body)});
 }
 function viewBody() {
+  const zRaw = document.getElementById("z").value;
   return {follow: document.getElementById("follow").checked,
           t: parseInt(document.getElementById("t").value || "0"),
+          z: zRaw === "" ? null : parseInt(zRaw),
           contrast_mode: document.getElementById("autoc").checked
             ? "auto" : "freeze"};
 }

@@ -23,6 +23,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Every test not marked ``slow`` gets ``quick``: the review-loop
+    tier is ``pytest -m quick`` (equivalently ``-m "not slow"``)."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture()
 def rng():
     return np.random.default_rng(42)

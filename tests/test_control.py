@@ -181,7 +181,11 @@ def test_pause_excluded_from_pacing(tmp_path, fov_source):
     )
     assert summary["aborted_at"] is None
     assert summary["paused_s"] >= 0.2
-    assert summary["interval_overruns"] == []
+    # Scheduler jitter on a loaded 1-core box legitimately logs few-ms
+    # overruns; the failure mode under test — paused time counting
+    # against the cadence — would log ~pause-length (>=0.5 s) overruns
+    # on every post-pause timepoint. Assert the magnitude, not absence.
+    assert all(s < 0.3 for _, s in summary["interval_overruns"]), summary
 
 
 def test_abort_via_file_from_another_thread(tmp_path, fov_source):

@@ -11,6 +11,10 @@ import json
 import numpy as np
 import pytest
 
+# Heavyweight module (big compiles / end-to-end): excluded from the
+# quick review-loop tier (docs/testing.md).
+pytestmark = pytest.mark.slow
+
 from shrimpy_tpu.config import (
     DeconvolveSettings,
     DeskewSettings,

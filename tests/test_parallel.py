@@ -8,6 +8,10 @@ import jax
 import numpy as np
 import pytest
 
+# Heavyweight module (big compiles / end-to-end): excluded from the
+# quick review-loop tier (docs/testing.md).
+pytestmark = pytest.mark.slow
+
 from shrimpy_tpu.config import DeconvolveSettings, DeskewSettings, ReconstructSettings
 from shrimpy_tpu.ops.deconv import gaussian_psf
 from shrimpy_tpu.parallel import make_mesh, reconstruct_batch

@@ -27,6 +27,78 @@ def test_affine_apply_matches_scipy(rng):
     assert np.abs(ours - oracle).max() / scale <= 1e-3
 
 
+def _rotation_zyx(axis: int, deg: float) -> np.ndarray:
+    """3-D rotation matrix about one ZYX axis."""
+    c, s = np.cos(np.deg2rad(deg)), np.sin(np.deg2rad(deg))
+    m = np.eye(3)
+    i, j = [a for a in range(3) if a != axis]
+    m[i, i] = c
+    m[i, j] = -s
+    m[j, i] = s
+    m[j, j] = c
+    return m
+
+
+def test_blocked_path_engages_for_rotations(rng):
+    from shrimpy_tpu.ops.register import _blocked_plan
+
+    m = _rotation_zyx(0, 3.0)  # in-plane (yx) rotation
+    plan = _blocked_plan(m, np.zeros(3), (64, 256, 256), (64, 256, 256))
+    assert plan is not None
+    # Large rotations exceed the candidate envelope -> gather fallback.
+    assert (
+        _blocked_plan(
+            _rotation_zyx(0, 60.0), np.zeros(3), (64, 256, 256), (64, 256, 256)
+        )
+        is None
+    )
+
+
+@pytest.mark.parametrize("deg", [1.0, 3.0, 5.0])
+def test_blocked_rotation_matches_scipy(rng, deg):
+    """In-plane rotations (the registration-grade full-affine case) ride
+    the gather-free blocked path and match scipy to f32 tolerance."""
+    from shrimpy_tpu.ops.register import _blocked_plan
+
+    vol = rng.random((12, 48, 40), dtype=np.float32) * 50.0
+    center = (np.asarray(vol.shape) - 1) / 2.0
+    m = _rotation_zyx(0, deg)
+    offset = center - m @ center  # rotate about the volume center
+    assert _blocked_plan(m, offset, vol.shape, vol.shape) is not None
+    ours = np.asarray(affine_apply(vol, m, offset))
+    oracle = affine_apply_reference_scipy(vol, m, offset)
+    assert np.abs(ours - oracle).max() / np.abs(oracle).max() <= 1e-4
+
+
+def test_blocked_full_affine_matches_scipy(rng):
+    """Rotation + anisotropic scale + shear + translation (all three
+    axes coupled, negative drifts included)."""
+    vol = rng.random((10, 40, 36), dtype=np.float32) * 50.0
+    m = (
+        _rotation_zyx(0, 2.0)
+        @ _rotation_zyx(1, 1.0)
+        @ np.diag([1.04, 0.97, 1.02])
+    )
+    m[1, 0] += 0.03  # extra shear
+    offset = np.array([1.7, -2.3, 0.9])
+    ours = np.asarray(affine_apply(vol, m, offset))
+    oracle = affine_apply_reference_scipy(vol, m, offset)
+    assert np.abs(ours - oracle).max() / np.abs(oracle).max() <= 1e-4
+
+
+def test_blocked_output_shape_and_boundaries(rng):
+    """Output grids larger than the input read zeros outside
+    (grid-constant) through the blocked path too."""
+    vol = rng.random((8, 24, 20), dtype=np.float32) * 10.0
+    m = _rotation_zyx(0, 4.0)
+    offset = np.array([-2.0, 3.0, -4.0])
+    out_shape = (10, 30, 28)
+    ours = np.asarray(affine_apply(vol, m, offset, out_shape))
+    oracle = affine_apply_reference_scipy(vol, m, offset, out_shape)
+    assert ours.shape == out_shape
+    assert np.abs(ours - oracle).max() / (np.abs(oracle).max() or 1.0) <= 1e-4
+
+
 def test_affine_apply_identity(rng):
     vol = rng.random((8, 16, 16), dtype=np.float32)
     out = np.asarray(affine_apply(vol, np.eye(3), np.zeros(3)))

@@ -7,6 +7,10 @@ validated on the real MXU by scripts/bench_rl.py parity modes.
 
 import numpy as np
 import pytest
+
+# Heavyweight module (big compiles / end-to-end): excluded from the
+# quick review-loop tier (docs/testing.md).
+pytestmark = pytest.mark.slow
 from scipy.signal import fftconvolve
 
 from shrimpy_tpu.config import DeconvolveSettings

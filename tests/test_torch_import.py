@@ -13,6 +13,10 @@ GELU variant, LayerNorm eps).
 import numpy as np
 import pytest
 
+# Heavyweight module (big compiles / end-to-end): excluded from the
+# quick review-loop tier (docs/testing.md).
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402

@@ -231,6 +231,40 @@ def test_live_follow_latest_then_scrub_pause(live):
     assert state["displayed"]["0|BF"] == 2  # Home-resume
 
 
+def test_live_z_scrub_renders_requested_plane(live):
+    """view.json {"z": k} scrubs the rendered z plane (clamped); null
+    restores the mid-plane (napari z slider, _napari_process.py:293-329)."""
+    import json as _json
+
+    ring, monitor, out = live
+    _push_volume(ring, monitor, 0, t=0, nz=4)
+    monitor.render_dirty()
+    png = next(out.glob("live_*.png"))
+    mid_bytes = png.read_bytes()
+    state = _json.loads((out / "state.json").read_text())
+    assert state["pinned_z"] is None
+    assert monitor._plane_index(4) == 2  # mid-plane default
+
+    (out / "view.json").write_text('{"z": 0}')
+    assert monitor.refresh_controls()
+    monitor.render_dirty()
+    state = _json.loads((out / "state.json").read_text())
+    assert state["pinned_z"] == 0
+    assert monitor._plane_index(4) == 0
+    # Planes differ (value = t*10 + z), so the PNG must change.
+    assert png.read_bytes() != mid_bytes
+
+    # Out-of-range scrub clamps like napari's slider.
+    (out / "view.json").write_text('{"z": 99}')
+    assert monitor.refresh_controls()
+    assert monitor._plane_index(4) == 3
+
+    # null restores the mid-plane.
+    (out / "view.json").write_text('{"z": null}')
+    assert monitor.refresh_controls()
+    assert monitor._plane_index(4) == 2
+
+
 def test_live_editable_deskew_geometry(live):
     """Editing deskew.json re-renders the side view with the new
     geometry without new frames (reference DeskewControls,

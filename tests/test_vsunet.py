@@ -3,6 +3,10 @@
 import numpy as np
 import pytest
 
+# Heavyweight module (big compiles / end-to-end): excluded from the
+# quick review-loop tier (docs/testing.md).
+pytestmark = pytest.mark.slow
+
 from shrimpy_tpu.config import DynaTrackConfig
 from shrimpy_tpu.models import VirtualStainer, VSModelSettings
 from shrimpy_tpu.tracking.preprocess import Preprocessor
