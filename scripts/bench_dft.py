@@ -71,7 +71,7 @@ def main() -> None:
         # lane-aligned grid — the shapes the backend actually
         # transforms, not the raw volume's.
         shape = tuple(int(v) for v in args.shape.split(","))
-        grid, _ = _padded_grid_shape(shape, psf.shape)
+        grid, _ = _padded_grid_shape(shape, psf.shape, transform="matmul")
         gy, gx = grid[-2:]
         c = 8
         x = jax.random.uniform(jax.random.key(0), (c, gy, gx), jnp.float32)
@@ -103,7 +103,7 @@ def main() -> None:
         from shrimpy_tpu.ops.dft import cdft, irdft2, rdft2
 
         shape = tuple(int(v) for v in args.shape.split(","))
-        grid, _ = _padded_grid_shape(shape, psf.shape)
+        grid, _ = _padded_grid_shape(shape, psf.shape, transform="matmul")
         gz, gy, gx = grid
         gxr = gx // 2 + 1
         c = _fft2z_chunk(gz, 8)
@@ -166,21 +166,25 @@ def main() -> None:
         return
 
     if not args.skip_parity:
+        from shrimpy_tpu.ops.deconv import richardson_lucy_reference
+
         rng = np.random.default_rng(1)
         vol = rng.uniform(0, 100, (32, 96, 128)).astype(np.float32)
-        outs = {}
-        for be in ("fft3", "dft2z"):
-            s = DeconvolveSettings(
-                iterations=args.parity_iters, algorithm="fft", fft_backend=be
-            )
-            outs[be] = np.asarray(
-                richardson_lucy(jnp.asarray(vol), _tilted_psf((7, 9, 9)), s)
-            )
-        rel = (
-            np.abs(outs["dft2z"] - outs["fft3"]).max()
-            / np.abs(outs["fft3"]).max()
+        psf_p = _tilted_psf((7, 9, 9))
+        s = DeconvolveSettings(
+            iterations=args.parity_iters, algorithm="fft", fft_backend="dft2z"
         )
-        print(f"parity dft2z vs fft3 (HW dots): rel={rel:.3e}", flush=True)
+        got = np.asarray(richardson_lucy(jnp.asarray(vol), psf_p, s))
+        # fp64 numpy oracle on the SAME (matmul tile-rounded) grid —
+        # validates the bf16x3 MXU dots against the true update.
+        oracle = richardson_lucy_reference(
+            vol, psf_p, iterations=args.parity_iters, grid_transform="matmul"
+        )
+        rel = np.abs(got - oracle).max() / np.abs(oracle).max()
+        print(
+            f"parity dft2z vs fp64 oracle (HW dots): rel={rel:.3e}",
+            flush=True,
+        )
 
     shape = tuple(int(v) for v in args.shape.split(","))
     vol = jax.random.uniform(

@@ -59,22 +59,43 @@ from shrimpy_tpu.utils.fft import next_fast_len, next_fast_len_tpu
 
 
 def _padded_grid_shape(
-    image_shape: tuple[int, ...], psf_shape: tuple[int, ...], tpu_lanes: bool = True
+    image_shape: tuple[int, ...],
+    psf_shape: tuple[int, ...],
+    tpu_lanes: bool = True,
+    transform: str = "xla",
 ) -> tuple[tuple[int, ...], tuple[tuple[int, int], ...]]:
     """FFT grid shape and per-axis (lo, hi) image padding.
 
     Pads by the PSF half-width on each side (enough context for the
-    boundary condition), then rounds up to a 5-smooth length (last axis
-    additionally to a 128-lane multiple when ``tpu_lanes``).
+    boundary condition), then rounds up to a transform-fast length:
+
+    - ``transform="xla"``: a 5-smooth length (the FFT's complexity
+      model; last axis additionally to a 128-lane multiple when
+      ``tpu_lanes``).
+    - ``transform="matmul"``: the matmul-DFT backends (``ops/dft.py``)
+      are exact at ANY length, so 5-smooth rounding only adds MACs —
+      round to hardware tiles instead: sublane multiples of 8 on the
+      leading axes, a 128-lane multiple on the last. Measured on v5e
+      this takes the nonsep dft2z iteration 239 -> 201 ms at the
+      (128, 1444, 800) bench geometry (grid (144, 1480, 896) vs the
+      5-smooth (144, 1500, 1024)).
     """
+    from shrimpy_tpu.utils.shapes import round_up
+
     assert len(image_shape) == len(psf_shape)
+    assert transform in ("xla", "matmul"), transform
     grid = []
     pads = []
     for ax, (n, k) in enumerate(zip(image_shape, psf_shape)):
         half = k // 2
         target = n + 2 * half
         last = ax == len(image_shape) - 1
-        fast = next_fast_len_tpu(target) if (tpu_lanes and last) else next_fast_len(target)
+        if transform == "matmul":
+            fast = round_up(target, 128 if last else 8)
+        elif tpu_lanes and last:
+            fast = next_fast_len_tpu(target)
+        else:
+            fast = next_fast_len(target)
         extra = fast - target
         lo = half + extra // 2
         hi = half + extra - extra // 2
@@ -1343,8 +1364,12 @@ def rl_fft(image, psf_np, settings, iterations: int):
     (``parallel/pipeline.py``), so ``fft_backend``/``fft_z_chunk`` are
     never silently inert in either path.
     """
-    grid, pads = _padded_grid_shape(tuple(image.shape), tuple(psf_np.shape))
     fft_backend = resolve_fft_backend(settings, image.ndim)
+    grid, pads = _padded_grid_shape(
+        tuple(image.shape),
+        tuple(psf_np.shape),
+        transform="matmul" if fft_backend in ("dft2z", "dft3", "dftz") else "xla",
+    )
     if fft_backend in ("fft2z", "dft2z", "dft3", "dftz") and image.ndim != 3:
         raise ValueError(
             f"fft_backend='{fft_backend}' needs a 3-D volume (got "
@@ -1463,16 +1488,22 @@ def richardson_lucy_reference(
     epsilon: float = 1e-6,
     pad_mode: str = "reflect",
     psf_crop_tol: float = 1e-5,
+    grid_transform: str = "xla",
 ) -> np.ndarray:
     """Trusted fp64 numpy oracle: the identical update rule on the same grid.
 
     ``psf_crop_tol`` must match the backend under test (production
-    crops at ``settings.psf_crop_tol``)."""
+    crops at ``settings.psf_crop_tol``). ``grid_transform`` must match
+    the backend's transform family ("matmul" for dft2z/dftz/dft3) — the
+    grid is transform-dependent, and the circular update's wrap
+    distance with it."""
     image = np.asarray(image, dtype=np.float64)
     psf = _pad_psf_to_odd(
         _crop_psf_support(np.asarray(psf, np.float64), psf_crop_tol)
     )
-    grid, pads = _padded_grid_shape(tuple(image.shape), tuple(psf.shape))
+    grid, pads = _padded_grid_shape(
+        tuple(image.shape), tuple(psf.shape), transform=grid_transform
+    )
 
     padded = np.pad(image, pads, mode=pad_mode)
     psf_n = psf / psf.sum()

@@ -41,11 +41,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Largest axis evaluated as a single direct DFT matrix. Above this the
-# four-step factorization wins: direct work grows ~N per element while
-# four-step grows ~2*sqrt(N), and by N=384 the factor contractions are
-# still deep enough (>=16) to keep the MXU busy.
+# Largest axis evaluated as a single direct DFT matrix (non-TPU).
+# Above this the four-step factorization has fewer MACs: direct work
+# grows ~N per element while four-step grows ~2*sqrt(N).
 _DIRECT_MAX = 256
+
+# On TPU the MAC count is the wrong model: the four-step's ~sqrt(N)
+# stage matrices (e.g. 40x40 at N=1500) run the MXU's 128x128 tiles at
+# ~10% utilization and the factor-interleave emit is a whole-volume
+# transposed reshape (HBM-bound), while the direct N x N contraction
+# streams at near-full tile occupancy. Measured on v5e at the nonsep
+# RL grid (144, 1500, 1024): direct matrices take the dft2z iteration
+# 366 -> 239 ms (unbalanced big-stage x tiny-radix factors were also
+# tried and do NOT beat direct — the interleave emit is the overhead).
+_DIRECT_MAX_TPU = 4096
+
+
+def _direct_max() -> int:
+    return _DIRECT_MAX_TPU if jax.default_backend() == "tpu" else _DIRECT_MAX
 
 #: Default contraction precision. HIGH = 3-pass bf16 (~f32 effective
 #: for unit-magnitude DFT entries); HIGHEST doubles the passes.
@@ -105,7 +118,7 @@ def _direct_irdft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _is_direct(n: int) -> bool:
     """Whether a length-``n`` axis takes the direct-matrix route."""
-    return n <= _DIRECT_MAX or _balanced_factors(n)[0] < 4
+    return n <= _direct_max() or _balanced_factors(n)[0] < 4
 
 
 @lru_cache(maxsize=64)

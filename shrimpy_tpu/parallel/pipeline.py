@@ -306,8 +306,22 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
                 vol = _constrain(vol[:, zp:-zp])
 
         if deconv is not None:
+            # The sharded RL honors the fft_backend knob's transform
+            # choice: dft2z -> matmul, fft2z/fft3 -> xla, auto ->
+            # platform default (the 2z z-banding itself is moot here —
+            # the slab scheme already bounds per-device memory). The
+            # grid policy follows the transform (matmul grids round to
+            # hardware tiles, not 5-smooth lengths).
+            from shrimpy_tpu.ops.dft import default_transform
+
+            rl_tr = {
+                "dft2z": "matmul",
+                "dftz": "matmul",
+                "fft2z": "xla",
+                "fft3": "xla",
+            }.get(deconv.fft_backend, default_transform())
             grid, pads = _padded_grid_shape(
-                tuple(vol.shape[1:]), tuple(psf_np.shape)
+                tuple(vol.shape[1:]), tuple(psf_np.shape), transform=rl_tr
             )
             if grid[1] % n_space or grid[2] % n_space:
                 raise ValueError(
@@ -316,17 +330,6 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
                 )
             eps = deconv.epsilon
             iterations = deconv.iterations
-            # The sharded RL honors the fft_backend knob's transform
-            # choice: dft2z -> matmul, fft2z/fft3 -> xla, auto ->
-            # platform default (the 2z z-banding itself is moot here —
-            # the slab scheme already bounds per-device memory).
-            from shrimpy_tpu.ops.dft import default_transform
-
-            rl_tr = {
-                "dft2z": "matmul",
-                "fft2z": "xla",
-                "fft3": "xla",
-            }.get(deconv.fft_backend, default_transform())
             padded = _constrain(
                 jnp.pad(vol, ((0, 0), *pads), mode=deconv.pad_mode)
             )

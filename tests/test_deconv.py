@@ -126,11 +126,13 @@ def test_fft2z_single_plane_psf_band(rng):
     assert rel <= 2e-4, rel
 
 
-def test_dft2z_matches_fft3_on_nonseparable_psf(rng):
-    """dft2z (matmul-DFT transforms) is the SAME banded circular update
-    as fft2z with the 2-D FFTs swapped for MXU einsums — on a genuinely
-    non-separable (sheared) PSF it must track the fft3 oracle well
-    inside the 1e-3 parity budget."""
+def test_dft2z_matches_fp64_oracle_on_nonseparable_psf(rng):
+    """dft2z (matmul-DFT transforms) is the banded circular update with
+    the 2-D FFTs swapped for MXU einsums — on a genuinely non-separable
+    (sheared) PSF it must track the fp64 oracle (run on the SAME
+    tile-rounded matmul grid: the grid policy is transform-dependent,
+    so the wrap distance of the circular update is too) well inside the
+    1e-3 parity budget."""
     vol = rng.uniform(0, 100, (24, 60, 72)).astype(np.float32)
     zz, yy, xx = np.meshgrid(
         np.arange(7) - 3.0, np.arange(9) - 4.0, np.arange(9) - 4.0,
@@ -141,21 +143,21 @@ def test_dft2z_matches_fft3_on_nonseparable_psf(rng):
                 + ((yy + 0.8 * xx) / 1.8) ** 2 + (xx / 2.5) ** 2)
     ).astype(np.float32)
     psf /= psf.sum()
-    fft3 = np.asarray(richardson_lucy(
-        vol, psf, DeconvolveSettings(algorithm="fft", fft_backend="fft3"),
-        iterations=8,
-    ))
+    oracle = richardson_lucy_reference(
+        vol, psf, iterations=8, grid_transform="matmul"
+    )
     dft2z = np.asarray(richardson_lucy(
         vol, psf, DeconvolveSettings(algorithm="fft", fft_backend="dft2z"),
         iterations=8,
     ))
-    rel = np.abs(dft2z - fft3).max() / np.abs(fft3).max()
-    assert rel <= 2e-4, f"dft2z vs fft3 relative max abs err {rel:.2e}"
+    rel = np.abs(dft2z - oracle).max() / np.abs(oracle).max()
+    assert rel <= 2e-4, f"dft2z vs fp64 oracle relative max abs err {rel:.2e}"
 
 
-def test_dftz_matches_fft3_on_nonseparable_psf(rng):
+def test_dftz_matches_fp64_oracle_on_nonseparable_psf(rng):
     """dftz (chunked 2-D matmul-DFTs + exact z-DFT instead of the
-    banded z sum) is the same circular update as fft3."""
+    banded z sum) is the same circular update as the fp64 oracle on the
+    matmul grid."""
     vol = rng.uniform(0, 100, (24, 60, 72)).astype(np.float32)
     zz, yy, xx = np.meshgrid(
         np.arange(7) - 3.0, np.arange(9) - 4.0, np.arange(9) - 4.0,
@@ -166,33 +168,31 @@ def test_dftz_matches_fft3_on_nonseparable_psf(rng):
                 + ((yy + 0.8 * xx) / 1.8) ** 2 + (xx / 2.5) ** 2)
     ).astype(np.float32)
     psf /= psf.sum()
-    fft3 = np.asarray(richardson_lucy(
-        vol, psf, DeconvolveSettings(algorithm="fft", fft_backend="fft3"),
-        iterations=6,
-    ))
+    oracle = richardson_lucy_reference(
+        vol, psf, iterations=6, grid_transform="matmul"
+    )
     dftz = np.asarray(richardson_lucy(
         vol, psf, DeconvolveSettings(algorithm="fft", fft_backend="dftz"),
         iterations=6,
     ))
-    rel = np.abs(dftz - fft3).max() / np.abs(fft3).max()
-    assert rel <= 2e-4, f"dftz vs fft3 relative max abs err {rel:.2e}"
+    rel = np.abs(dftz - oracle).max() / np.abs(oracle).max()
+    assert rel <= 2e-4, f"dftz vs fp64 oracle relative max abs err {rel:.2e}"
 
 
-def test_dft3_matches_fft3(rng):
+def test_dft3_matches_fp64_oracle(rng):
     """dft3 (whole-volume matmul-DFT update, no z-banding) is the same
-    circular update as fft3 with the transforms swapped for MXU
-    einsums."""
+    circular update as the fp64 oracle with the transforms swapped for
+    MXU einsums (oracle pinned to the matmul tile-rounded grid)."""
     truth, psf, blurred = _blurred_scene(rng, shape=(16, 40, 40))
-    fft3 = np.asarray(richardson_lucy(
-        blurred, psf, DeconvolveSettings(algorithm="fft", fft_backend="fft3"),
-        iterations=6,
-    ))
+    oracle = richardson_lucy_reference(
+        blurred, psf, iterations=6, grid_transform="matmul"
+    )
     dft3 = np.asarray(richardson_lucy(
         blurred, psf, DeconvolveSettings(algorithm="fft", fft_backend="dft3"),
         iterations=6,
     ))
-    rel = np.abs(dft3 - fft3).max() / np.abs(fft3).max()
-    assert rel <= 2e-4, f"dft3 vs fft3 relative max abs err {rel:.2e}"
+    rel = np.abs(dft3 - oracle).max() / np.abs(oracle).max()
+    assert rel <= 2e-4, f"dft3 vs fp64 oracle relative max abs err {rel:.2e}"
 
 
 def test_auto_backend_resolves_per_platform(rng):
