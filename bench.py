@@ -600,13 +600,15 @@ def _config_nonsep(variant: str | None) -> dict:
         "gvox_per_s": round(int(np.prod(shape)) / best / 1e9, 4),
         "seconds": round(best, 4),
         "note": "non-separable-PSF route: auto resolves to the "
-        f"{backend} backend here (dft2z = matmul-DFT transforms on "
-        "the MXU, docs/kernels.md; fft2z = XLA FFTs, which run ~14x "
-        "off the bandwidth roofline on TPU — the r2/r3 0.0187 GVox/s "
-        "cliff figures measured fft2z). Separable tiers cover "
-        "rank<=24 PSFs at ~27.6 ms/iter/term; the z-banded layout "
-        "bounds transform scratch so the production carry fits "
-        "single-chip (~10 GB; fft3's 3-D transform OOMs there); "
+        f"{backend} backend here (dft2z = direct-matrix matmul-DFT "
+        "transforms on the MXU with tile-rounded grids, "
+        "docs/kernels.md; fft2z = XLA FFTs, ~14x off the bandwidth "
+        "roofline on TPU — the r2/r3 0.0187 GVox/s cliff figures "
+        "measured fft2z; r4 dft2z measures 192.6 ms/iter = 2.06x "
+        "fft2z at (128,1444,800), HW parity vs the fp64 oracle "
+        "6.8e-5, and the tile-rounded grid fits the production carry "
+        "single-chip at 1092 ms/iter where earlier attempts OOMed). "
+        "Separable tiers cover rank<=24 PSFs at ~27.6 ms/iter/term; "
         "shard_volumes (distributed slab FFT) covers volumes past "
         "single-chip HBM",
     }

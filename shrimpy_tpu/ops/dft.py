@@ -211,12 +211,18 @@ def _cdft(xr, xi, axis: int, inverse: bool, precision, imag_out=True):
     return yr, yi
 
 
-def rdft2(x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
-    """``jnp.fft.rfftn(x, axes=(-2, -1))`` as MXU einsums.
+def rdft2_pair(
+    x: jnp.ndarray, *, precision=None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`rdft2` returning an (re, im) float32 pair.
 
-    ``x`` is real (..., gy, gx); returns complex64
-    (..., gy, gx//2 + 1). Any lengths are exact (composite lengths ride
-    the four-step factorization, near-prime ones the direct matrix).
+    Spares the ``lax.complex`` materialization at a jit boundary —
+    standalone-jit probes show pair outputs 16-33% faster at the dft2z
+    working shapes. INSIDE one jit program the saving vanishes (XLA
+    already carries complex64 as decomposed re/im; a pair-native
+    dft2z RL backend measured 195.3 vs 192.6 ms/iter — no win, see
+    docs/kernels.md). Use at real jit boundaries, e.g. device->host
+    spectral shipping where the axon tunnel cannot transfer complex.
     """
     precision = PRECISION if precision is None else precision
     gx = x.shape[-1]
@@ -247,21 +253,29 @@ def rdft2(x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
         flat = x.shape[:-1] + (k2_keep * n1,)
         xr = yr.reshape(flat)[..., :gxr]
         xi = yi.reshape(flat)[..., :gxr]
-    yr, yi = _cdft(xr, xi, -2, False, precision)
+    return _cdft(xr, xi, -2, False, precision)
+
+
+def rdft2(x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
+    """``jnp.fft.rfftn(x, axes=(-2, -1))`` as MXU einsums.
+
+    ``x`` is real (..., gy, gx); returns complex64
+    (..., gy, gx//2 + 1). Any lengths are exact (composite lengths ride
+    the four-step factorization, near-prime ones the direct matrix).
+    """
+    yr, yi = rdft2_pair(x, precision=precision)
     return jax.lax.complex(yr, yi)
 
 
-def irdft2(s: jnp.ndarray, gx: int, *, precision=None) -> jnp.ndarray:
-    """``jnp.fft.irfftn(s, s=(gy, gx), axes=(-2, -1))`` as MXU einsums.
-
-    ``s`` is complex (..., gy, gx//2 + 1); the missing half-spectrum is
-    reconstructed by Hermitian symmetry (the inverse therefore matches
-    irfftn's convention of projecting onto a real output).
-    """
+def irdft2_pair(
+    sr: jnp.ndarray, si: jnp.ndarray, gx: int, *, precision=None
+) -> jnp.ndarray:
+    """:func:`irdft2` consuming an (re, im) float32 pair (see
+    :func:`rdft2_pair` for when pair carries help)."""
     precision = PRECISION if precision is None else precision
-    gxr = s.shape[-1]
+    gxr = sr.shape[-1]
     assert gxr == gx // 2 + 1, (gxr, gx)
-    sr, si = _cdft(s.real, s.imag, -2, True, precision)
+    sr, si = _cdft(sr, si, -2, True, precision)
     if _is_direct(gx):
         # Direct route: half-spectrum inverse matrix (interior bins
         # doubled) — no Hermitian-tail materialization.
@@ -277,6 +291,16 @@ def irdft2(s: jnp.ndarray, gx: int, *, precision=None) -> jnp.ndarray:
     fi = jnp.concatenate([si, ti], axis=-1)
     yr, _ = _cdft(fr, fi, -1, True, precision, imag_out=False)
     return yr
+
+
+def irdft2(s: jnp.ndarray, gx: int, *, precision=None) -> jnp.ndarray:
+    """``jnp.fft.irfftn(s, s=(gy, gx), axes=(-2, -1))`` as MXU einsums.
+
+    ``s`` is complex (..., gy, gx//2 + 1); the missing half-spectrum is
+    reconstructed by Hermitian symmetry (the inverse therefore matches
+    irfftn's convention of projecting onto a real output).
+    """
+    return irdft2_pair(s.real, s.imag, gx, precision=precision)
 
 
 def cdft(

@@ -126,3 +126,23 @@ def test_balanced_factors():
     assert _balanced_factors(1500) == (30, 50)
     n1, n2 = _balanced_factors(1920)
     assert n1 * n2 == 1920 and n1 <= n2
+
+
+def test_pair_apis_match_complex_wrappers(rng):
+    """rdft2_pair/irdft2_pair are the cores the complex wrappers ride;
+    the pair forms must agree with the wrappers and with numpy (used
+    directly at jit boundaries where complex64 cannot cross, e.g. the
+    axon tunnel)."""
+    from shrimpy_tpu.ops.dft import irdft2, irdft2_pair, rdft2, rdft2_pair
+
+    x = rng.standard_normal((3, 20, 36)).astype(np.float32)
+    yr, yi = rdft2_pair(x)
+    ref = np.fft.rfftn(x, axes=(-2, -1))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) <= 1e-5
+    np.testing.assert_array_equal(np.asarray(rdft2(x)), got.astype(np.complex64))
+
+    back_pair = np.asarray(irdft2_pair(yr, yi, 36))
+    back_cplx = np.asarray(irdft2(rdft2(x), 36))
+    np.testing.assert_array_equal(back_pair, back_cplx)
+    assert np.max(np.abs(back_pair - x)) <= 1e-5 * np.max(np.abs(x))
