@@ -630,11 +630,12 @@ _CONFIG_VARIANTS: dict[str, list[str | None]] = {
     "register": [None],
     "plate": [None],
     "replay": [None],
-    # The production carry is attempted FIRST since the z-banded 2z
-    # layout (~10 GB peak; auto = dft2z matmul-DFT on TPU) landed: the
-    # 3-D-transform OOM that forced the smaller fallback applied to
-    # fft_backend="fft3" only (docs/kernels.md). The smaller geometry
-    # remains the bounded fallback if the big child blows its budget.
+    # The production carry is attempted FIRST: with the tile-rounded
+    # matmul grid (144,2920,1664) the dft2z working set fits
+    # single-chip HBM (measured r4: 1092.3 ms/iter; the r4-run-2 OOM
+    # was at the old 5-smooth grid (144,3000,1920)). The smaller
+    # geometry remains the bounded fallback if the big child blows
+    # its budget.
     "nonsep": ["128,2888,1600", "128,1444,800"],
 }
 
