@@ -119,10 +119,49 @@ def _embed_psf(psf: jnp.ndarray, grid: tuple[int, ...]) -> jnp.ndarray:
     return jnp.roll(embedded, shifts, axis=tuple(range(psf.ndim)))
 
 
+def _run_rl_outer(step, est0, iterations: int, accelerated: bool):
+    """Run ``iterations`` RL updates of ``step``; optionally accelerated.
+
+    ``step``: ``(est, None) -> (est, None)`` — ONE plain multiplicative
+    RL update (the scan-body shape every FFT-family backend already
+    uses). Plain mode is exactly ``lax.scan(step, ...)``.
+
+    Accelerated mode is Biggs-Andrews vector extrapolation (Biggs &
+    Andrews, "Acceleration of iterative image restoration algorithms",
+    Appl. Opt. 36(8):1766, 1997): predict ``y_k = x_k + alpha_k (x_k -
+    x_{k-1})`` and update from ``y_k``, with ``alpha_k = <g_{k-1},
+    g_{k-2}> / <g_{k-2}, g_{k-2}>`` clipped to [0, 1) and ``g_j =
+    x_{j+1} - y_j``. The first two updates run plain (alpha = 0 until
+    two gradients exist — the paper's startup), so accelerated runs of
+    <= 2 iterations are bit-identical to plain RL. The extrapolation
+    is clamped at 0 (zeros are absorbing under the multiplicative
+    update, same contract as the linear_pallas carry). Costs two extra
+    estimate-sized carries (x_prev, g_prev).
+    """
+    if not accelerated:
+        est, _ = jax.lax.scan(step, est0, None, length=iterations)
+        return est
+
+    def body(carry, _):
+        x, x_prev, g_prev, alpha = carry
+        y = jnp.maximum(x + alpha * (x - x_prev), 0.0)
+        x_new, _ = step(y, None)
+        g = x_new - y
+        num = jnp.sum(g * g_prev)
+        den = jnp.sum(g_prev * g_prev)
+        alpha_next = jnp.clip(num / (den + 1e-30), 0.0, 0.999)
+        return (x_new, x, g, alpha_next), None
+
+    carry0 = (est0, est0, jnp.zeros_like(est0), jnp.float32(0.0))
+    (est, _, _, _), _ = jax.lax.scan(body, carry0, None, length=iterations)
+    return est
+
+
 @partial(
     jax.jit,
     static_argnames=(
-        "iterations", "grid", "pads", "epsilon", "pad_mode", "transform"
+        "iterations", "grid", "pads", "epsilon", "pad_mode", "transform",
+        "accelerated",
     ),
 )
 def _rl_jit(
@@ -135,6 +174,7 @@ def _rl_jit(
     epsilon: float,
     pad_mode: str,
     transform: str = "xla",
+    accelerated: bool = False,
 ):
     # transform="matmul" (backend "dft3", 3-D volumes only) evaluates
     # every transform as MXU matmul-DFT einsums (ops/dft.py): the
@@ -160,7 +200,7 @@ def _rl_jit(
         corr = inv(fwd(ratio) * jnp.conj(otf))
         return est * corr, None
 
-    est, _ = jax.lax.scan(step, est0, None, length=iterations)
+    est = _run_rl_outer(step, est0, iterations, accelerated)
     crop = tuple(slice(lo, lo + n) for (lo, _), n in zip(pads, image.shape))
     return est[crop]
 
@@ -168,7 +208,8 @@ def _rl_jit(
 @partial(
     jax.jit,
     static_argnames=(
-        "iterations", "grid", "pads", "epsilon", "pad_mode", "z_chunk"
+        "iterations", "grid", "pads", "epsilon", "pad_mode", "z_chunk",
+        "accelerated",
     ),
 )
 def _rl_dftz_jit(
@@ -181,6 +222,7 @@ def _rl_dftz_jit(
     epsilon: float,
     pad_mode: str,
     z_chunk: int,
+    accelerated: bool = False,
 ):
     """RL with chunked matmul-DFT (y, x) transforms and an exact z-DFT.
 
@@ -292,7 +334,7 @@ def _rl_dftz_jit(
 
         return jax.lax.fori_loop(0, n_chunks, body_mult, est), None
 
-    est, _ = jax.lax.scan(step, est0, None, length=iterations)
+    est = _run_rl_outer(step, est0, iterations, accelerated)
     crop = tuple(slice(lo, lo + n) for (lo, _), n in zip(pads, image.shape))
     return est[crop]
 
@@ -314,7 +356,7 @@ def _fft2z_chunk(grid_z: int, requested: int) -> int:
     jax.jit,
     static_argnames=(
         "iterations", "grid", "pads", "epsilon", "pad_mode", "z_chunk",
-        "transform",
+        "transform", "accelerated",
     ),
 )
 def _rl_fft2z_jit(
@@ -328,6 +370,7 @@ def _rl_fft2z_jit(
     pad_mode: str,
     z_chunk: int,
     transform: str = "xla",
+    accelerated: bool = False,
 ):
     """RL on the fft grid with the z axis outside the transform.
 
@@ -460,7 +503,7 @@ def _rl_fft2z_jit(
 
         return jax.lax.fori_loop(0, n_chunks, body_c, est), None
 
-    est, _ = jax.lax.scan(step, est0, None, length=iterations)
+    est = _run_rl_outer(step, est0, iterations, accelerated)
     crop = tuple(slice(lo, lo + n) for (lo, _), n in zip(pads, image.shape))
     return est[crop]
 
@@ -1276,6 +1319,16 @@ def richardson_lucy(
             )
 
     if terms is not None:
+        if settings.acceleration != "none":
+            # Loud, not silently inert (review-sweep contract): the
+            # separable kernels keep the exact plain update — a
+            # separable-routed PSF cannot honor the acceleration knob.
+            raise ValueError(
+                f"acceleration='{settings.acceleration}' applies to the "
+                "FFT path only, but this PSF routes to the separable "
+                f"kernels (algorithm='{settings.algorithm}'); set "
+                "algorithm='fft' to accelerate, or acceleration='none'"
+            )
         return rl_separable(image, psf_np, terms, settings, iters)
 
     return rl_fft(image, psf_np, settings, iters)
@@ -1375,6 +1428,7 @@ def rl_fft(image, psf_np, settings, iterations: int):
             f"fft_backend='{fft_backend}' needs a 3-D volume (got "
             f"{image.ndim}-D); use fft_backend='fft3'"
         )
+    accelerated = settings.acceleration == "biggs"
     if fft_backend == "dftz":
         return _rl_dftz_jit(
             image,
@@ -1385,6 +1439,7 @@ def rl_fft(image, psf_np, settings, iterations: int):
             epsilon=settings.epsilon,
             pad_mode=settings.pad_mode,
             z_chunk=_fft2z_chunk(grid[0], settings.fft_z_chunk),
+            accelerated=accelerated,
         )
     if fft_backend in ("fft2z", "dft2z"):
         return _rl_fft2z_jit(
@@ -1397,6 +1452,7 @@ def rl_fft(image, psf_np, settings, iterations: int):
             pad_mode=settings.pad_mode,
             z_chunk=_fft2z_chunk(grid[0], settings.fft_z_chunk),
             transform="matmul" if fft_backend == "dft2z" else "xla",
+            accelerated=accelerated,
         )
     return _rl_jit(
         image,
@@ -1407,6 +1463,7 @@ def rl_fft(image, psf_np, settings, iterations: int):
         epsilon=settings.epsilon,
         pad_mode=settings.pad_mode,
         transform="matmul" if fft_backend == "dft3" else "xla",
+        accelerated=accelerated,
     )
 
 

@@ -206,6 +206,12 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
     if deconv is not None:
         if psf is None:
             raise ValueError("deconvolve stage enabled but no PSF provided")
+        if deconv.acceleration != "none":
+            raise ValueError(
+                "shard_volumes runs the plain sharded RL update; "
+                f"acceleration='{deconv.acceleration}' is not supported "
+                "on the distributed slab path (single-chip FFT RL only)"
+            )
         # Same PSF conditioning as the unsharded path (_deconv_fn):
         # support cropping shrinks the padded grid — which matters MOST
         # here, on the memory-critical >HBM route — and psf_crop_tol

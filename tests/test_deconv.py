@@ -11,7 +11,7 @@ import pytest
 from scipy.signal import fftconvolve
 
 from shrimpy_tpu.config import DeconvolveSettings
-from shrimpy_tpu.io.synthetic import gaussian_blob
+from shrimpy_tpu.io.synthetic import gaussian_blob, tilted_gaussian_psf
 from shrimpy_tpu.ops.deconv import (
     gaussian_psf,
     richardson_lucy,
@@ -272,3 +272,76 @@ def test_even_length_psf_axes_are_padded_to_odd(rng):
     rel2 = (np.abs(sep - fft)[interior].max()
             / np.abs(fft[interior]).max())
     assert rel2 <= 5e-2, rel2
+
+
+def test_biggs_acceleration_startup_matches_plain(rng):
+    """The Biggs-Andrews outer loop runs its first two updates plain
+    (alpha stays 0 until two gradients exist — the paper's startup), so
+    a 2-iteration accelerated run must equal plain RL exactly."""
+    truth, psf_sep, blurred = _blurred_scene(rng, shape=(12, 32, 32))
+    psf = tilted_gaussian_psf((5, 7, 7))
+    plain = np.asarray(richardson_lucy(
+        blurred, psf,
+        DeconvolveSettings(algorithm="fft", fft_backend="fft3"),
+        iterations=2,
+    ))
+    accel = np.asarray(richardson_lucy(
+        blurred, psf,
+        DeconvolveSettings(
+            algorithm="fft", fft_backend="fft3", acceleration="biggs"
+        ),
+        iterations=2,
+    ))
+    np.testing.assert_allclose(accel, plain, rtol=1e-6, atol=1e-5)
+
+
+def test_biggs_acceleration_advances_the_rl_trajectory_faster(rng):
+    """Accelerated RL at k iterations sits FURTHER ALONG the plain RL
+    trajectory (closer to the converged fixed point) than plain RL at
+    1.5k iterations. Measured on this scene: accel-10 lands between
+    plain-20 and plain-30 (Biggs & Andrews Appl. Opt. 36(8):1766
+    report 2-3x after startup); the 1.5x bound is the conservative
+    regression gate. MSE-to-truth is NOT the metric — on noisy data RL
+    semi-converges, so being further along can mean a slightly higher
+    MSE while still being exactly what the iteration count knob
+    promises."""
+    truth, _, _ = _blurred_scene(rng, shape=(16, 40, 40))
+    psf = tilted_gaussian_psf((7, 9, 9))
+    blurred = fftconvolve(truth, psf, mode="same").astype(np.float32)
+    blurred = np.clip(
+        blurred + rng.normal(0.0, 0.1, blurred.shape).astype(np.float32),
+        0.0, None,
+    )
+
+    plain = DeconvolveSettings(algorithm="fft", fft_backend="fft3")
+    accel = DeconvolveSettings(
+        algorithm="fft", fft_backend="fft3", acceleration="biggs"
+    )
+    ref = np.asarray(
+        richardson_lucy(blurred, psf, plain, iterations=40)
+    ).astype(np.float64)
+
+    def dist(s, iters):
+        out = np.asarray(
+            richardson_lucy(blurred, psf, s, iterations=iters)
+        ).astype(np.float64)
+        return float(np.linalg.norm(out - ref) / np.linalg.norm(ref))
+
+    d_accel_10 = dist(accel, 10)
+    assert d_accel_10 < dist(plain, 10), "acceleration made no progress"
+    assert d_accel_10 <= dist(plain, 15), (
+        f"accel-10 at {d_accel_10:.4f} did not reach plain-15 "
+        f"({dist(plain, 15):.4f}) toward the fixed point"
+    )
+
+
+def test_acceleration_on_separable_route_raises(rng):
+    """acceleration is FFT-path-only; a separable-routed PSF must raise
+    loudly rather than silently run unaccelerated."""
+    truth, psf, blurred = _blurred_scene(rng, shape=(12, 32, 32))
+    with pytest.raises(ValueError, match="acceleration"):
+        richardson_lucy(
+            blurred, psf,
+            DeconvolveSettings(acceleration="biggs"),
+            iterations=2,
+        )
