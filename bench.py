@@ -709,9 +709,13 @@ def main() -> None:
     # burn its full timeout and the run would be killed with NOTHING on
     # stdout; with it, a dead tunnel still yields a parseable record
     # that says so.
+    # 240 s probe budget: the tunnel has a degraded-but-alive state
+    # where a trivial matmul readback takes ~70 s (measured r4) — a
+    # 120 s probe child (startup + jax init + readback) flakes there
+    # while real work still completes fine.
     alive = False
     for attempt in range(3):
-        payload, _ = _run_child(["--probe"], min(120.0, child_timeout()))
+        payload, _ = _run_child(["--probe"], min(240.0, child_timeout()))
         if payload is not None and payload.get("alive"):
             alive = True
             break

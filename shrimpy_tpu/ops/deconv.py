@@ -53,6 +53,7 @@ from shrimpy_tpu.ops.dft import default_transform as dft_default_transform
 from shrimpy_tpu.ops.dft import irdft2 as dft_irdft2
 from shrimpy_tpu.ops.dft import irdft3 as dft_irdft3
 from shrimpy_tpu.ops.dft import rdft2 as dft_rdft2
+from shrimpy_tpu.ops.rl_outer import run_rl_outer
 from shrimpy_tpu.ops.dft import rdft3 as dft_rdft3
 from shrimpy_tpu.utils.cache import LruCache
 from shrimpy_tpu.utils.fft import next_fast_len, next_fast_len_tpu
@@ -119,44 +120,6 @@ def _embed_psf(psf: jnp.ndarray, grid: tuple[int, ...]) -> jnp.ndarray:
     return jnp.roll(embedded, shifts, axis=tuple(range(psf.ndim)))
 
 
-def _run_rl_outer(step, est0, iterations: int, accelerated: bool):
-    """Run ``iterations`` RL updates of ``step``; optionally accelerated.
-
-    ``step``: ``(est, None) -> (est, None)`` — ONE plain multiplicative
-    RL update (the scan-body shape every FFT-family backend already
-    uses). Plain mode is exactly ``lax.scan(step, ...)``.
-
-    Accelerated mode is Biggs-Andrews vector extrapolation (Biggs &
-    Andrews, "Acceleration of iterative image restoration algorithms",
-    Appl. Opt. 36(8):1766, 1997): predict ``y_k = x_k + alpha_k (x_k -
-    x_{k-1})`` and update from ``y_k``, with ``alpha_k = <g_{k-1},
-    g_{k-2}> / <g_{k-2}, g_{k-2}>`` clipped to [0, 1) and ``g_j =
-    x_{j+1} - y_j``. The first two updates run plain (alpha = 0 until
-    two gradients exist — the paper's startup), so accelerated runs of
-    <= 2 iterations are bit-identical to plain RL. The extrapolation
-    is clamped at 0 (zeros are absorbing under the multiplicative
-    update, same contract as the linear_pallas carry). Costs two extra
-    estimate-sized carries (x_prev, g_prev).
-    """
-    if not accelerated:
-        est, _ = jax.lax.scan(step, est0, None, length=iterations)
-        return est
-
-    def body(carry, _):
-        x, x_prev, g_prev, alpha = carry
-        y = jnp.maximum(x + alpha * (x - x_prev), 0.0)
-        x_new, _ = step(y, None)
-        g = x_new - y
-        num = jnp.sum(g * g_prev)
-        den = jnp.sum(g_prev * g_prev)
-        alpha_next = jnp.clip(num / (den + 1e-30), 0.0, 0.999)
-        return (x_new, x, g, alpha_next), None
-
-    carry0 = (est0, est0, jnp.zeros_like(est0), jnp.float32(0.0))
-    (est, _, _, _), _ = jax.lax.scan(body, carry0, None, length=iterations)
-    return est
-
-
 @partial(
     jax.jit,
     static_argnames=(
@@ -200,7 +163,7 @@ def _rl_jit(
         corr = inv(fwd(ratio) * jnp.conj(otf))
         return est * corr, None
 
-    est = _run_rl_outer(step, est0, iterations, accelerated)
+    est = run_rl_outer([(step, iterations)], est0, accelerated)
     crop = tuple(slice(lo, lo + n) for (lo, _), n in zip(pads, image.shape))
     return est[crop]
 
@@ -334,7 +297,7 @@ def _rl_dftz_jit(
 
         return jax.lax.fori_loop(0, n_chunks, body_mult, est), None
 
-    est = _run_rl_outer(step, est0, iterations, accelerated)
+    est = run_rl_outer([(step, iterations)], est0, accelerated)
     crop = tuple(slice(lo, lo + n) for (lo, _), n in zip(pads, image.shape))
     return est[crop]
 
@@ -503,7 +466,7 @@ def _rl_fft2z_jit(
 
         return jax.lax.fori_loop(0, n_chunks, body_c, est), None
 
-    est = _run_rl_outer(step, est0, iterations, accelerated)
+    est = run_rl_outer([(step, iterations)], est0, accelerated)
     crop = tuple(slice(lo, lo + n) for (lo, _), n in zip(pads, image.shape))
     return est[crop]
 
@@ -871,6 +834,7 @@ def _apply_axis(v, mat, axis: int, prec=jax.lax.Precision.HIGHEST, radius: int =
     jax.jit,
     static_argnames=(
         "iterations", "pads", "epsilon", "pad_mode", "precision", "radii",
+        "accelerated",
     ),
 )
 def _rl_sep_jit(
@@ -888,6 +852,7 @@ def _rl_sep_jit(
     pad_mode: str,
     precision: str = "high",
     radii: tuple[int, int, int] = (0, 0, 0),
+    accelerated: bool = False,
 ):
     image = image.astype(jnp.float32)
     padded = jnp.pad(image, pads, mode=pad_mode)
@@ -911,7 +876,7 @@ def _rl_sep_jit(
         ratio = data / jnp.maximum(conv, epsilon)
         return est * conv3(ratio, tz, ty, tx), None
 
-    est, _ = jax.lax.scan(step, est0, None, length=iterations)
+    est = run_rl_outer([(step, iterations)], est0, accelerated)
     crop = tuple(slice(lo, lo + n) for (lo, _), n in zip(pads, image.shape))
     return est[crop]
 
@@ -1045,9 +1010,11 @@ def _rl_sep_linear(image, psf_np, terms, settings, iterations):
         settings.epsilon,
         settings.pad_mode,
         settings.matmul_precision,
+        settings.acceleration,
         "linear",
     )
     if key not in _RL_LINEAR_CACHE:
+        accel = settings.acceleration == "biggs"
         interpret = _jax.default_backend() != "tpu"
         prec = _PRECISIONS[settings.matmul_precision]
         rz, ry, rx = (k // 2 for k in psf_np.shape)
@@ -1107,7 +1074,7 @@ def _rl_sep_linear(image, psf_np, terms, settings, iterations):
                 ratio = data / jnp.maximum(conv, epsilon)
                 return est * conv3(ratio, True), None
 
-            est, _ = _jax.lax.scan(step, est0, None, length=iterations)
+            est = run_rl_outer([(step, iterations)], est0, accel)
             g_out = est[interior]
             crop = tuple(
                 slice(lo, lo + n) for (lo, _), n in zip(pads, img.shape)
@@ -1144,8 +1111,10 @@ def _rl_sep_zy(image, psf_np, terms, settings, iterations):
         settings.epsilon,
         settings.pad_mode,
         settings.matmul_precision,
+        settings.acceleration,
     )
     if key not in _RL_ZY_CACHE:
+        accel = settings.acceleration == "biggs"
         interpret = _jax.default_backend() != "tpu"
         prec = _PRECISIONS[settings.matmul_precision]
         rz, ry, rx = (k // 2 for k in psf_np.shape)
@@ -1195,7 +1164,7 @@ def _rl_sep_zy(image, psf_np, terms, settings, iterations):
                 ratio = data / jnp.maximum(conv, epsilon)
                 return est * conv3(ratio, True), None
 
-            est, _ = _jax.lax.scan(step, est0, None, length=iterations)
+            est = run_rl_outer([(step, iterations)], est0, accel)
             crop = tuple(
                 slice(lo, lo + n) for (lo, _), n in zip(pads, img.shape)
             )
@@ -1319,16 +1288,6 @@ def richardson_lucy(
             )
 
     if terms is not None:
-        if settings.acceleration != "none":
-            # Loud, not silently inert (review-sweep contract): the
-            # separable kernels keep the exact plain update — a
-            # separable-routed PSF cannot honor the acceleration knob.
-            raise ValueError(
-                f"acceleration='{settings.acceleration}' applies to the "
-                "FFT path only, but this PSF routes to the separable "
-                f"kernels (algorithm='{settings.algorithm}'); set "
-                "algorithm='fft' to accelerate, or acceleration='none'"
-            )
         return rl_separable(image, psf_np, terms, settings, iters)
 
     return rl_fft(image, psf_np, settings, iters)
@@ -1388,6 +1347,7 @@ def rl_separable(image, psf_np, terms, settings, iterations: int):
         pad_mode=settings.pad_mode,
         precision=settings.matmul_precision,
         radii=radii,
+        accelerated=settings.acceleration == "biggs",
     )
 
 

@@ -701,6 +701,7 @@ def rl_fused(image, psf_np, terms, settings, iterations):
     key = (
         tuple(image.shape), psf_np.tobytes(), terms_key, iterations,
         low_iters, settings.epsilon, settings.pad_mode, swap, "fused",
+        getattr(settings, "acceleration", "none"),
         # Layout dims key the cache too: SHRIMPY_RL_BX/BZ are re-read
         # per call inside fused_layout, so an in-process bake-off that
         # changes them must not get the previous layout's compiled
@@ -709,6 +710,7 @@ def rl_fused(image, psf_np, terms, settings, iterations):
         layout["y_shift"], bool(layout.get("staggered")),
     )
     if key not in _RL_FUSED_CACHE:
+        accel = getattr(settings, "acceleration", "none") == "biggs"
         rz, ry, rx = radii
         stagger = bool(layout.get("staggered"))
         kz_c, kz_f, gy_c, gy_f, gx_c, gx_f = [], [], [], [], [], []
@@ -781,19 +783,21 @@ def rl_fused(image, psf_np, terms, settings, iterations):
             # the remaining 3-pass (HIGH) iterations contract the
             # early-phase trajectory error away (RL is a fixed-point
             # iteration whose late iterations govern the result).
-            est = est0
-            if low_iters:
-                est, _ = jax.lax.scan(
-                    make_step(2), est, None, length=low_iters
-                )
-            if iterations - low_iters:
-                # _PASSES (SHRIMPY_RL_DOT_PASSES) sets the standard
-                # iterations' dot precision — 3 (HIGH) in production,
-                # 2 only for bake-offs.
-                est, _ = jax.lax.scan(
-                    make_step(_PASSES), est, None,
-                    length=iterations - low_iters,
-                )
+            # _PASSES (SHRIMPY_RL_DOT_PASSES) sets the standard
+            # iterations' dot precision — 3 (HIGH) in production, 2
+            # only for bake-offs. The shared outer loop carries the
+            # Biggs-Andrews acceleration state across the phase
+            # boundary when settings.acceleration enables it.
+            from shrimpy_tpu.ops.rl_outer import run_rl_outer
+
+            est = run_rl_outer(
+                [
+                    (make_step(2), low_iters),
+                    (make_step(_PASSES), iterations - low_iters),
+                ],
+                est0,
+                accel,
+            )
             g_out = est[interior_est]
             crop = tuple(
                 slice(lo, lo + n) for (lo, _), n in zip(pads, img.shape)

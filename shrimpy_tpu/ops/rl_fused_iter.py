@@ -749,10 +749,12 @@ def rl_fused_iter(image, psf_np, terms, settings, iterations):
     key = (
         tuple(image.shape), psf_np.tobytes(), terms_key, iterations,
         settings.epsilon, settings.pad_mode, swap, "fused_iter",
+        getattr(settings, "acceleration", "none"),
         layout["shape"], layout["bz"], layout["bx"],
         layout["sy1"], layout["sy2"],
     )
     if key not in _RL_ITER_CACHE:
+        accel = getattr(settings, "acceleration", "none") == "biggs"
         st = _iter_stencils(terms, layout)
         eps = settings.epsilon
         pad_mode = settings.pad_mode
@@ -787,7 +789,9 @@ def rl_fused_iter(image, psf_np, terms, settings, iterations):
                 )
                 return est, None
 
-            est, _ = jax.lax.scan(step, est0, None, length=iterations)
+            from shrimpy_tpu.ops.rl_outer import run_rl_outer
+
+            est = run_rl_outer([(step, iterations)], est0, accel)
             g_out = est[interior_est]
             crop = tuple(
                 slice(lo, lo + n) for (lo, _), n in zip(pads, img.shape)

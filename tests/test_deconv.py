@@ -335,13 +335,63 @@ def test_biggs_acceleration_advances_the_rl_trajectory_faster(rng):
     )
 
 
-def test_acceleration_on_separable_route_raises(rng):
-    """acceleration is FFT-path-only; a separable-routed PSF must raise
-    loudly rather than silently run unaccelerated."""
+def test_biggs_acceleration_separable_startup_matches_plain(rng):
+    """The separable (matmul-backend) route honors the acceleration
+    knob through the same shared outer loop: a 2-iteration accelerated
+    run equals plain RL exactly (alpha-0 startup)."""
     truth, psf, blurred = _blurred_scene(rng, shape=(12, 32, 32))
+    plain = np.asarray(richardson_lucy(
+        blurred, psf,
+        DeconvolveSettings(separable_backend="matmul"),
+        iterations=2,
+    ))
+    accel = np.asarray(richardson_lucy(
+        blurred, psf,
+        DeconvolveSettings(separable_backend="matmul", acceleration="biggs"),
+        iterations=2,
+    ))
+    np.testing.assert_allclose(accel, plain, rtol=1e-6, atol=1e-5)
+
+
+def test_biggs_acceleration_separable_advances_faster(rng):
+    """Accelerated separable RL at 8 iterations is further along the
+    trajectory (closer to the converged estimate) than plain at 12."""
+    truth, psf, blurred = _blurred_scene(rng, shape=(12, 32, 32))
+    plain = DeconvolveSettings(separable_backend="matmul")
+    accel = DeconvolveSettings(
+        separable_backend="matmul", acceleration="biggs"
+    )
+    ref = np.asarray(
+        richardson_lucy(blurred, psf, plain, iterations=40)
+    ).astype(np.float64)
+
+    def dist(s, iters):
+        out = np.asarray(
+            richardson_lucy(blurred, psf, s, iterations=iters)
+        ).astype(np.float64)
+        return float(np.linalg.norm(out - ref) / np.linalg.norm(ref))
+
+    assert dist(accel, 8) < dist(plain, 12), (dist(accel, 8), dist(plain, 12))
+
+
+def test_acceleration_on_sharded_path_raises(rng):
+    """shard_volumes runs the plain sharded RL update only; the
+    acceleration knob must raise loudly there, not go silently inert."""
+    from shrimpy_tpu.config import ReconstructSettings
+    from shrimpy_tpu.parallel import reconstruct_batch
+    from shrimpy_tpu.parallel.mesh import make_mesh
+
+    truth, psf, blurred = _blurred_scene(rng, shape=(8, 16, 32))
+    settings = ReconstructSettings(
+        deconvolve=DeconvolveSettings(
+            iterations=2, algorithm="fft", fft_backend="fft3",
+            acceleration="biggs",
+        ),
+        shard_volumes=True,
+    )
+    batch = np.stack([blurred, blurred])
     with pytest.raises(ValueError, match="acceleration"):
-        richardson_lucy(
-            blurred, psf,
-            DeconvolveSettings(acceleration="biggs"),
-            iterations=2,
+        reconstruct_batch(
+            batch, settings, psf=np.asarray(psf),
+            mesh=make_mesh(8, space=4),
         )

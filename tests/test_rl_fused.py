@@ -195,3 +195,23 @@ def test_fused_unsupported_geometries_guarded():
     psf = gaussian_psf((5, 9, 9), (1.0, 1.5, 1.5))
     with pytest.raises(ValueError, match="fused kernel"):
         richardson_lucy(np.ones((10, 32, 32), np.float32), psf, settings)
+
+
+def test_rl_fused_biggs_startup_matches_plain(rng):
+    """The fused backend honors acceleration via the shared outer loop
+    (ops/rl_outer.py): a 2-iteration accelerated run is bit-identical
+    plain RL (alpha-0 startup), through the fused-layout carry."""
+    psf = gaussian_psf(PSF_SHAPE, (1.0, 1.6, 1.6))
+    vol = (rng.random(SHAPE, dtype=np.float32) * 50 + 1.0).astype(np.float32)
+    plain = np.asarray(richardson_lucy(
+        vol, psf,
+        DeconvolveSettings(algorithm="separable",
+                           separable_backend="fused", iterations=2),
+    ))
+    accel = np.asarray(richardson_lucy(
+        vol, psf,
+        DeconvolveSettings(algorithm="separable",
+                           separable_backend="fused", iterations=2,
+                           acceleration="biggs"),
+    ))
+    np.testing.assert_allclose(accel, plain, rtol=1e-6, atol=1e-5)
