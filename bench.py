@@ -78,7 +78,11 @@ CHILD_TIMEOUT_S = 300.0
 FLOOR_NOTE = (
     "fused-RL floor ~35 ms/iter after the staggered K=256 x pass "
     "(VPU/DMA-bound: 2-pass x dots gain only 1.4%); see docs/kernels.md "
-    "round-3 bake-off"
+    "round-3 bake-off. Beyond the per-iteration floor the named lever "
+    "is Biggs-Andrews acceleration (acceleration='biggs', r4): the "
+    "same trajectory point in ~half the iterations — the headline "
+    "metric stays plain RL-20 for comparability, but users get "
+    "RL-20-equivalent restoration at ~2x this throughput"
 )
 
 

@@ -10,6 +10,9 @@ Cases
   rl20_matmul     circulant-matmul backend RL-20
   rl20_fused      fused-kernel RL-20 (the TPU default backend)
   rl20_fused_iter whole-iteration fused RL-20 (opt-in backend)
+  rl10_biggs      fused backend, Biggs-accelerated RL-10 (the RL-20-
+                  equivalent budget; measures the acceleration carry
+                  overhead on the production kernel)
   parity_fused    fused RL-20 vs the fp64 oracle on the REAL MXU
   parity_fused_iter  fused_iter RL-20 vs the fp64 oracle on the REAL MXU
   convzy          one fused z+y kernel call (per-call cost)
@@ -85,18 +88,28 @@ def main() -> None:
 
         return run
 
-    if case in ("rl20", "rl20_matmul", "rl20_fused", "rl20_fused_iter"):
+    if case in (
+        "rl20", "rl20_matmul", "rl20_fused", "rl20_fused_iter",
+        "rl10_biggs",
+    ):
         backend = {
             "rl20": "linear_pallas",
             "rl20_matmul": "matmul",
             "rl20_fused": "fused",
             "rl20_fused_iter": "fused_iter",
+            "rl10_biggs": "fused",
         }[case]
+        iters = 10 if case == "rl10_biggs" else 20
         settings = DeconvolveSettings(
-            iterations=20, algorithm="separable", separable_backend=backend
+            iterations=iters, algorithm="separable",
+            separable_backend=backend,
+            acceleration="biggs" if case == "rl10_biggs" else "none",
         )
         t = _time(lambda: _sync(richardson_lucy(vol, psf, settings)))
-        out |= {"seconds": round(t, 4), "ms_per_iter": round(t / 20 * 1e3, 2)}
+        out |= {
+            "seconds": round(t, 4),
+            "ms_per_iter": round(t / iters * 1e3, 2),
+        }
     elif case == "convzy":
         from shrimpy_tpu.ops.conv3_pallas import (
             _convzy_linear_jit,
