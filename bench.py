@@ -35,6 +35,10 @@ Budget discipline (the round-2 run was killed before printing anything):
   child *timeout* — the known compile-queue stall signature of the
   tunneled TPU (a killed client leaves its compile queued server-side;
   the queue drains and a second attempt hits the persistent cache).
+- Config children run fair-share: each config's total spend is capped
+  at max(90 s, remaining/configs_left) with rollover, cheapest first,
+  so a degraded tunnel (slow children timing out) cannot starve every
+  later config the way it did in the r4 run-4 record.
 - All children share one persistent XLA compilation cache (same
   directory as the CLI), so repeated geometries warm-start.
 
@@ -791,29 +795,59 @@ def main() -> None:
     # Second insurance line, now carrying parity.
     print(json.dumps({**headline, "configs": []}), flush=True)
 
-    configs = []
-    for name in ("deskew", "rl20", "register", "plate", "replay", "nonsep"):
+    # Config scheduling is FAIR-SHARE over the remaining budget: each
+    # config's total spend (all variants + the one stall retry) is
+    # capped at max(90 s, remaining/configs_left), with unused share
+    # rolling over to later configs. On a healthy tunnel every config
+    # finishes well inside its share and the expensive tail (nonsep at
+    # the production carry) inherits the accumulated leftovers; on a
+    # degraded tunnel (the r4 run-4 failure: one slow deskew child +
+    # its retry starved ALL six configs) each config still gets a shot
+    # — in particular `replay`, which runs on CPU and is immune to
+    # tunnel state. Execution is cheapest/most-robust first; the
+    # record's configs array keeps the canonical order.
+    run_order = ("replay", "register", "rl20", "plate", "deskew", "nonsep")
+    record_order = ("deskew", "rl20", "register", "plate", "replay", "nonsep")
+    results: dict[str, dict] = {}
+    for idx, name in enumerate(run_order):
         if remaining() < 60.0:
-            configs.append({"name": name, "skipped": "budget"})
+            results[name] = {"name": name, "skipped": "budget"}
             continue
+        share = max(90.0, (remaining() - 30.0) / (len(run_order) - idx))
+        config_deadline = time.monotonic() + share
+
+        def config_timeout() -> float:
+            return min(
+                CHILD_TIMEOUT_S,
+                remaining() - 30.0,
+                config_deadline - time.monotonic(),
+            )
+
         payload = None
         for variant in _CONFIG_VARIANTS[name]:
             args = ["--config", name] + ([variant] if variant else [])
-            payload, timed_out = _run_child(args, child_timeout())
-            if payload is None and timed_out and remaining() > CHILD_TIMEOUT_S:
-                payload, _ = _run_child(args, child_timeout())
+            payload, timed_out = _run_child(args, config_timeout())
+            if (
+                payload is None
+                and timed_out
+                and config_deadline - time.monotonic() > 60.0
+            ):
+                # Compile-queue stall retry (headline rationale), still
+                # inside this config's share.
+                payload, _ = _run_child(args, config_timeout())
             if payload is not None:
                 break
-            if remaining() < 60.0:
+            if config_timeout() < 30.0:
                 break
         if payload is not None:
             print(f"# config {name}: {payload}", file=sys.stderr)
-            configs.append(payload)
+            results[name] = payload
         elif remaining() < 60.0:
-            configs.append({"name": name, "skipped": "budget"})
+            results[name] = {"name": name, "skipped": "budget"}
         else:
-            configs.append({"name": name, "error": "failed"})
+            results[name] = {"name": name, "error": "failed"}
 
+    configs = [results[name] for name in record_order]
     print(json.dumps({**headline, "configs": configs}), flush=True)
 
 

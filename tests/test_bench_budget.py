@@ -1,0 +1,139 @@
+"""Bench driver budget discipline: fair-share config scheduling.
+
+The r4 run-4 record lost ALL six configs to budget skips because one
+degraded-tunnel deskew child (plus its stall retry) consumed the whole
+remaining budget. These tests drive ``bench.main`` with a faked clock
+and a faked ``_run_child`` to pin the scheduler contract:
+
+- healthy children -> all six configs populated, canonical order;
+- two pathological configs that always time out -> every OTHER config
+  still lands, and the run finishes inside the budget.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import time
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture()
+def bench(monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", ROOT / "bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # No real persistent-cache config churn during the test.
+    monkeypatch.setattr(mod, "_enable_cache", lambda: None)
+    return mod
+
+
+class FakeClock:
+    def __init__(self):
+        self.now = 1000.0
+
+    def monotonic(self):
+        return self.now
+
+    def sleep(self, s):
+        self.now += s
+
+
+def _fake_run_child(clock, config_cost):
+    """config_cost: name -> seconds (float) or 'timeout'."""
+
+    def run_child(args, timeout):
+        if timeout <= 0:
+            return None, False
+        if args[0] == "--probe":
+            clock.now += 2.0
+            return {"alive": True, "platform": "cpu"}, False
+        if args[0] == "--geom":
+            clock.now += 50.0
+            return {"vox_per_s": 8.39e8, "out_shape": [128, 2888, 1600]}, False
+        if args[0] == "--parity":
+            clock.now += 30.0
+            return {"parity_err": 1.5e-07}, False
+        assert args[0] == "--config"
+        cost = config_cost[args[1]]
+        if cost == "timeout":
+            clock.now += timeout
+            return None, True
+        if cost > timeout:
+            clock.now += timeout
+            return None, True
+        clock.now += cost
+        return {"name": args[1], "gvox_per_s": 1.0}, False
+
+    return run_child
+
+
+def _run_main(bench, monkeypatch, capsys, config_cost, budget=900.0):
+    clock = FakeClock()
+    monkeypatch.setattr(bench.time, "monotonic", clock.monotonic)
+    monkeypatch.setattr(bench.time, "sleep", clock.sleep)
+    monkeypatch.setattr(
+        bench, "_run_child", _fake_run_child(clock, config_cost)
+    )
+    monkeypatch.setenv("BENCH_BUDGET_S", str(budget))
+    t0 = clock.now
+    bench.main()
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    return lines, clock.now - t0
+
+
+CANONICAL = ["deskew", "rl20", "register", "plate", "replay", "nonsep"]
+
+
+def test_healthy_run_populates_all_configs(bench, monkeypatch, capsys):
+    lines, elapsed = _run_main(
+        bench, monkeypatch, capsys, {name: 20.0 for name in CANONICAL}
+    )
+    final = lines[-1]
+    assert final["value"] == pytest.approx(0.8394, abs=1e-3)
+    assert final["parity_err"] == pytest.approx(1.5e-07)
+    assert [c["name"] for c in final["configs"]] == CANONICAL
+    assert all("gvox_per_s" in c for c in final["configs"])
+    assert elapsed < 900.0
+
+
+def test_degraded_children_cannot_starve_other_configs(
+    bench, monkeypatch, capsys
+):
+    cost = {name: 20.0 for name in CANONICAL}
+    cost["deskew"] = "timeout"  # both variants + retry all hang
+    cost["nonsep"] = "timeout"
+    lines, elapsed = _run_main(bench, monkeypatch, capsys, cost)
+    final = lines[-1]
+    assert [c["name"] for c in final["configs"]] == CANONICAL
+    by_name = {c["name"]: c for c in final["configs"]}
+    for name in ("rl20", "register", "plate", "replay"):
+        assert "gvox_per_s" in by_name[name], by_name[name]
+    for name in ("deskew", "nonsep"):
+        assert "gvox_per_s" not in by_name[name]
+    assert elapsed < 900.0
+    # Insurance lines preceded the final record.
+    assert len(lines) >= 3
+    assert lines[0]["configs"] == []
+
+
+def test_tiny_budget_still_prints_a_record(bench, monkeypatch, capsys):
+    lines, _ = _run_main(
+        bench, monkeypatch, capsys,
+        {name: 20.0 for name in CANONICAL}, budget=70.0,
+    )
+    final = lines[-1]
+    # Probe fits, headline child gets the sub-70s remainder and
+    # succeeds; configs are all budget-skipped but present.
+    assert [c["name"] for c in final["configs"]] == CANONICAL
+    assert all(c.get("skipped") == "budget" for c in final["configs"])
