@@ -1,11 +1,11 @@
-"""Headline benchmark + the six benchmark configs.
+"""Headline benchmark + the seven benchmark configs.
 
 Headline: deskew + Richardson-Lucy(20) throughput per chip at the
 mantis production geometry (fused Pallas pipeline). Prints the headline
 JSON line::
 
     {"metric": ..., "value": ..., "unit": "GVox/s", "vs_baseline": ...,
-     "configs": [ {...}, x6 ]}
+     "configs": [ {...}, x7 ]}
 
 ``value`` = reconstructed output voxels per second through the full
 pipeline; ``vs_baseline`` is the ratio to the BASELINE.json north-star
@@ -17,7 +17,9 @@ BASELINE.md configs — (1) single-stack deskew vs scipy, (2) RL-20
 deconvolution of a deskewed production volume, (3) registration
 estimate+apply, (4) streamed HCS plate volumes/min, (5) full-session
 replay (acquire + track + reconstruct) — plus (6) RL-20 with a
-beyond-extended-rank non-separable PSF (the transform-route exposure).
+beyond-extended-rank non-separable PSF (the transform-route exposure)
+and (7) Biggs-Andrews accelerated RL-10 on the production fused backend
+(RL-20-equivalent output quality; the acceleration-knob throughput).
 
 Budget discipline (the round-2 run was killed before printing anything):
 
@@ -622,6 +624,43 @@ def _config_nonsep(variant: str | None) -> dict:
     }
 
 
+def _config_accel(variant: str | None) -> dict:
+    """Config 7: Biggs-Andrews accelerated RL on the production fused
+    backend — RL-10 with acceleration lands at plain RL-20..30 on the
+    convergence trajectory (docs/kernels.md "Biggs-Andrews
+    acceleration"; HW trajectory measurement on the FFT path, the
+    update rule is backend-independent), so this entry records the
+    RL-20-equivalent throughput a user gets by turning the
+    ``acceleration: biggs`` knob on. Same volume/PSF as config 2;
+    gvox_per_s uses the same nvox/warm-wall convention."""
+    import jax
+    import jax.numpy as jnp
+
+    from shrimpy_tpu.config import DeconvolveSettings
+    from shrimpy_tpu.ops.deconv import gaussian_psf, richardson_lucy
+
+    psf = gaussian_psf(PSF_SHAPE, (1.5, 3.0, 3.0))
+    settings = DeconvolveSettings(iterations=10, acceleration="biggs")
+    shape = tuple(int(v) for v in (variant or "128,2888,1600").split(","))
+    vol = jax.random.uniform(
+        jax.random.key(0), shape, jnp.float32, 0.0, 100.0
+    )
+    best = _time_best(lambda: _sync(richardson_lucy(vol, psf, settings)))
+    return {
+        "name": "rl10_biggs_accelerated",
+        "shape": shape,
+        "iterations": 10,
+        "acceleration": "biggs",
+        "gvox_per_s": round(int(np.prod(shape)) / best / 1e9, 4),
+        "seconds": round(best, 4),
+        "note": "RL-20-equivalent output quality (Biggs-Andrews "
+        "extrapolation reaches plain RL-20..30 on the convergence "
+        "trajectory in 10 iterations); same volume/PSF/backend as "
+        "rl20_deconvolution — compare gvox_per_s directly against it "
+        "for the acceleration speedup at matched output quality",
+    }
+
+
 _CONFIG_FNS = {
     "deskew": _config_deskew,
     "rl20": _config_rl20,
@@ -629,6 +668,7 @@ _CONFIG_FNS = {
     "plate": _config_plate,
     "replay": _config_replay,
     "nonsep": _config_nonsep,
+    "accel": _config_accel,
 }
 
 # Per-config geometry fallbacks, each attempt its own bounded child.
@@ -645,6 +685,7 @@ _CONFIG_VARIANTS: dict[str, list[str | None]] = {
     # geometry remains the bounded fallback if the big child blows
     # its budget.
     "nonsep": ["128,2888,1600", "128,1444,800"],
+    "accel": ["128,2888,1600", "128,2888,800"],
 }
 
 
@@ -806,8 +847,12 @@ def main() -> None:
     # — in particular `replay`, which runs on CPU and is immune to
     # tunnel state. Execution is cheapest/most-robust first; the
     # record's configs array keeps the canonical order.
-    run_order = ("replay", "register", "rl20", "plate", "deskew", "nonsep")
-    record_order = ("deskew", "rl20", "register", "plate", "replay", "nonsep")
+    run_order = (
+        "replay", "register", "rl20", "accel", "plate", "deskew", "nonsep"
+    )
+    record_order = (
+        "deskew", "rl20", "accel", "register", "plate", "replay", "nonsep"
+    )
     results: dict[str, dict] = {}
     for idx, name in enumerate(run_order):
         if remaining() < 60.0:

@@ -92,7 +92,9 @@ def _run_main(bench, monkeypatch, capsys, config_cost, budget=900.0):
     return lines, clock.now - t0
 
 
-CANONICAL = ["deskew", "rl20", "register", "plate", "replay", "nonsep"]
+CANONICAL = [
+    "deskew", "rl20", "accel", "register", "plate", "replay", "nonsep"
+]
 
 
 def test_healthy_run_populates_all_configs(bench, monkeypatch, capsys):
