@@ -640,12 +640,27 @@ def _config_accel(variant: str | None) -> dict:
     from shrimpy_tpu.ops.deconv import gaussian_psf, richardson_lucy
 
     psf = gaussian_psf(PSF_SHAPE, (1.5, 3.0, 3.0))
-    settings = DeconvolveSettings(iterations=10, acceleration="biggs")
-    shape = tuple(int(v) for v in (variant or "128,2888,1600").split(","))
-    vol = jax.random.uniform(
-        jax.random.key(0), shape, jnp.float32, 0.0, 100.0
+    # donate_input hands the volume's buffer to the program (it is
+    # dead once the padded carries are built) — together with the bf16
+    # acceleration state and rl_outer's no-post-step-consumer rule for
+    # the extrapolated point (see its body comment) this is what fits
+    # biggs at the production carry on a 16 GB chip. The volume
+    # is generated fresh on-device each timed call (a held source
+    # array would pin 2.2 GB of HBM across the donated run — measured
+    # to tip the production carry back over); a real pipeline donates
+    # the deskew output the same way. Generation is ~ms on device,
+    # honest to include in the timing.
+    settings = DeconvolveSettings(
+        iterations=10, acceleration="biggs", donate_input=True
     )
-    best = _time_best(lambda: _sync(richardson_lucy(vol, psf, settings)))
+    shape = tuple(int(v) for v in (variant or "128,2888,1600").split(","))
+    gen = jax.jit(
+        lambda k: jax.random.uniform(k, shape, jnp.float32, 0.0, 100.0)
+    )
+    key = jax.random.key(0)
+    best = _time_best(
+        lambda: _sync(richardson_lucy(gen(key), psf, settings))
+    )
     return {
         "name": "rl10_biggs_accelerated",
         "shape": shape,
@@ -657,7 +672,13 @@ def _config_accel(variant: str | None) -> dict:
         "extrapolation reaches plain RL-20..30 on the convergence "
         "trajectory in 10 iterations); same volume/PSF/backend as "
         "rl20_deconvolution — compare gvox_per_s directly against it "
-        "for the acceleration speedup at matched output quality",
+        "at matched output quality. On the fused separable backend "
+        "the XLA-side extrapolation epilogue is HBM-bound (~2x the "
+        "35 ms/iter kernel floor), so acceleration currently nets "
+        "~1.0x here — the measured 1.84x win is on the FFT/DFT "
+        "backends whose iteration dwarfs the epilogue "
+        "(docs/kernels.md); fusing the extrapolation into the Pallas "
+        "passes is the named lever",
     }
 
 

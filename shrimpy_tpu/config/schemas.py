@@ -248,13 +248,28 @@ class DeconvolveSettings(BaseModel):
     # along its last step with a gradient-correlation step length —
     # the same point on the convergence trajectory in roughly half the
     # iterations (measured: accel-10 lands between plain-20 and
-    # plain-30; +8.4%/iter overhead on v5e). Every single-chip backend
-    # honors it — FFT/DFT family and all separable kernels — via the
-    # shared outer loop (ops/rl_outer.py); drop `iterations`
-    # accordingly (e.g. 20 -> 10). Costs two extra estimate-sized HBM
-    # carries. The distributed shard_volumes path runs plain RL only
-    # and raises if asked to accelerate.
+    # plain-30). Every single-chip backend honors it — FFT/DFT family
+    # and all separable kernels — via the shared outer loop
+    # (ops/rl_outer.py); drop `iterations` accordingly (e.g. 20 ->
+    # 10). Worth it where the iteration is transform-bound: +8.4%/iter
+    # on the DFT/FFT backends = 1.84x wall at matched quality
+    # (measured, v5e). On the fused separable backend the epilogue is
+    # HBM-bound against a 35 ms/iter kernel, netting ~1.0x today —
+    # see docs/kernels.md before enabling it there. Costs one extra
+    # estimate-sized HBM carry (the step/gradient state is held in
+    # bf16 — see ops/rl_outer.py for the numerics bound). The
+    # distributed shard_volumes path runs plain RL only and raises if
+    # asked to accelerate.
     acceleration: Literal["none", "biggs"] = "none"
+    # Donate the input volume's device buffer to the deconvolution
+    # program (jax buffer donation): the INPUT IS CONSUMED — the
+    # caller's array is invalid after the call. The raw volume's
+    # buffer is dead after the padded data/est carries are built, so
+    # donating it frees one volume of HBM for the iteration arena;
+    # this is what lets the Biggs-accelerated production deskewed
+    # carry (128, 2888, 1600) fit single-chip (16 GB v5e). Off by
+    # default because consuming the input is a real API side effect.
+    donate_input: bool = False
     fft_z_chunk: int = 8
 
     @model_validator(mode="after")

@@ -702,6 +702,7 @@ def rl_fused(image, psf_np, terms, settings, iterations):
         tuple(image.shape), psf_np.tobytes(), terms_key, iterations,
         low_iters, settings.epsilon, settings.pad_mode, swap, "fused",
         getattr(settings, "acceleration", "none"),
+        bool(getattr(settings, "donate_input", False)),
         # Layout dims key the cache too: SHRIMPY_RL_BX/BZ are re-read
         # per call inside fused_layout, so an in-process bake-off that
         # changes them must not get the previous layout's compiled
@@ -746,7 +747,6 @@ def rl_fused(image, psf_np, terms, settings, iterations):
         stg_c = 1 if stagger else 0   # conv/ratio pass direction
         stg_f = -1 if stagger else 0  # adjoint/mult pass direction
 
-        @jax.jit
         def run(img):
             gy_conv = jnp.asarray(gy_conv_np)
             gy_flip = jnp.asarray(gy_flip_np)
@@ -804,6 +804,17 @@ def rl_fused(image, psf_np, terms, settings, iterations):
             )
             out = g_out[crop]
             return jnp.transpose(out, (0, 2, 1)) if swap else out
+
+        # donate_input: the raw img buffer is dead once the padded
+        # data/est carries exist, so donating it hands one whole
+        # volume back to the iteration arena (and lets the output
+        # alias it) — the difference between the Biggs-accelerated
+        # production carry fitting single-chip HBM or OOMing by ~0.7
+        # GB. The caller's array is consumed (schema docs).
+        if getattr(settings, "donate_input", False):
+            run = jax.jit(run, donate_argnums=0)
+        else:
+            run = jax.jit(run)
 
         _RL_FUSED_CACHE[key] = run
     return _RL_FUSED_CACHE[key](image)

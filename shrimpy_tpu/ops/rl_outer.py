@@ -24,11 +24,38 @@ Properties the backends rely on:
   the fused layouts, eps floors decaying multiplicatively) is
   preserved; zeros are absorbing under the multiplicative update, the
   same contract the permanently-padded carries already use.
-* Cost: two extra estimate-sized carries (x_prev, g_prev) and two
-  reductions per iteration — measured +8.4%/iter on the dft2z backend
-  at (128, 1444, 800) on v5e, for ~2x fewer iterations to the same
-  point on the convergence trajectory (accel-10 lands between plain-20
-  and plain-30; docs/kernels.md).
+* HBM cost: two extra HALF-PRECISION correction carries (the step
+  ``dx_k = x_k - x_{k-1}`` and the gradient ``g_{k-1}``, both bf16)
+  plus two scalars, i.e. +1.0 estimate-volume over plain RL — and,
+  just as load-bearing, the extrapolated point ``y_k`` has NO
+  consumer after the step (the body comment), so backends whose
+  update pass aliases est in place (the fused Pallas kernel) never
+  pay a protective copy of ``y``. Both were required on hardware:
+  f32 state OOMed the production deskewed carry (128, 2888, 1600) by
+  2 GB on v5e (16 GB HBM), and so did bf16 state with a post-step
+  read of ``y``; the shipped form compiles and runs there (measured).
+  Numerics: dx and g are small corrections to the estimate, so bf16
+  (0.4 % relative) perturbs the extrapolated point by ~4e-4 of the
+  estimate worst-case and the step length ``alpha`` by ~1 %; both are
+  inside the acceleration's trajectory-level contract (the
+  multiplicative RL update contracts perturbations ~0.92/iter), and
+  the alpha-0 startup keeps <= 2 iteration runs bit-identical to
+  plain RL regardless of state dtype. The denominator
+  ``<g_{k-1}, g_{k-1}>`` is carried as an f32 scalar computed while
+  the gradient is fresh.
+* Time cost: +8.4 %/iter measured on the dft2z backend at
+  (128, 1444, 800) on v5e — the extrapolation's elementwise/reduce
+  epilogue is noise against a 192 ms transform-bound iteration — for
+  ~2x fewer iterations to the same point on the convergence
+  trajectory (accel-10 lands between plain-20 and plain-30;
+  docs/kernels.md). On the fused separable backend the same epilogue
+  is NOT noise: it is HBM-bound XLA elementwise + while-backedge
+  copies worth ~43 ms/iter against a 35.4 ms/iter kernel (measured
+  78.8 ms/iter accelerated at the production carry), so acceleration
+  currently nets ~1.0x there at matched output quality. Making it
+  pay on the fused path means fusing the extrapolation into the
+  Pallas passes themselves (compute y in the ratio pass's est
+  stream, emit g/dx/partial reductions from the mult pass).
 
 The reference runs plain RL only (biahub deconvolution, reference
 ``shrimpy/dynatrack/preprocessing.py:296-317``); acceleration is a
@@ -41,14 +68,17 @@ import jax
 import jax.numpy as jnp
 
 
-def run_rl_outer(phases, est0, accelerated: bool):
+def run_rl_outer(phases, est0, accelerated: bool, state_dtype=jnp.bfloat16):
     """Run the RL phases; optionally Biggs-Andrews accelerated.
 
     ``phases``: sequence of ``(step, length)`` — consecutive segments
     of the iteration that may differ in step internals (e.g. the fused
     kernel's low-precision leading phase); the accelerated carry
-    (x_prev, g_prev, alpha) persists ACROSS phase boundaries, exactly
-    as plain RL's estimate does. Zero-length phases are skipped.
+    (dx, g_prev, den_prev, alpha) persists ACROSS phase boundaries,
+    exactly as plain RL's estimate does. Zero-length phases are
+    skipped. ``state_dtype`` holds the two correction carries (see the
+    module docstring's memory/numerics note; bf16 is what lets the
+    production deskewed carry fit accelerated on a 16 GB chip).
     """
     if not accelerated:
         est = est0
@@ -59,18 +89,50 @@ def run_rl_outer(phases, est0, accelerated: bool):
 
     def make_body(step):
         def body(carry, _):
-            x, x_prev, g_prev, alpha = carry
-            y = jnp.maximum(x + alpha * (x - x_prev), 0.0)
+            x, dx, g_prev, den_prev, alpha = carry
+            f32 = x.dtype
+            y = jnp.maximum(x + alpha * dx.astype(f32), 0.0)
             x_new, _ = step(y, None)
-            g = x_new - y
-            num = jnp.sum(g * g_prev)
-            den = jnp.sum(g_prev * g_prev)
-            alpha_next = jnp.clip(num / (den + 1e-30), 0.0, 0.999)
-            return (x_new, x, g, alpha_next), None
+            # MEMORY CONTRACT (measured on the production deskewed
+            # carry, v5e 16 GB): the extrapolated point y must have NO
+            # consumer after the step. The fused backend's mult pass
+            # updates est in place (input_output_aliases — rl_fused.py
+            # caps plain RL at 3 carry buffers), so any post-step read
+            # of y forces XLA's copy-insertion to materialize a 4th
+            # 2.6 GB protective copy of y — which OOMed the
+            # accelerated production carry by 2 GB. The gradient
+            # g = x_new - y is therefore rebuilt from values that are
+            # still live (x and dx are loop state) via the exact
+            # identity y - x = max(alpha*dx, -x)  (the relu clamp only
+            # rewrites the step where x + alpha*dx < 0), i.e.
+            #   g = (x_new - x) - max(alpha*dx, -x)
+            # — pure elementwise fusion over state, no volume temp,
+            # exact up to one f32 rounding of (x + alpha*dx). g exists
+            # only in its bf16 carry form; the alpha reductions upcast
+            # in-fusion. The two expressions for the applied step are
+            # structurally different on purpose: CSE must NOT unify
+            # them back into a shared y value, which would recreate
+            # the post-step consumer and the 2.6 GB copy.
+            gb = (
+                (x_new - x)
+                - jnp.maximum(alpha * dx.astype(f32), -x)
+            ).astype(g_prev.dtype)
+            num = jnp.sum(gb.astype(f32) * g_prev.astype(f32))
+            den = jnp.sum(jnp.square(gb.astype(f32)))
+            alpha_next = jnp.clip(num / (den_prev + 1e-30), 0.0, 0.999)
+            carry_next = (
+                x_new,
+                (x_new - x).astype(dx.dtype),
+                gb,
+                den,
+                alpha_next,
+            )
+            return carry_next, None
 
         return body
 
-    carry = (est0, est0, jnp.zeros_like(est0), jnp.float32(0.0))
+    zeros = jnp.zeros(est0.shape, state_dtype)
+    carry = (est0, zeros, zeros, jnp.float32(0.0), jnp.float32(0.0))
     for step, length in phases:
         if length:
             carry, _ = jax.lax.scan(

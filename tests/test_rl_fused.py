@@ -215,3 +215,29 @@ def test_rl_fused_biggs_startup_matches_plain(rng):
                            acceleration="biggs"),
     ))
     np.testing.assert_allclose(accel, plain, rtol=1e-6, atol=1e-5)
+
+
+def test_rl_fused_donate_input_matches_and_consumes(rng):
+    """``donate_input=True`` hands the raw volume's buffer to the
+    program (it is dead once the padded carries are built — the HBM
+    headroom that fits the Biggs production carry single-chip). The
+    result must be identical to the non-donating run, and the caller's
+    device array is consumed."""
+    import jax.numpy as jnp
+
+    psf = gaussian_psf(PSF_SHAPE, (1.0, 1.6, 1.6))
+    vol = (rng.random(SHAPE, dtype=np.float32) * 50 + 1.0).astype(np.float32)
+    base = np.asarray(richardson_lucy(
+        vol, psf,
+        DeconvolveSettings(algorithm="separable",
+                           separable_backend="fused", iterations=3),
+    ))
+    device_vol = jnp.asarray(vol)
+    donated = np.asarray(richardson_lucy(
+        device_vol, psf,
+        DeconvolveSettings(algorithm="separable",
+                           separable_backend="fused", iterations=3,
+                           donate_input=True),
+    ))
+    np.testing.assert_allclose(donated, base, rtol=1e-6, atol=1e-5)
+    assert device_vol.is_deleted()
