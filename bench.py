@@ -85,10 +85,12 @@ FLOOR_NOTE = (
     "fused-RL floor ~35 ms/iter after the staggered K=256 x pass "
     "(VPU/DMA-bound: 2-pass x dots gain only 1.4%); see docs/kernels.md "
     "round-3 bake-off. Beyond the per-iteration floor the named lever "
-    "is Biggs-Andrews acceleration (acceleration='biggs', r4): the "
-    "same trajectory point in ~half the iterations — the headline "
-    "metric stays plain RL-20 for comparability, but users get "
-    "RL-20-equivalent restoration at ~2x this throughput"
+    "is Biggs-Andrews acceleration (acceleration='biggs', r4, fused "
+    "into the kernel passes: 53.3 ms/iter accelerated): the same "
+    "trajectory point in ~half the iterations — the headline metric "
+    "stays plain RL-20 for comparability, but users get "
+    "RL-20-equivalent restoration at ~1.33x this throughput (see the "
+    "rl10_biggs_accelerated config)"
 )
 
 
@@ -672,13 +674,13 @@ def _config_accel(variant: str | None) -> dict:
         "extrapolation reaches plain RL-20..30 on the convergence "
         "trajectory in 10 iterations); same volume/PSF/backend as "
         "rl20_deconvolution — compare gvox_per_s directly against it "
-        "at matched output quality. On the fused separable backend "
-        "the XLA-side extrapolation epilogue is HBM-bound (~2x the "
-        "35 ms/iter kernel floor), so acceleration currently nets "
-        "~1.0x here — the measured 1.84x win is on the FFT/DFT "
-        "backends whose iteration dwarfs the epilogue "
-        "(docs/kernels.md); fusing the extrapolation into the Pallas "
-        "passes is the named lever",
+        "at matched output quality. The extrapolation is fused INTO "
+        "the kernel passes on this backend (y built in the ratio "
+        "pass's DMA ring, state + alpha partials emitted by the mult "
+        "pass's epilogue): 53.3 ms/iter vs 78.8 with the generic XLA "
+        "epilogue, i.e. ~1.33x wall-clock over plain RL-20 at matched "
+        "quality on the fused path, 1.84x on the transform-bound "
+        "FFT/DFT backends (docs/kernels.md)",
     }
 
 

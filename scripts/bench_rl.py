@@ -15,6 +15,8 @@ Cases
                   overhead on the production kernel)
   parity_fused    fused RL-20 vs the fp64 oracle on the REAL MXU
   parity_fused_iter  fused_iter RL-20 vs the fp64 oracle on the REAL MXU
+  parity_biggs    in-kernel Biggs RL-10 vs the generic rl_outer
+                  epilogue, both on the REAL MXU
   convzy          one fused z+y kernel call (per-call cost)
   einsum_x        one dense-x Toeplitz einsum (legacy x pass)
   einsum_x_banded one block-banded-128 x application
@@ -220,6 +222,39 @@ def main() -> None:
         )
         err = np.abs(ours - oracle).max() / np.abs(oracle).max()
         out |= {"rel_err_rl20": float(err)}
+    elif case == "parity_biggs":
+        # In-kernel Biggs (ratio_accel/mult_accel, the default) vs the
+        # generic rl_outer epilogue, both on the REAL MXU: validates
+        # the accelerated kernel's bf16x3 numerics + bf16 state
+        # handling on hardware (interpret-mode tests run f32 dots).
+        import shrimpy_tpu.ops.rl_fused as rf
+
+        rng = np.random.default_rng(0)
+        shape = (24, 400, 900)
+        vol_np = (rng.random(shape, dtype=np.float32) * 100 + 1.0).astype(
+            np.float32
+        )
+        settings = DeconvolveSettings(
+            iterations=10, algorithm="separable",
+            separable_backend="fused", acceleration="biggs",
+        )
+        assert rf._FUSE_ACCEL
+        fused = np.asarray(richardson_lucy(jnp.asarray(vol_np), psf, settings))
+        rf._FUSE_ACCEL = False
+        try:
+            generic = np.asarray(
+                richardson_lucy(jnp.asarray(vol_np), psf, settings)
+            )
+        finally:
+            rf._FUSE_ACCEL = True
+        scale = np.abs(generic).max()
+        diff = np.abs(fused - generic)
+        out |= {
+            "rel_err_max": float(diff.max() / scale),
+            "rel_err_p999": float(
+                np.quantile(diff, 0.999) / scale
+            ),
+        }
     else:
         raise SystemExit(f"unknown case {case}")
 

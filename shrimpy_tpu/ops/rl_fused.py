@@ -75,6 +75,17 @@ _STAGGER = os.environ.get("SHRIMPY_RL_STAGGER", "1") != "0"
 # X dots alone (0 = follow `passes`). Bake-off knob only — read once
 # at import so in-process jit caches stay consistent.
 _X_PASSES = int(os.environ.get("SHRIMPY_RL_X_PASSES", "0"))
+# Biggs-Andrews acceleration fused INTO the kernel passes ("1",
+# default): the extrapolated point y = max(x + alpha*dx, 0) is built
+# in the ratio pass's DMA ring and the mult pass's epilogue emits
+# x_new/dx/g and the step-length reduction partials, so an accelerated
+# iteration is still exactly two kernel launches and zero XLA
+# elementwise passes. "0" falls back to the generic XLA-epilogue outer
+# loop (ops/rl_outer.py) — the bake-off/regression knob; the measured
+# cost of the generic epilogue on this backend is ~43 ms/iter of
+# HBM-bound elementwise + backedge copies against a 35.4 ms/iter
+# kernel (docs/kernels.md).
+_FUSE_ACCEL = os.environ.get("SHRIMPY_RL_FUSE_ACCEL", "1") != "0"
 
 
 from shrimpy_tpu.utils.shapes import round_up as _round_up  # noqa: E501 — shared alignment helper
@@ -304,11 +315,11 @@ def _rl_fused_pass(
     gy_all,
     gx_all,
     gx_cat,
-    *,
+    *extra,
     kz_key: tuple,   # per-term z taps (already convolution-ordered)
     radii: tuple,    # (rz, ry, rx)
     dims: tuple,
-    mode: str,       # "ratio" | "mult" | "plain"
+    mode: str,       # "ratio" | "mult" | "plain" | "*_accel"
     eps: float,
     interpret: bool,
     passes: int | None = None,
@@ -319,6 +330,25 @@ def _rl_fused_pass(
     mode="ratio": out = aux / max(conv(carry), eps)   (aux = data)
     mode="mult":  out = aux * conv(carry)             (aux = est)
     mode="plain": out = conv(carry)                   (aux ignored)
+
+    Biggs-Andrews accelerated variants (the extrapolated point
+    ``y = max(x + alpha*dx, 0)`` never exists in HBM — docs/kernels.md):
+
+    mode="ratio_accel": ``carry`` is the estimate x, ``extra`` is
+    ``(dx_bf16, alpha_1x1)``; each DMA'd chunk is combined ONCE in the
+    VMEM ring (``ring = max(ring + alpha*ring_dx, 0)``) right after its
+    arrival wait, so the convolution reads y —
+    out = aux / max(conv(y), eps).
+
+    mode="mult_accel": ``carry`` is the ratio, ``aux`` is x, ``extra``
+    is ``(dx_bf16, g_prev_bf16, alpha_1x1)``; the epilogue recomputes
+    y per tile, writes ``x_new = y * conv(ratio)`` (aliased onto x),
+    the new step ``dx = x_new - x`` (bf16, aliased onto dx), the new
+    gradient ``g = x_new - y`` (bf16, aliased onto g_prev), and
+    accumulates the step-length partials ``sum(g*g_prev)`` /
+    ``sum(g*g)`` per lane into a resident (8, 128) f32 output — the
+    only XLA work left per accelerated iteration is a 256-element
+    reduction and the alpha scalar update.
 
     ``stagger=+1``: input carry holds est at x offset +rx, output at
     offset 0 (one-sided right window); ``stagger=-1``: the adjoint
@@ -337,16 +367,24 @@ def _rl_fused_pass(
     total = nyb * nxb * nzb
     jblocks = bx // 128
 
-    def kernel(
-        in_ref, aux_ref, gy_ref, gx_ref, gxc_ref, out_ref, ring, yz_scr, sems
-    ):
+    def kernel(*refs):
+        if mode == "ratio_accel":
+            (in_ref, aux_ref, gy_ref, gx_ref, gxc_ref, dxin_ref,
+             alpha_ref, out_ref, ring, yz_scr, sems, ring_dx,
+             sems_dx) = refs
+        elif mode == "mult_accel":
+            (in_ref, aux_ref, gy_ref, gx_ref, gxc_ref, dx_ref, gp_ref,
+             alpha_ref, out_ref, dxo_ref, go_ref, part_ref, ring,
+             yz_scr, sems) = refs
+        else:
+            (in_ref, aux_ref, gy_ref, gx_ref, gxc_ref, out_ref, ring,
+             yz_scr, sems) = refs
         yi = pl.program_id(0)
         xi = pl.program_id(1)
         k = pl.program_id(2)
         s = (yi * nxb + xi) * nzb + k
 
-        def chunk_dma(j):
-            """DMA for global chunk-sequence index j into ring slot j%4."""
+        def chunk_coords(j):
             col = j // nzb
             y2 = col // nxb
             x2 = jax.lax.rem(col, nxb)
@@ -361,6 +399,11 @@ def _rl_fused_pass(
             x0 = pl.multiple_of(
                 jnp.clip(x2 * bx - x_lead, 0, xa - sx), 128
             )
+            return k2, y0, x0
+
+        def chunk_dma(j):
+            """DMA for global chunk-sequence index j into ring slot j%4."""
+            k2, y0, x0 = chunk_coords(j)
             return pltpu.make_async_copy(
                 in_ref.at[
                     pl.ds(k2 * bz, bz), pl.ds(y0, sy), pl.ds(x0, sx)
@@ -369,20 +412,60 @@ def _rl_fused_pass(
                 sems.at[jax.lax.rem(j, 4)],
             )
 
+        if mode == "ratio_accel":
+            def chunk_dma_dx(j):
+                k2, y0, x0 = chunk_coords(j)
+                return pltpu.make_async_copy(
+                    dxin_ref.at[
+                        pl.ds(k2 * bz, bz), pl.ds(y0, sy), pl.ds(x0, sx)
+                    ],
+                    ring_dx.at[jax.lax.rem(j, 4)],
+                    sems_dx.at[jax.lax.rem(j, 4)],
+                )
+
+            def start_chunk(j):
+                chunk_dma(j).start()
+                chunk_dma_dx(j).start()
+
+            def arrive_chunk(j):
+                """Wait both chunk DMAs, then build the extrapolated
+                point IN the ring: y = max(x + alpha*dx, 0). Runs
+                exactly once per chunk (chunk 0 at s==0, chunk j>=1 at
+                s==j-1), always before any tap reads the slot. At
+                alpha == 0 this is max(x, 0) == x bitwise (the
+                estimate and its pads are nonnegative), which keeps
+                the <=2-iteration startup identical to plain RL."""
+                chunk_dma(j).wait()
+                chunk_dma_dx(j).wait()
+                slot = jax.lax.rem(j, 4)
+                alpha = alpha_ref[0, 0]
+                ring[slot] = jnp.maximum(
+                    ring[slot] + alpha * ring_dx[slot].astype(jnp.float32),
+                    0.0,
+                )
+        else:
+            def start_chunk(j):
+                chunk_dma(j).start()
+
+            def arrive_chunk(j):
+                chunk_dma(j).wait()
+
         @pl.when(s == 0)
         def _():
-            chunk_dma(0).start()
+            start_chunk(0)
             if total > 1:
-                chunk_dma(1).start()
-            chunk_dma(0).wait()
+                start_chunk(1)
+            arrive_chunk(0)
+            if mode == "mult_accel":
+                part_ref[...] = jnp.zeros((8, 128), jnp.float32)
 
         @pl.when(s + 2 < total)
         def _():
-            chunk_dma(s + 2).start()
+            start_chunk(s + 2)
 
         @pl.when(s + 1 < total)
         def _():
-            chunk_dma(s + 1).wait()
+            arrive_chunk(s + 1)
 
         dims_dot = (((1,), (0,)), ((), ()))
         dot = partial(
@@ -557,12 +640,38 @@ def _rl_fused_pass(
                     ] + ([prods[-1]] if len(prods) % 2 else [])
                 acc = prods[0]
                 sl = slice(j * 128, (j + 1) * 128)
-                if mode == "ratio":
+                if mode in ("ratio", "ratio_accel"):
                     out_ref[z, :, sl] = aux_ref[z, :, sl] / jnp.maximum(
                         acc, eps
                     )
                 elif mode == "mult":
                     out_ref[z, :, sl] = aux_ref[z, :, sl] * acc
+                elif mode == "mult_accel":
+                    # Biggs epilogue: rebuild the extrapolated point y
+                    # from the x/dx tiles (bitwise the ratio pass's y:
+                    # same inputs, same one-rounding expression), apply
+                    # the RL update, and emit the next acceleration
+                    # state in place. In the rounding pads x = dx = 0
+                    # so every output and both partial terms are 0 —
+                    # the carry's zero invariant and the reductions
+                    # are pad-clean.
+                    alpha = alpha_ref[0, 0]
+                    x_t = aux_ref[z, :, sl]
+                    dxf = dx_ref[z, :, sl].astype(jnp.float32)
+                    y_t = jnp.maximum(x_t + alpha * dxf, 0.0)
+                    x_new = y_t * acc
+                    out_ref[z, :, sl] = x_new
+                    dxo_ref[z, :, sl] = (x_new - x_t).astype(jnp.bfloat16)
+                    gb = (x_new - y_t).astype(jnp.bfloat16)
+                    gbf = gb.astype(jnp.float32)
+                    gpf = gp_ref[z, :, sl].astype(jnp.float32)
+                    go_ref[z, :, sl] = gb
+                    part_ref[0:1, :] += jnp.sum(
+                        gbf * gpf, axis=0, keepdims=True
+                    )
+                    part_ref[1:2, :] += jnp.sum(
+                        gbf * gbf, axis=0, keepdims=True
+                    )
                 else:
                     out_ref[z, :, sl] = acc
 
@@ -571,37 +680,68 @@ def _rl_fused_pass(
     # writes never touch the same memory in the wrong order. This caps
     # peak HBM at 3 carry-sized buffers per RL iteration (data + est +
     # ratio) — the production carry is 3.3 GB, and a 4th copy OOMs.
+    # mult_accel extends the same pattern to the acceleration state:
+    # dx and g_prev tiles alias their successors, so accelerated peak
+    # HBM is 4 carry volumes (data + x + ratio + dx/2 + g/2).
+    tile_spec = lambda: pl.BlockSpec(  # noqa: E731
+        (bz, by, bx), lambda y, x, z: (z, y, x), memory_space=pltpu.VMEM
+    )
+    full_vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        tile_spec(),
+        full_vmem(),
+        full_vmem(),
+        full_vmem(),
+    ]
+    out_specs = tile_spec()
+    out_shape = jax.ShapeDtypeStruct((zp, yp, xa), jnp.float32)
+    scratch = [
+        pltpu.VMEM((4, bz, sy, sx), jnp.float32),
+        pltpu.VMEM(
+            (n_terms, 2, by, sx),
+            jnp.float32 if interpret else jnp.bfloat16,
+        ),
+        pltpu.SemaphoreType.DMA((4,)),
+    ]
     aliases = {1: 0} if mode == "mult" else {}
+    if mode == "ratio_accel":
+        # + dx carry (ANY, ring-DMA'd like the estimate) + alpha (SMEM)
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        scratch += [
+            pltpu.VMEM((4, bz, sy, sx), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
+    elif mode == "mult_accel":
+        # + dx, g_prev tiles + alpha; outputs (x_new, dx_new, g,
+        # partials). The (8, 128) partials output has no blocking so
+        # it stays VMEM-resident across the whole sequential grid —
+        # the accumulation pattern.
+        in_specs += [tile_spec(), tile_spec(), pl.BlockSpec(memory_space=pltpu.SMEM)]
+        out_specs = (tile_spec(), tile_spec(), tile_spec(), full_vmem())
+        out_shape = (
+            jax.ShapeDtypeStruct((zp, yp, xa), jnp.float32),
+            jax.ShapeDtypeStruct((zp, yp, xa), jnp.bfloat16),
+            jax.ShapeDtypeStruct((zp, yp, xa), jnp.bfloat16),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        )
+        aliases = {1: 0, 5: 1, 6: 2}
     return pl.pallas_call(
         kernel,
         grid=(nyb, nxb, nzb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (bz, by, bx), lambda y, x, z: (z, y, x), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (bz, by, bx), lambda y, x, z: (z, y, x), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((zp, yp, xa), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((4, bz, sy, sx), jnp.float32),
-            pltpu.VMEM(
-                (n_terms, 2, by, sx),
-                jnp.float32 if interpret else jnp.bfloat16,
-            ),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20,
         ),
         input_output_aliases=aliases,
         interpret=interpret,
-    )(carry, aux, gy_all, gx_all, gx_cat)
+    )(carry, aux, gy_all, gx_all, gx_cat, *extra)
 
 
 def conv3_fused(carry, aux, terms, layout, *, flip=False, mode="plain",
@@ -702,6 +842,10 @@ def rl_fused(image, psf_np, terms, settings, iterations):
         tuple(image.shape), psf_np.tobytes(), terms_key, iterations,
         low_iters, settings.epsilon, settings.pad_mode, swap, "fused",
         getattr(settings, "acceleration", "none"),
+        # _FUSE_ACCEL picks the accelerated loop's implementation
+        # (in-kernel vs generic rl_outer); bake-off monkeypatches flip
+        # it in-process, so it must key the compiled closure.
+        _FUSE_ACCEL,
         bool(getattr(settings, "donate_input", False)),
         # Layout dims key the cache too: SHRIMPY_RL_BX/BZ are re-read
         # per call inside fused_layout, so an in-process bake-off that
@@ -785,19 +929,74 @@ def rl_fused(image, psf_np, terms, settings, iterations):
             # iteration whose late iterations govern the result).
             # _PASSES (SHRIMPY_RL_DOT_PASSES) sets the standard
             # iterations' dot precision — 3 (HIGH) in production, 2
-            # only for bake-offs. The shared outer loop carries the
-            # Biggs-Andrews acceleration state across the phase
-            # boundary when settings.acceleration enables it.
-            from shrimpy_tpu.ops.rl_outer import run_rl_outer
-
-            est = run_rl_outer(
-                [
-                    (make_step(2), low_iters),
-                    (make_step(_PASSES), iterations - low_iters),
-                ],
-                est0,
-                accel,
+            # only for bake-offs. Acceleration state (Biggs-Andrews)
+            # persists across the phase boundary either way.
+            phases = (
+                (2, low_iters),
+                (_PASSES, iterations - low_iters),
             )
+            if accel and _FUSE_ACCEL:
+                # In-kernel Biggs: the extrapolation rides the two
+                # kernel launches (ratio_accel builds y in the DMA
+                # ring; mult_accel's epilogue emits x/dx/g and the
+                # alpha partials), so an accelerated iteration costs
+                # two launches + a 256-element XLA reduction — no
+                # HBM-bound elementwise epilogue (the generic
+                # rl_outer path measured ~43 ms/iter of epilogue
+                # against the 35.4 ms/iter kernel; docs/kernels.md).
+                def make_body(passes):
+                    def body(carry, _):
+                        x, dx, gp, den_prev, alpha = carry
+                        a2 = alpha.reshape(1, 1)
+                        ratio = _rl_fused_pass(
+                            x, data, gy_conv, gx_conv, gxcat_conv,
+                            dx, a2,
+                            kz_key=kzc, radii=radii, dims=dims,
+                            mode="ratio_accel", eps=eps,
+                            interpret=interpret, passes=passes,
+                            stagger=stg_c,
+                        )
+                        x_new, dx_new, g_new, parts = _rl_fused_pass(
+                            ratio, x, gy_flip, gx_flip, gxcat_flip,
+                            dx, gp, a2,
+                            kz_key=kzf, radii=radii, dims=dims,
+                            mode="mult_accel", eps=eps,
+                            interpret=interpret, passes=passes,
+                            stagger=stg_f,
+                        )
+                        num = jnp.sum(parts[0])
+                        den = jnp.sum(parts[1])
+                        alpha_next = jnp.clip(
+                            num / (den_prev + 1e-30), 0.0, 0.999
+                        )
+                        return (
+                            x_new, dx_new, g_new, den, alpha_next
+                        ), None
+
+                    return body
+
+                zeros16 = jnp.zeros(est0.shape, jnp.bfloat16)
+                carry = (
+                    est0, zeros16, zeros16,
+                    jnp.float32(0.0), jnp.float32(0.0),
+                )
+                for passes_n, length in phases:
+                    if length:
+                        carry, _ = jax.lax.scan(
+                            make_body(passes_n), carry, None, length
+                        )
+                est = carry[0]
+            else:
+                from shrimpy_tpu.ops.rl_outer import run_rl_outer
+
+                est = run_rl_outer(
+                    [
+                        (make_step(2), low_iters),
+                        (make_step(_PASSES), iterations - low_iters),
+                    ],
+                    est0,
+                    accel,
+                )
             g_out = est[interior_est]
             crop = tuple(
                 slice(lo, lo + n) for (lo, _), n in zip(pads, img.shape)

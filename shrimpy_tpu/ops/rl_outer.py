@@ -51,11 +51,13 @@ Properties the backends rely on:
   docs/kernels.md). On the fused separable backend the same epilogue
   is NOT noise: it is HBM-bound XLA elementwise + while-backedge
   copies worth ~43 ms/iter against a 35.4 ms/iter kernel (measured
-  78.8 ms/iter accelerated at the production carry), so acceleration
-  currently nets ~1.0x there at matched output quality. Making it
-  pay on the fused path means fusing the extrapolation into the
-  Pallas passes themselves (compute y in the ratio pass's est
-  stream, emit g/dx/partial reductions from the mult pass).
+  78.8 ms/iter accelerated at the production carry). That backend
+  therefore fuses the extrapolation into its Pallas passes instead
+  (rl_fused.py modes ratio_accel/mult_accel — 53.3 ms/iter measured,
+  1.33x over plain RL-20 at matched quality) and uses this generic
+  loop only as the SHRIMPY_RL_FUSE_ACCEL=0 fallback/bake-off path;
+  the FFT/DFT backends, whose iteration dwarfs the epilogue, ride
+  this loop in production.
 
 The reference runs plain RL only (biahub deconvolution, reference
 ``shrimpy/dynatrack/preprocessing.py:296-317``); acceleration is a

@@ -217,6 +217,34 @@ def test_rl_fused_biggs_startup_matches_plain(rng):
     np.testing.assert_allclose(accel, plain, rtol=1e-6, atol=1e-5)
 
 
+def test_rl_fused_biggs_inkernel_matches_generic(rng, monkeypatch):
+    """The in-kernel Biggs implementation (ratio_accel builds y in the
+    DMA ring; mult_accel emits x/dx/g and the alpha partials) must
+    track the generic rl_outer XLA-epilogue implementation. The two
+    compute the gradient with structurally different (exact-arithmetic
+    identical) expressions and reduce the step-length sums in a
+    different order, so agreement is to rounding, not bitwise."""
+    import shrimpy_tpu.ops.rl_fused as rf
+
+    psf = gaussian_psf(PSF_SHAPE, (1.0, 1.6, 1.6))
+    vol = (rng.random(SHAPE, dtype=np.float32) * 50 + 1.0).astype(np.float32)
+    settings = DeconvolveSettings(
+        algorithm="separable", separable_backend="fused", iterations=6,
+        acceleration="biggs",
+    )
+    assert rf._FUSE_ACCEL, "in-kernel Biggs must be the default"
+    fused = np.asarray(richardson_lucy(vol, psf, settings))
+    monkeypatch.setattr(rf, "_FUSE_ACCEL", False)
+    generic = np.asarray(richardson_lucy(vol, psf, settings))
+    scale = float(np.abs(generic).max())
+    diff = np.abs(fused - generic)
+    # Two-tier: the bulk must agree to f32-rounding-trajectory level;
+    # isolated voxels may differ more where a 1-ulp y difference flips
+    # the ratio's eps clamp (both sides are legitimate roundings).
+    assert np.mean(diff <= 5e-4 * scale) >= 0.9999
+    assert float(diff.max()) <= 2e-2 * scale
+
+
 def test_rl_fused_donate_input_matches_and_consumes(rng):
     """``donate_input=True`` hands the raw volume's buffer to the
     program (it is dead once the padded carries are built — the HBM
