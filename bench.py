@@ -170,7 +170,18 @@ def _parity_check() -> float:
     return worst
 
 
-def _run_headline(raw_shape) -> dict:
+def _run_headline(raw_shape, accelerated: bool = False) -> dict:
+    """Deskew + RL throughput for one raw geometry.
+
+    ``accelerated=True`` runs the Biggs-accelerated RL-10 budget — the
+    RL-20-EQUIVALENT restoration (the extrapolation reaches plain
+    RL-20..30 on the convergence trajectory; equivalence is the
+    trajectory-distance contract tested in tests/test_rl_accel.py and
+    hardware-validated by scripts/bench_rl.py parity_biggs). Reported
+    alongside the plain RL-20 headline so the record carries both the
+    comparable-across-rounds number and the throughput a user actually
+    gets at matched output quality.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -184,7 +195,10 @@ def _run_headline(raw_shape) -> dict:
 
     settings = ReconstructSettings(
         deskew=DeskewSettings(ls_angle_deg=30.0, px_to_scan_ratio=0.386),
-        deconvolve=DeconvolveSettings(iterations=RL_ITERS),
+        deconvolve=DeconvolveSettings(
+            iterations=10 if accelerated else RL_ITERS,
+            acceleration="biggs" if accelerated else "none",
+        ),
     )
     psf = gaussian_psf(PSF_SHAPE, (1.5, 3.0, 3.0))
     step = build_reconstruct_step(settings, psf=psf, mesh=None, donate=False)
@@ -712,11 +726,23 @@ _CONFIG_VARIANTS: dict[str, list[str | None]] = {
 }
 
 
+# Single source of truth for the child-process flags. EVERY branch of
+# _child_main must be listed: a flag handled there but missing here
+# makes the child recursively run the FULL driver (the r3 "tunnel
+# down" record was exactly this, with --probe; --geom-accel repeated
+# it in r4 before the list was unified). tests/test_bench_record.py
+# asserts the list matches _child_main's branches.
+CHILD_FLAGS = ("--geom", "--geom-accel", "--config", "--parity", "--probe")
+
+
 def _child_main(argv: list[str]) -> None:
     _enable_cache()
     if argv[0] == "--geom":
         geom = tuple(int(v) for v in argv[1].split(","))
         print(json.dumps(_run_headline(geom)))
+    elif argv[0] == "--geom-accel":
+        geom = tuple(int(v) for v in argv[1].split(","))
+        print(json.dumps(_run_headline(geom, accelerated=True)))
     elif argv[0] == "--config":
         variant = argv[2] if len(argv) > 2 else None
         print(json.dumps(_CONFIG_FNS[argv[1]](variant)))
@@ -859,6 +885,38 @@ def main() -> None:
     # Second insurance line, now carrying parity.
     print(json.dumps({**headline, "configs": []}), flush=True)
 
+    # RL-20-EQUIVALENT headline: the same deskew+RL pipeline at the
+    # Biggs-accelerated RL-10 budget (matched output quality — the
+    # trajectory-equivalence contract; see _run_headline). The plain
+    # RL-20 number above stays the comparable-across-rounds headline
+    # `value`; this field records what a user actually gets.
+    if used is not None:
+        payload, timed_out = _run_child(
+            ["--geom-accel", ",".join(map(str, used))], child_timeout()
+        )
+        if payload is None and timed_out and remaining() > CHILD_TIMEOUT_S:
+            payload, _ = _run_child(
+                ["--geom-accel", ",".join(map(str, used))], child_timeout()
+            )
+        if payload is not None:
+            eq = payload["vox_per_s"] / 1e9
+            headline["rl20_equivalent"] = {
+                "gvox_per_s": round(eq, 4),
+                "iterations": 10,
+                "acceleration": "biggs",
+                "note": "same pipeline/geometry, Biggs-accelerated "
+                "RL-10 = RL-20-equivalent restoration (accel-10 lands "
+                "between plain-20 and plain-30 on the convergence "
+                "trajectory; tests/test_rl_accel.py, bench_rl "
+                "parity_biggs)",
+            }
+            print(
+                f"# rl20-equivalent (biggs-10): {eq:.4f} GVox/s",
+                file=sys.stderr,
+            )
+            # Third insurance line with the equivalent throughput.
+            print(json.dumps({**headline, "configs": []}), flush=True)
+
     # Config scheduling is FAIR-SHARE over the remaining budget: each
     # config's total spend (all variants + the one stall retry) is
     # capped at max(90 s, remaining/configs_left), with unused share
@@ -920,9 +978,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 2 and sys.argv[1] in (
-        "--geom", "--config", "--parity", "--probe"
-    ):
+    if len(sys.argv) >= 2 and sys.argv[1] in CHILD_FLAGS:
         _child_main(sys.argv[1:])
     else:
         main()

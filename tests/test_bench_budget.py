@@ -57,6 +57,9 @@ def _fake_run_child(clock, config_cost):
         if args[0] == "--geom":
             clock.now += 50.0
             return {"vox_per_s": 8.39e8, "out_shape": [128, 2888, 1600]}, False
+        if args[0] == "--geom-accel":
+            clock.now += 50.0
+            return {"vox_per_s": 1.1e9, "out_shape": [128, 2888, 1600]}, False
         if args[0] == "--parity":
             clock.now += 30.0
             return {"parity_err": 1.5e-07}, False
@@ -104,9 +107,24 @@ def test_healthy_run_populates_all_configs(bench, monkeypatch, capsys):
     final = lines[-1]
     assert final["value"] == pytest.approx(0.8394, abs=1e-3)
     assert final["parity_err"] == pytest.approx(1.5e-07)
+    assert final["rl20_equivalent"]["gvox_per_s"] == pytest.approx(1.1)
     assert [c["name"] for c in final["configs"]] == CANONICAL
     assert all("gvox_per_s" in c for c in final["configs"])
     assert elapsed < 900.0
+
+
+def test_child_flags_cover_every_child_main_branch(bench):
+    """EVERY argv[0] branch of _child_main must be in CHILD_FLAGS: a
+    flag handled there but missing from the __main__ dispatch makes
+    the child recursively run the FULL driver (the r3 'tunnel down'
+    null record, and again with --geom-accel in r4)."""
+    import inspect
+    import re
+
+    src = inspect.getsource(bench._child_main)
+    branches = set(re.findall(r'argv\[0\] == "(--[\w-]+)"', src))
+    assert branches, "dispatch pattern changed; update this test"
+    assert branches == set(bench.CHILD_FLAGS)
 
 
 def test_degraded_children_cannot_starve_other_configs(
