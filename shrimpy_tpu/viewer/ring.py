@@ -7,6 +7,15 @@ A per-slot sequence counter lets readers detect torn frames after the
 fact. ``read_rows`` gathers a single tilt row across all scan slots for
 the live deskew preview at a fraction of the volume's footprint
 (``ring_buffer.py:98-112``).
+
+The hot write/read path runs through the native seqlock core
+(``shrimpy_tpu/native/ring.c``) when a C compiler is available — the
+role the reference fills with Micro-Manager's C++ circular buffer.
+The native path adds the memory fences the numpy stores lack (a
+reader on another core may otherwise observe the published sequence
+before the frame bytes) and releases the GIL for the frame memcpy.
+``SHRIMPY_NATIVE_RING=0`` forces the pure-numpy fallback, which keeps
+the identical layout and torn-detection protocol minus the fences.
 """
 
 from __future__ import annotations
@@ -15,6 +24,8 @@ import logging
 from multiprocessing import shared_memory
 
 import numpy as np
+
+from shrimpy_tpu.native import load_ring
 
 logger = logging.getLogger(__name__)
 
@@ -65,6 +76,8 @@ class FrameRing:
         if create:
             self._seq[:] = -1
         self._owner = create
+        self._lib = load_ring()
+        self._frame_bytes = frame_bytes
 
     @property
     def name(self) -> str:
@@ -74,6 +87,18 @@ class FrameRing:
     def write(self, seq: int, frame: np.ndarray) -> int:
         """Write frame with global sequence ``seq``; returns the slot."""
         slot = seq % self.n_slots
+        if self._lib is not None:
+            src = np.ascontiguousarray(frame, dtype=self.dtype)
+            if src.shape == self.frame_shape:
+                self._lib.shrimpy_ring_write(
+                    self._seq.ctypes.data,
+                    self._frames.ctypes.data,
+                    self.n_slots,
+                    self._frame_bytes,
+                    int(seq),
+                    src.ctypes.data,
+                )
+                return slot
         self._seq[slot] = -1  # torn-frame marker while writing
         self._frames[slot] = frame
         self._seq[slot] = seq
@@ -82,6 +107,17 @@ class FrameRing:
     # -- read side -----------------------------------------------------------
     def read(self, slot: int) -> tuple[int, np.ndarray]:
         """(sequence, frame copy); sequence -1 marks a torn slot."""
+        if self._lib is not None:
+            out = np.empty(self.frame_shape, self.dtype)
+            got = self._lib.shrimpy_ring_read(
+                self._seq.ctypes.data,
+                self._frames.ctypes.data,
+                self.n_slots,
+                self._frame_bytes,
+                int(slot),
+                out.ctypes.data,
+            )
+            return int(got), out
         seq = int(self._seq[slot])
         frame = self._frames[slot].copy()
         # Torn if overwritten while copying.
@@ -105,6 +141,21 @@ class FrameRing:
         indexing ops per preview tick.
         """
         out = np.zeros((len(slots), self._frames.shape[2]), self._frames.dtype)
+        if self._lib is not None:
+            slot_arr = np.asarray(
+                [-1 if s is None else int(s) for s in slots], np.int64
+            )
+            row_bytes = self._frames.shape[2] * self.dtype.itemsize
+            self._lib.shrimpy_ring_read_rows(
+                self._frames.ctypes.data,
+                self._frame_bytes,
+                int(row) * row_bytes,
+                row_bytes,
+                slot_arr.ctypes.data,
+                len(slots),
+                out.ctypes.data,
+            )
+            return out
         present = [i for i, s in enumerate(slots) if s is not None]
         if present:
             idx = [slots[i] for i in present]
