@@ -890,13 +890,18 @@ def main() -> None:
     # trajectory-equivalence contract; see _run_headline). The plain
     # RL-20 number above stays the comparable-across-rounds headline
     # `value`; this field records what a user actually gets.
+    # Bounded like parity: the equivalent figure must not starve the
+    # config sweep (one 240 s shot; a stall retry only with plenty of
+    # budget left — the warm compile cache makes retries cheap).
     if used is not None:
         payload, timed_out = _run_child(
-            ["--geom-accel", ",".join(map(str, used))], child_timeout()
+            ["--geom-accel", ",".join(map(str, used))],
+            min(240.0, child_timeout()),
         )
-        if payload is None and timed_out and remaining() > CHILD_TIMEOUT_S:
+        if payload is None and timed_out and remaining() > 2 * CHILD_TIMEOUT_S:
             payload, _ = _run_child(
-                ["--geom-accel", ",".join(map(str, used))], child_timeout()
+                ["--geom-accel", ",".join(map(str, used))],
+                min(240.0, child_timeout()),
             )
         if payload is not None:
             eq = payload["vox_per_s"] / 1e9

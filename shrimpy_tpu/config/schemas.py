@@ -267,7 +267,10 @@ class DeconvolveSettings(BaseModel):
     # buffer is dead after the padded data/est carries are built, so
     # donating it frees one volume of HBM for the iteration arena;
     # this is what lets the Biggs-accelerated production deskewed
-    # carry (128, 2888, 1600) fit single-chip (16 GB v5e). Off by
+    # carry (128, 2888, 1600) fit single-chip (16 GB v5e). Honored
+    # uniformly by every backend (implemented once at
+    # richardson_lucy's dispatch boundary); inert under an enclosing
+    # trace, where XLA buffer liveness is already automatic. Off by
     # default because consuming the input is a real API side effect.
     donate_input: bool = False
     fft_z_chunk: int = 8

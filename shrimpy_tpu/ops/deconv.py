@@ -1248,6 +1248,9 @@ def _terms_digest(terms) -> tuple:
     )
 
 
+_RL_DONATED_CACHE = LruCache(maxsize=8)
+
+
 def richardson_lucy(
     image,
     psf,
@@ -1286,6 +1289,32 @@ def richardson_lucy(
                 f"psf_denoise_max_residual={settings.psf_denoise_max_residual}; "
                 "use algorithm='fft' or raise the tolerance"
             )
+
+    # donate_input: hand the caller's device buffer to the program —
+    # the raw volume is dead once the padded carries are built, so
+    # donation frees one volume of HBM for the iteration arena (what
+    # fits the Biggs-accelerated production carry single-chip; schema
+    # docs). Implemented ONCE here at the dispatch boundary so every
+    # backend honors it identically: the donated outer jit inlines the
+    # backend's own cached jit. Skipped under an enclosing trace
+    # (pipeline callers), where buffer liveness is already automatic.
+    if getattr(settings, "donate_input", False) and not isinstance(
+        image, jax.core.Tracer
+    ):
+        key = (
+            tuple(image.shape), str(image.dtype), psf_np.tobytes(),
+            settings.model_dump_json(), iters,
+        )
+        if key not in _RL_DONATED_CACHE:
+            inner = settings.model_copy(update={"donate_input": False})
+
+            def run(img):
+                if terms is not None:
+                    return rl_separable(img, psf_np, terms, inner, iters)
+                return rl_fft(img, psf_np, inner, iters)
+
+            _RL_DONATED_CACHE[key] = jax.jit(run, donate_argnums=0)
+        return _RL_DONATED_CACHE[key](image)
 
     if terms is not None:
         return rl_separable(image, psf_np, terms, settings, iters)

@@ -846,7 +846,6 @@ def rl_fused(image, psf_np, terms, settings, iterations):
         # (in-kernel vs generic rl_outer); bake-off monkeypatches flip
         # it in-process, so it must key the compiled closure.
         _FUSE_ACCEL,
-        bool(getattr(settings, "donate_input", False)),
         # Layout dims key the cache too: SHRIMPY_RL_BX/BZ are re-read
         # per call inside fused_layout, so an in-process bake-off that
         # changes them must not get the previous layout's compiled
@@ -1004,16 +1003,7 @@ def rl_fused(image, psf_np, terms, settings, iterations):
             out = g_out[crop]
             return jnp.transpose(out, (0, 2, 1)) if swap else out
 
-        # donate_input: the raw img buffer is dead once the padded
-        # data/est carries exist, so donating it hands one whole
-        # volume back to the iteration arena (and lets the output
-        # alias it) — the difference between the Biggs-accelerated
-        # production carry fitting single-chip HBM or OOMing by ~0.7
-        # GB. The caller's array is consumed (schema docs).
-        if getattr(settings, "donate_input", False):
-            run = jax.jit(run, donate_argnums=0)
-        else:
-            run = jax.jit(run)
-
-        _RL_FUSED_CACHE[key] = run
+        # (donate_input is honored one level up, at richardson_lucy's
+        # dispatch boundary — uniformly for every backend.)
+        _RL_FUSED_CACHE[key] = jax.jit(run)
     return _RL_FUSED_CACHE[key](image)

@@ -49,6 +49,25 @@ def test_rl_sharpens_toward_truth(rng):
     assert deconv.max() > 1.5 * blurred.max()
 
 
+def test_donate_input_fft_path_matches_and_consumes(rng):
+    """donate_input is honored at the dispatch boundary for EVERY
+    backend — here the FFT path: identical result, caller's device
+    array consumed."""
+    import jax.numpy as jnp
+
+    truth, psf, blurred = _blurred_scene(rng)
+    settings = DeconvolveSettings(algorithm="fft")
+    base = np.asarray(richardson_lucy(blurred, psf, settings, iterations=3))
+    dvol = jnp.asarray(blurred)
+    donated = np.asarray(richardson_lucy(
+        dvol, psf,
+        DeconvolveSettings(algorithm="fft", donate_input=True),
+        iterations=3,
+    ))
+    np.testing.assert_allclose(donated, base, rtol=1e-6, atol=1e-5)
+    assert dvol.is_deleted()
+
+
 def test_rl_preserves_nonnegativity_and_flux(rng):
     truth, psf, blurred = _blurred_scene(rng)
     deconv = np.asarray(richardson_lucy(blurred, psf, iterations=20))
