@@ -65,6 +65,8 @@ def _fake_run_child(clock, config_cost):
             return {"parity_err": 1.5e-07}, False
         assert args[0] == "--config"
         cost = config_cost[args[1]]
+        if isinstance(cost, list):  # per-call schedule (pops front)
+            cost = cost.pop(0) if len(cost) > 1 else cost[0]
         if cost == "timeout":
             clock.now += timeout
             return None, True
@@ -145,6 +147,24 @@ def test_degraded_children_cannot_starve_other_configs(
     # Insurance lines preceded the final record.
     assert len(lines) >= 3
     assert lines[0]["configs"] == []
+
+
+def test_second_chance_pass_recovers_transient_failures(
+    bench, monkeypatch, capsys
+):
+    """A config that times out during its fair share (transient tunnel
+    degradation) must be retried with the leftover budget — r4 run-4
+    lost deskew+register this way while 300+ s went unused."""
+    cost = {name: 20.0 for name in CANONICAL}
+    # register: its main-pass attempt burns the whole 90 s share
+    # (so no in-share stall retry fires), then the tunnel recovers
+    # for the second-chance pass.
+    cost["register"] = ["timeout", 20.0]
+    lines, elapsed = _run_main(bench, monkeypatch, capsys, cost)
+    final = lines[-1]
+    by_name = {c["name"]: c for c in final["configs"]}
+    assert "gvox_per_s" in by_name["register"]
+    assert elapsed < 900.0
 
 
 def test_tiny_budget_still_prints_a_record(bench, monkeypatch, capsys):
