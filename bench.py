@@ -119,7 +119,29 @@ def _load_last_good() -> dict | None:
     return rec if isinstance(rec, dict) and rec.get("value") else None
 
 
+def _completeness(record: dict) -> tuple[int, int]:
+    """(ok-config count, parity present) — the record-quality score.
+
+    A config counts as ok when it carries a measurement (no ``error``
+    or ``skipped`` marker).
+    """
+    ok = sum(
+        1
+        for c in record.get("configs", [])
+        if isinstance(c, dict) and "error" not in c and "skipped" not in c
+    )
+    return ok, int(record.get("parity_err") is not None)
+
+
 def _save_last_good(record: dict) -> None:
+    # Never downgrade: a degraded-tunnel run that measured the headline
+    # but lost configs (r4 run 7: headline ok, all seven configs timed
+    # out) must not clobber an earlier COMPLETE record — the cache
+    # exists precisely to survive those runs. Equal completeness
+    # refreshes the cache (fresher numbers win ties).
+    cached = _load_last_good()
+    if cached is not None and _completeness(record) < _completeness(cached):
+        return
     stamped = dict(record)
     stamped["measured_at_utc"] = time.strftime(
         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()

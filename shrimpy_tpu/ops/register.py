@@ -486,7 +486,7 @@ def affine_apply(
       parameterization) with a small per-axis shift range -> exact
       sequential 1-D shear passes (masked rolls, still no gather);
     - any other concrete near-identity map (small rotations/scales/
-      shears — candidate product <= 256 per (8, 32, 128) block) -> the
+      shears — candidate product <= 1024 per (8, 32, 128) block) -> the
       blocked candidate-window warp (static slices + fused VPU FMAs,
       still no gather);
     - anything else (or a traced matrix) -> the one-shot trilinear

@@ -180,6 +180,54 @@ def test_complete_run_persists_last_good_record(bench, monkeypatch, capsys):
     assert "stale" not in saved
 
 
+def test_degraded_run_does_not_clobber_complete_cache(
+    bench, monkeypatch, capsys
+):
+    """r4 run 7: headline measured but every config child timed out.
+    Such a run must NOT overwrite a complete cached record (it only
+    survived in r4 because that run predated the cache code)."""
+    cached = {
+        "metric": "deskew+rl20 reconstruction throughput per chip",
+        "value": 0.8387,
+        "unit": "GVox/s",
+        "vs_baseline": 0.8387,
+        "parity_err": 1.5e-07,
+        "configs": [{"name": n, "gvox_per_s": 1.0} for n in CANONICAL],
+        "measured_at_utc": "2026-08-19T12:00:00Z",
+    }
+    bench._LAST_GOOD.write_text(json.dumps(cached))
+    lines, _ = _run_main(
+        bench, monkeypatch, capsys,
+        {name: "timeout" for name in CANONICAL},
+    )
+    final = lines[-1]
+    # The live (degraded) record is still what this run reports...
+    assert final["value"] == pytest.approx(0.8394, abs=1e-3)
+    assert all("gvox_per_s" not in c for c in final["configs"])
+    # ...but the complete cache survives for the next outage replay.
+    saved = json.loads(bench._LAST_GOOD.read_text())
+    assert saved["value"] == 0.8387
+    assert all("gvox_per_s" in c for c in saved["configs"])
+
+
+def test_equally_complete_run_refreshes_cache(bench, monkeypatch, capsys):
+    cached = {
+        "metric": "deskew+rl20 reconstruction throughput per chip",
+        "value": 0.5,
+        "unit": "GVox/s",
+        "vs_baseline": 0.5,
+        "parity_err": 1.5e-07,
+        "configs": [{"name": n, "gvox_per_s": 1.0} for n in CANONICAL],
+        "measured_at_utc": "2026-08-19T12:00:00Z",
+    }
+    bench._LAST_GOOD.write_text(json.dumps(cached))
+    lines, _ = _run_main(
+        bench, monkeypatch, capsys, {name: 20.0 for name in CANONICAL}
+    )
+    saved = json.loads(bench._LAST_GOOD.read_text())
+    assert saved["value"] == lines[-1]["value"] != 0.5
+
+
 def test_dead_probe_replays_last_good_record(bench, monkeypatch, capsys):
     """A tunnel outage at driver time must not null the round's record
     when a complete measurement exists from earlier in the round."""
