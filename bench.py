@@ -119,18 +119,27 @@ def _load_last_good() -> dict | None:
     return rec if isinstance(rec, dict) and rec.get("value") else None
 
 
-def _completeness(record: dict) -> tuple[int, int]:
-    """(ok-config count, parity present) — the record-quality score.
+def _completeness(record: dict) -> tuple[int, int, int]:
+    """(ok configs, parity present, production geometry) — the
+    record-quality score.
 
     A config counts as ok when it carries a measurement (no ``error``
-    or ``skipped`` marker).
+    or ``skipped`` marker). The third term guards against a degraded
+    run whose headline child timed out at the production geometry and
+    fell back to a smaller one (r4 run 10): such a run can still
+    complete every config later in its budget, and without the
+    geometry term it would tie a production-geometry record on
+    completeness and clobber it with the fallback headline.
     """
     ok = sum(
         1
         for c in record.get("configs", [])
         if isinstance(c, dict) and "error" not in c and "skipped" not in c
     )
-    return ok, int(record.get("parity_err") is not None)
+    at_production = int(
+        tuple(record.get("raw_shape") or ()) == GEOMETRIES[0]
+    )
+    return ok, int(record.get("parity_err") is not None), at_production
 
 
 def _save_last_good(record: dict) -> None:
