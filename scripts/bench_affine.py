@@ -15,10 +15,12 @@ Measures every affine_apply dispatch tier on the same volume:
               `shrimpy/dynatrack/tracking.py:1172-1181` warps on torch)
 
 and reports blocked-vs-gather speedup plus scipy order=1 grid-constant
-parity for the blocked result. Prints one JSON line.
+parity for the blocked result. Prints one JSON line (plus per-tier
+stderr progress so a degraded-tunnel kill keeps partial results).
 
-_sync/_time mirror bench.py's helpers (scalar readback is the only
-reliable device sync over the tunneled transport).
+Tiers are scan-amortized over 10 calls per jit program; the timing
+closes over a scalar readback (the only reliable device sync over the
+tunneled transport — mirrors bench.py's helpers).
 """
 
 from __future__ import annotations
@@ -29,12 +31,6 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-
-def _sync(x):
-    import jax.numpy as jnp
-
-    return float(jnp.sum(x))
 
 
 def _time(fn, repeats=3):
@@ -73,11 +69,38 @@ def main() -> None:
 
     out = {"geom": list(geom)}
 
+    def tier(name, value):
+        # Progress line per tier so a degraded-tunnel timeout kill
+        # still leaves every completed measurement on stderr.
+        out[name] = value
+        print(f"# {name}: {value}", file=sys.stderr, flush=True)
+
+    # Every tier is amortized over n_loop applications inside ONE jit
+    # program (mirrors bench.py's register apply loop): the axon
+    # tunnel's ~26 ms per-dispatch round-trip otherwise dominates every
+    # path at this geometry (measured: the trivial masked-roll
+    # translate tier costs 26.2 ms single-dispatch) and compresses the
+    # blocked-vs-gather ratio (8.5x single-dispatch vs the true device
+    # ratio). The tiny per-iteration input perturbation defeats CSE.
+    n_loop = 10
+
+    def loop_time(apply_once):
+        @jax.jit
+        def f(mov):
+            def body(acc, i):
+                o = apply_once(mov + i.astype(jnp.float32) * 1e-6)
+                return acc + jnp.sum(o), None
+
+            acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_loop))
+            return acc
+
+        return _time(lambda: float(f(vol))) / n_loop
+
     # translate: identity matrix, fractional offset.
     off_t = jnp.asarray([1.25, -3.5, 2.75], jnp.float32)
-    eye = jnp.eye(3, dtype=jnp.float32)
-    t = _time(lambda: _sync(affine_apply(vol, np.eye(3, dtype=np.float32), off_t)))
-    out["translate_ms"] = round(t * 1e3, 3)
+    eye_np = np.eye(3, dtype=np.float32)
+    t = loop_time(lambda v: affine_apply(v, eye_np, off_t))
+    tier("translate_ms", round(t * 1e3, 3))
 
     # triangular: mild scale + shear (the pcc+refine parameterization).
     m_tri = np.array(
@@ -85,8 +108,8 @@ def main() -> None:
         np.float32,
     )
     off_tri = np.asarray([0.4, -1.2, 0.7], np.float32)
-    t = _time(lambda: _sync(affine_apply(vol, m_tri, off_tri)))
-    out["triangular_ms"] = round(t * 1e3, 3)
+    t = loop_time(lambda v: affine_apply(v, m_tri, off_tri))
+    tier("triangular_ms", round(t * 1e3, 3))
 
     # blocked: a 2-degree rotation about z (full matrix, no triangular
     # structure) — must dispatch to the blocked candidate-window path.
@@ -101,23 +124,23 @@ def main() -> None:
     )
     off_rot = np.asarray([0.3, 2.0, -1.5], np.float32)
     assert _blocked_plan(m_rot, off_rot, geom, geom) is not None
-    t = _time(lambda: _sync(affine_apply(vol, m_rot, off_rot)))
-    out["blocked_ms"] = round(t * 1e3, 3)
-    out["blocked_mvox_per_s"] = round(nvox / t / 1e6, 1)
+    t = loop_time(lambda v: affine_apply(v, m_rot, off_rot))
+    tier("blocked_ms", round(t * 1e3, 3))
+    tier("blocked_mvox_per_s", round(nvox / t / 1e6, 1))
 
     # gather: the SAME rotation through the one-shot trilinear gather.
     m_rot_j = jnp.asarray(m_rot)
     off_rot_j = jnp.asarray(off_rot)
-    t = _time(lambda: _sync(_affine_apply_jit(vol, m_rot_j, off_rot_j, geom)))
-    out["gather_ms"] = round(t * 1e3, 3)
-    out["gather_mvox_per_s"] = round(nvox / t / 1e6, 1)
-    out["blocked_vs_gather"] = round(out["gather_ms"] / out["blocked_ms"], 2)
+    t = loop_time(lambda v: _affine_apply_jit(v, m_rot_j, off_rot_j, geom))
+    tier("gather_ms", round(t * 1e3, 3))
+    tier("gather_mvox_per_s", round(nvox / t / 1e6, 1))
+    tier("blocked_vs_gather", round(out["gather_ms"] / out["blocked_ms"], 2))
 
     # Parity of the blocked result vs the scipy oracle.
     got = np.asarray(affine_apply(vol, m_rot, off_rot))
     want = affine_apply_reference_scipy(vol_np, m_rot, off_rot)
     scale = float(np.abs(want).max()) or 1.0
-    out["blocked_parity_rel"] = float(np.abs(got - want).max() / scale)
+    tier("blocked_parity_rel", float(np.abs(got - want).max() / scale))
 
     print(json.dumps(out), flush=True)
 
