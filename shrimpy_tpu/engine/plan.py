@@ -10,6 +10,7 @@ dict carrying the ``dynatrack`` config.
 
 from __future__ import annotations
 
+import math
 from pathlib import Path
 from typing import Literal
 
@@ -370,6 +371,105 @@ class StagePlan(BaseModel):
         return speed, distance_um / 1000.0 / speed
 
 
+class CameraPlan(BaseModel):
+    """Camera slice-acquisition rate model for timing-faithful replay.
+
+    The reference live engine derives a per-channel z-slice rate from
+    camera physics and paces hardware-sequenced bursts with it
+    (reference archive ``acq_engine.py:540-598``; constants ``:75-93``):
+
+    - ``labelfree`` (Oryx + MCL piezo): ``min(1000 / (exposure_ms +
+      piezo_step_ms), floor(max_fps))`` (``:546-552``), plus an LC
+      polarization-switch ``channel_change_ms`` of 20 between channels
+      (``:553-556``);
+    - ``lightsheet`` (Prime BSI Express, rolling shutter as simulated
+      global shutter): ``1000 / (exposure_ms + readout_ms +
+      post_readout_delay_ms)`` with the hard constraint exposure >
+      sensor readout (``:574-591``), plus a 200 ms filter-wheel change
+      (``:81``, channel rate commented out in the reference);
+    - ``demo``: ``min(max_fps, 1000 / exposure_ms)`` (the demo-run
+      branches, ``:541-543`` flat 30 fps LF and ``:566-570`` LS).
+
+    With ``model_acquisition`` on, the replay engine charges each
+    (t, p, channel) volume ``n_slices / slice_rate + channel_change``
+    seconds (scaled by ``time_scale``) and totals it in the summary
+    sidecar — so session replay feeds camera pacing into the
+    per-timepoint latency budget exactly like the live engine.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    model_acquisition: bool = False
+    mode: Literal["demo", "labelfree", "lightsheet"] = "demo"
+    # labelfree: the Oryx "Frame Rate" property (floor()ed per the
+    # reference); demo: the ~30 fps demo-camera assumption.
+    max_fps: float = 30.0
+    # lightsheet sensor readout (Timing-ReadoutTimeNs, ms); the Prime
+    # BSI Express reads ~10 ms at full frame.
+    readout_ms: float = 10.0
+    piezo_step_ms: float = 1.5  # MCL_STEP_TIME (:80)
+    post_readout_delay_ms: float = 0.05  # LS_POST_READOUT_DELAY (:78)
+    # None = the mode's default (labelfree 20 ms LC switch, lightsheet
+    # 200 ms filter wheel, demo 0).
+    channel_change_ms: float | None = None
+    # 1.0 = sleep the full modeled time (real-time replay); 0.0 =
+    # record modeled times in the summary without sleeping.
+    time_scale: float = 1.0
+
+    @model_validator(mode="after")
+    def _check(self):
+        for f in ("max_fps", "readout_ms", "piezo_step_ms"):
+            if getattr(self, f) <= 0:
+                raise ValueError(f"camera.{f} must be > 0")
+        if self.post_readout_delay_ms < 0 or self.time_scale < 0:
+            raise ValueError(
+                "camera.post_readout_delay_ms and camera.time_scale "
+                "must be >= 0"
+            )
+        if self.channel_change_ms is not None and self.channel_change_ms < 0:
+            raise ValueError("camera.channel_change_ms must be >= 0")
+        return self
+
+    def effective_channel_change_ms(self) -> float:
+        if self.channel_change_ms is not None:
+            return self.channel_change_ms
+        return {"labelfree": 20.0, "lightsheet": 200.0, "demo": 0.0}[
+            self.mode
+        ]
+
+    def slice_rate_hz(self, exposure_ms: float) -> float:
+        """Z-slice rate for one channel at ``exposure_ms``."""
+        if exposure_ms <= 0:
+            raise ValueError(f"exposure_ms must be > 0 (got {exposure_ms})")
+        if self.mode == "labelfree":
+            return min(
+                1000.0 / (exposure_ms + self.piezo_step_ms),
+                float(math.floor(self.max_fps)),
+            )
+        if self.mode == "lightsheet":
+            if exposure_ms <= self.readout_ms:
+                # The reference asserts this before every LS burst
+                # (acq_engine.py:585-588): simulated global shutter
+                # needs the laser on strictly longer than the rolling
+                # readout.
+                raise ValueError(
+                    f"lightsheet exposure ({exposure_ms} ms) must exceed "
+                    f"the {self.readout_ms} ms sensor readout time"
+                )
+            return 1000.0 / (
+                exposure_ms + self.readout_ms + self.post_readout_delay_ms
+            )
+        return min(float(self.max_fps), 1000.0 / exposure_ms)
+
+    def volume_time_s(self, n_slices: int, exposure_ms: float) -> float:
+        """Modeled seconds to acquire one n_slices-deep channel volume
+        (z burst + one channel change)."""
+        return (
+            n_slices / self.slice_rate_hz(exposure_ms)
+            + self.effective_channel_change_ms() / 1000.0
+        )
+
+
 class GeneratedPosition(BaseModel):
     """One stage-position grid point: output HCS key + replay offset."""
 
@@ -405,6 +505,7 @@ class AcquisitionPlan(BaseModel):
     refocus: RefocusPlan = Field(default_factory=RefocusPlan)
     autoexposure: AutoexposurePlan = Field(default_factory=AutoexposurePlan)
     stage: StagePlan = Field(default_factory=StagePlan)
+    camera: CameraPlan = Field(default_factory=CameraPlan)
     metadata: dict = Field(default_factory=dict)
     # Stall watchdog: a (t, p) visit exceeding this wall time is logged
     # as an error (the reference's 100 s sequence-stall watchdog,
