@@ -579,6 +579,20 @@ def plan_validate(plan_path, store_path):
             cfg = DynaTrackConfig(**dyn)
         except Exception as e:
             problems.append(f"dynatrack config: {e}")
+    if p.camera.model_acquisition:
+        # The engine fails fast on these at run start (the reference
+        # asserts exposure > readout before every lightsheet burst,
+        # archive acq_engine.py:585-588) — surface them pre-run.
+        exposures = (
+            [(c.name, c.exposure_ms) for c in p.channels]
+            if p.channels
+            else [("<default>", p.source_exposure_ms)]
+        )
+        for cname, exp in exposures:
+            try:
+                p.camera.slice_rate_hz(exp)
+            except ValueError as e:
+                problems.append(f"camera model, channel {cname!r}: {e}")
     if store_path is not None:
         from shrimpy_tpu.engine.replay import ReplaySource
 

@@ -318,6 +318,18 @@ class AcquisitionEngine:
             from shrimpy_tpu.engine.replay import ReplayCamera
 
             camera = ReplayCamera(self.source, z_step_um=src_z_um)
+        # Camera acquisition-rate model (CameraPlan): charge each
+        # (t, p, channel) volume its modeled z-burst time, like the
+        # reference's hardware-sequenced slice rate (archive
+        # acq_engine.py:540-598). Fail fast on the configured
+        # exposures — the reference asserts exposure > readout before
+        # every lightsheet burst (acq_engine.py:585-588); autoexposure
+        # can still re-trip the check mid-run with a new exposure.
+        camera_acq_total_s = 0.0
+        camera_rate_hz: dict[str, float] = {}
+        if plan.camera.model_acquisition:
+            for c, e in zip(channels, ch_exposure):
+                camera_rate_hz[c] = plan.camera.slice_rate_hz(e)
 
         self._setup_tracking(plan, channels, output_dir, acq_name=final_name)
         if plan.refocus.enabled:
@@ -563,12 +575,22 @@ class AcquisitionEngine:
                             vol = self.source.volume(
                                 src_key, t, c_src, offset_px_zyx=offset
                             )[z_idx].astype(np.float32)
-                        exp_scale = (
-                            self._effective_exposure_ms(plan, p_key, ci, channels, ch_exposure)
-                            / plan.source_exposure_ms
+                        exp_ms = self._effective_exposure_ms(
+                            plan, p_key, ci, channels, ch_exposure
                         )
+                        exp_scale = exp_ms / plan.source_exposure_ms
                         if exp_scale != 1.0:
                             vol = vol * np.float32(exp_scale)
+                        if plan.camera.model_acquisition:
+                            # Charge the z burst its modeled camera time
+                            # (n_slices / slice_rate + channel change,
+                            # reference acq_engine.py:540-598) so replay
+                            # pacing feeds the same per-timepoint latency
+                            # budget as the live engine.
+                            acq_s = plan.camera.volume_time_s(nz, exp_ms)
+                            camera_acq_total_s += acq_s
+                            if plan.camera.time_scale > 0:
+                                time.sleep(acq_s * plan.camera.time_scale)
                         out_pos.write((t, ci), vol)
                         n_volumes += 1
                         for hook in self.viewer_hooks:
@@ -657,6 +679,14 @@ class AcquisitionEngine:
                 # [t, position, distance_um, speed_mm_s, move_s].
                 "stage_moves": stage_moves,
                 "stage_move_s": round(stage_move_total_s, 3),
+                # Camera acquisition model (reference slice-rate rule,
+                # archive acq_engine.py:540-598): per-channel z-slice
+                # rates at the configured exposures, and the total
+                # modeled acquisition seconds charged this run.
+                "camera_slice_rate_hz": {
+                    c: round(r, 3) for c, r in camera_rate_hz.items()
+                },
+                "camera_acq_s": round(camera_acq_total_s, 3),
                 "volumes_acquired": n_volumes,
                 "aborted_at": aborted_at,
                 "error": run_error,

@@ -1,0 +1,134 @@
+"""Camera slice-rate model in replay pacing (reference archive
+``acq_engine.py:540-598``, constants ``:75-93``).
+
+The live engine derives a per-channel z-slice rate from camera physics
+(labelfree Oryx + piezo step, lightsheet rolling-shutter readout, demo
+fps cap) and paces hardware-sequenced bursts with it. With
+``camera.model_acquisition`` on, the replay engine charges every
+(t, p, channel) volume its modeled burst time and totals it in the
+summary sidecar.
+"""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from shrimpy_tpu.engine.engine import AcquisitionEngine
+from shrimpy_tpu.engine.plan import AcquisitionPlan, CameraPlan
+from shrimpy_tpu.engine.replay import ReplaySource
+from shrimpy_tpu.io.synthetic import coordinate_encoded_fov
+
+
+@pytest.fixture()
+def fov_source(tmp_path):
+    coordinate_encoded_fov(tmp_path / "src.zarr", shape=(2, 1, 3, 16, 16))
+    return ReplaySource(tmp_path / "src.zarr")
+
+
+def test_labelfree_rate_matches_reference():
+    # min(1000 / (exposure + piezo step), floor(max_fps))
+    # (acq_engine.py:546-552); 20 ms LC switch between channels (:553).
+    cam = CameraPlan(mode="labelfree", max_fps=47.5)
+    assert cam.slice_rate_hz(2.0) == 47.0  # fps-capped (floor(47.5))
+    assert cam.slice_rate_hz(50.0) == pytest.approx(1000.0 / 51.5)
+    assert cam.effective_channel_change_ms() == 20.0
+    assert cam.volume_time_s(10, 50.0) == pytest.approx(
+        10 * 51.5 / 1000.0 + 0.020
+    )
+
+
+def test_lightsheet_rate_and_readout_constraint():
+    # 1000 / (exposure + readout + post-readout delay), exposure must
+    # exceed the sensor readout (acq_engine.py:574-591).
+    cam = CameraPlan(mode="lightsheet", readout_ms=10.0)
+    assert cam.slice_rate_hz(20.0) == pytest.approx(1000.0 / 30.05)
+    assert cam.effective_channel_change_ms() == 200.0  # filter wheel
+    with pytest.raises(ValueError, match="exceed"):
+        cam.slice_rate_hz(5.0)
+
+
+def test_demo_rate_is_fps_capped():
+    cam = CameraPlan(mode="demo", max_fps=30.0)
+    assert cam.slice_rate_hz(100.0) == pytest.approx(10.0)
+    assert cam.slice_rate_hz(1.0) == 30.0
+    assert cam.effective_channel_change_ms() == 0.0
+
+
+def test_summary_records_modeled_acquisition(tmp_path, fov_source):
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 2},
+        camera={
+            "model_acquisition": True,
+            "mode": "labelfree",
+            "max_fps": 40.0,
+            "time_scale": 0.0,
+        },
+    )
+    AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+    summary = json.loads(
+        (tmp_path / "out" / "acq_summary_metadata.json").read_text()
+    )
+    # Default channel exposure = source_exposure_ms = 10 ms; piezo 1.5.
+    rate = min(1000.0 / 11.5, math.floor(40.0))
+    assert summary["camera_slice_rate_hz"] == {
+        "ch0": pytest.approx(round(rate, 3))
+    }
+    # 2 timepoints x 1 position x 1 channel x 3 slices + LC switch.
+    per_vol = 3 / rate + 0.020
+    assert summary["camera_acq_s"] == pytest.approx(2 * per_vol, abs=1e-3)
+
+
+def test_time_scale_scales_the_sleep(tmp_path, fov_source, monkeypatch):
+    import shrimpy_tpu.engine.engine as engine_mod
+
+    slept = []
+    monkeypatch.setattr(engine_mod.time, "sleep", lambda s: slept.append(s))
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 2},
+        camera={"model_acquisition": True, "mode": "demo", "time_scale": 0.5},
+    )
+    AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+    per_vol = 3 / 30.0  # demo: 10 ms exposure is fps-capped at 30 Hz
+    hits = [s for s in slept if np.isclose(s, per_vol * 0.5, atol=1e-9)]
+    assert len(hits) == 2
+
+
+def test_model_off_records_nothing(tmp_path, fov_source):
+    plan = AcquisitionPlan(time={"n_timepoints": 1})
+    AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+    summary = json.loads(
+        (tmp_path / "out" / "acq_summary_metadata.json").read_text()
+    )
+    assert summary["camera_slice_rate_hz"] == {}
+    assert summary["camera_acq_s"] == 0.0
+
+
+def test_plan_validate_surfaces_camera_problems(tmp_path):
+    """`plan validate` flags the lightsheet readout constraint pre-run
+    (schema-only check; no store needed)."""
+    from click.testing import CliRunner
+
+    from shrimpy_tpu.cli.main import cli
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text(
+        "channels: [{name: GFP, exposure_ms: 5.0}]\n"
+        "camera: {model_acquisition: true, mode: lightsheet}\n"
+    )
+    result = CliRunner().invoke(cli, ["plan", "validate", str(bad)])
+    assert result.exit_code != 0
+    assert "camera model" in result.output and "GFP" in result.output
+
+
+def test_invalid_lightsheet_exposure_fails_fast(tmp_path, fov_source):
+    # source_exposure_ms default 10 ms == readout -> the engine must
+    # refuse before writing any output (the reference asserts before
+    # every lightsheet burst, acq_engine.py:585-588).
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 1},
+        camera={"model_acquisition": True, "mode": "lightsheet"},
+    )
+    with pytest.raises(ValueError, match="exceed"):
+        AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
