@@ -475,9 +475,25 @@ def replay_dual(config, output_dir, name, microscope):
             f"config arms {sorted(cfg.arms)} do not match microscope "
             f"{profile.name!r} arms {sorted(profile.arms)}"
         )
-    arms = {
-        arm: (ReplaySource(a.input), a.plan) for arm, a in cfg.arms.items()
-    }
+    arms = {}
+    for arm, a in cfg.arms.items():
+        plan_a = a.plan
+        cam = plan_a.camera
+        if cam.model_acquisition and "mode" not in cam.model_fields_set:
+            # Instrument knowledge: a mantis arm IS its camera mode
+            # (the label-free Oryx vs the light-sheet Prime BSI,
+            # reference archive acq_engine.py:540-598) — an arm named
+            # after a camera mode inherits it unless the plan says
+            # otherwise.
+            from typing import get_args
+
+            from shrimpy_tpu.engine.plan import CameraPlan
+
+            if arm in get_args(CameraPlan.model_fields["mode"].annotation):
+                plan_a = plan_a.model_copy(
+                    update={"camera": cam.model_copy(update={"mode": arm})}
+                )
+        arms[arm] = (ReplaySource(a.input), plan_a)
     from shrimpy_tpu.engine.control import RunControl
 
     control = RunControl(Path(output_dir) / "run_control.json")

@@ -541,3 +541,42 @@ def test_replay_dual_rejects_wrong_arm_names(runner, tmp_path):
     ])
     assert result.exit_code == 0, result.output
     assert "not yet implemented" in result.output
+
+
+def test_replay_dual_arm_inherits_profile_camera_mode(runner, tmp_path):
+    """An arm named after a camera mode inherits it when the plan
+    enables model_acquisition without choosing one (the mantis LF/LS
+    cameras, reference archive acq_engine.py:540-598); an explicit
+    mode in the plan wins."""
+    for arm in ("lf", "ls"):
+        synthetic_blob_fov(
+            tmp_path / f"{arm}.zarr", n_timepoints=1, shape_zyx=(4, 16, 16)
+        )
+    cfg = tmp_path / "dual.yml"
+    # lightsheet needs exposure > readout; give both arms 20 ms.
+    plan = (
+        "{time: {n_timepoints: 1}, "
+        "channels: [{name: BF, exposure_ms: 20.0}], "
+        "camera: {model_acquisition: true, time_scale: 0.0%s}}"
+    )
+    cfg.write_text(
+        "arms:\n"
+        f"  labelfree: {{input: {tmp_path}/lf.zarr, plan: {plan % ''}}}\n"
+        f"  lightsheet: {{input: {tmp_path}/ls.zarr, "
+        f"plan: {plan % ', mode: demo'}}}\n"
+    )
+    result = runner.invoke(cli, [
+        "replay-dual", str(cfg), "-o", str(tmp_path / "o"), "-n", "dual",
+    ])
+    assert result.exit_code == 0, result.output
+    lf = json.loads(
+        (tmp_path / "o" / "dual_labelfree_summary_metadata.json").read_text()
+    )
+    ls = json.loads(
+        (tmp_path / "o" / "dual_lightsheet_summary_metadata.json").read_text()
+    )
+    assert lf["plan"]["camera"]["mode"] == "labelfree"  # inherited
+    assert ls["plan"]["camera"]["mode"] == "demo"  # explicit wins
+    # Inherited labelfree physics: min(1000/(20+1.5), floor(30)) = 30.
+    assert lf["camera_slice_rate_hz"]["BF"] == pytest.approx(30.0)
+    assert ls["camera_slice_rate_hz"]["BF"] == pytest.approx(30.0)
