@@ -479,6 +479,19 @@ def replay_dual(config, output_dir, name, microscope):
     for arm, a in cfg.arms.items():
         plan_a = a.plan
         cam = plan_a.camera
+        if (
+            profile.max_sequenced_events is not None
+            and "max_sequenced_events" not in cam.model_fields_set
+        ):
+            # The trigger firmware's sequence length is instrument
+            # knowledge (reference archive acq_engine.py:171-183);
+            # plans inherit it unless they pin their own cap.
+            cam = cam.model_copy(
+                update={
+                    "max_sequenced_events": profile.max_sequenced_events
+                }
+            )
+            plan_a = plan_a.model_copy(update={"camera": cam})
         if cam.model_acquisition and "mode" not in cam.model_fields_set:
             # Instrument knowledge: a mantis arm IS its camera mode
             # (the label-free Oryx vs the light-sheet Prime BSI,
@@ -609,6 +622,17 @@ def plan_validate(plan_path, store_path):
                 p.camera.slice_rate_hz(exp)
             except ValueError as e:
                 problems.append(f"camera model, channel {cname!r}: {e}")
+        # Hardware-sequence length (reference archive
+        # acq_engine.py:171-183): checkable without a store whenever
+        # the plan pins its own slice count; the store branch below
+        # re-checks with the resolved depth.
+        if p.z.n_slices is not None and p.channels:
+            try:
+                p.camera.check_sequenced_events(
+                    p.z.n_slices, len(p.channels)
+                )
+            except ValueError as e:
+                problems.append(f"camera model: {e}")
     if store_path is not None:
         from shrimpy_tpu.engine.replay import ReplaySource
 
@@ -634,11 +658,19 @@ def plan_validate(plan_path, store_path):
                     f"the source store (has {source.position_keys})"
                 )
         try:
-            p.z.resolve_z_indices(
+            z_idx = p.z.resolve_z_indices(
                 source.shape_tczyx[2], float(source.zyx_scale[0])
             )
         except ValueError as e:
             problems.append(f"z plan: {e}")
+        else:
+            n_ch = (
+                len(p.channels) if p.channels else source.shape_tczyx[1]
+            )
+            try:
+                p.camera.check_sequenced_events(len(z_idx), n_ch)
+            except ValueError as e:
+                problems.append(f"camera model: {e}")
         if p.refocus.enabled and p.refocus.channel is not None:
             if p.refocus.channel not in names:
                 problems.append(

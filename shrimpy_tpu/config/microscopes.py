@@ -36,6 +36,12 @@ class MicroscopeProfile(BaseModel):
     # The instrument's arm inventory: `replay-dual` rejects configs
     # whose arm names don't match (PARITY 2.13).
     arms: list[str] = []
+    # Hardware-sequence length the instrument's trigger firmware can
+    # program (reference archive acq_engine.py:171-183, TriggerScope
+    # NR_DAC_STATES/NR_DO_STATES). None = no instrument cap known;
+    # replay-dual seeds plan.camera.max_sequenced_events from this
+    # when the plan doesn't set one itself.
+    max_sequenced_events: int | None = None
 
 
 _REGISTRY: dict[str, MicroscopeProfile] = {}
@@ -80,6 +86,7 @@ register_microscope(MicroscopeProfile(
     ),
     ls_angle_deg=30.0,
     arms=["labelfree", "lightsheet"],
+    max_sequenced_events=1200,
 ))
 
 register_microscope(MicroscopeProfile(

@@ -328,6 +328,9 @@ class AcquisitionEngine:
         camera_acq_total_s = 0.0
         camera_rate_hz: dict[str, float] = {}
         if plan.camera.model_acquisition:
+            # z x channels must fit the firmware's hardware-sequence
+            # length (reference archive acq_engine.py:171-183).
+            plan.camera.check_sequenced_events(nz, len(channels))
             for c, e in zip(channels, ch_exposure):
                 camera_rate_hz[c] = plan.camera.slice_rate_hz(e)
 
@@ -583,11 +586,27 @@ class AcquisitionEngine:
                             vol = vol * np.float32(exp_scale)
                         if plan.camera.model_acquisition:
                             # Charge the z burst its modeled camera time
-                            # (n_slices / slice_rate + channel change,
-                            # reference acq_engine.py:540-598) so replay
-                            # pacing feeds the same per-timepoint latency
-                            # budget as the live engine.
-                            acq_s = plan.camera.volume_time_s(nz, exp_ms)
+                            # (n_slices / slice_rate, plus one channel
+                            # change per TRANSITION — (n_channels - 1)
+                            # per burst, reference acq_engine.py:540-598,
+                            # 1553-1562) so replay pacing feeds the same
+                            # per-timepoint latency budget as the live
+                            # engine. Timing uses the PHYSICAL exposure:
+                            # laser power scales brightness, not burst
+                            # time (and a below-nominal power must not
+                            # trip the lightsheet readout assert).
+                            phys_ms = self._physical_exposure_ms(
+                                plan, p_key, ci, channels, ch_exposure
+                            )
+                            acq_s = plan.camera.volume_time_s(
+                                nz, phys_ms, channel_change=(ci > 0)
+                            )
+                            # Journal the rate actually charged (auto-
+                            # exposure may have moved it off the
+                            # configured exposure's rate).
+                            camera_rate_hz[channels[ci]] = (
+                                plan.camera.slice_rate_hz(phys_ms)
+                            )
                             camera_acq_total_s += acq_s
                             if plan.camera.time_scale > 0:
                                 time.sleep(acq_s * plan.camera.time_scale)
@@ -770,6 +789,21 @@ class AcquisitionEngine:
             if channels[ci] == ae_name:
                 exposure, power = self._exposures[p_key]
                 return exposure * (power / NOMINAL_LASER_POWER)
+        return ch_exposure[ci]
+
+    def _physical_exposure_ms(
+        self, plan, p_key: str, ci: int, channels, ch_exposure
+    ) -> float:
+        """Exposure the camera physically integrates for (timing model
+        input): the autoexposure-selected exposure WITHOUT the laser-
+        power brightness ratio — changing laser power does not change
+        burst timing, and a below-nominal power must not push a valid
+        lightsheet exposure under the sensor readout."""
+        ae = plan.autoexposure
+        if ae.enabled and p_key in self._exposures:
+            ae_name = ae.channel or channels[0]
+            if channels[ci] == ae_name:
+                return self._exposures[p_key][0]
         return ch_exposure[ci]
 
     def _run_autoexposure(

@@ -415,6 +415,13 @@ class CameraPlan(BaseModel):
     # 1.0 = sleep the full modeled time (real-time replay); 0.0 =
     # record modeled times in the summary without sleeping.
     time_scale: float = 1.0
+    # Hardware-sequencing event cap: the TriggerScope firmware holds at
+    # most this many DAC/DO states per sequence, so a z x channels
+    # burst beyond it is unprogrammable on the real instrument
+    # (reference archive acq_engine.py:171-183, NR_DAC_STATES /
+    # NR_DO_STATES). None = unlimited (simulation-only cameras).
+    # Microscope profiles may seed this (replay-dual arm inheritance).
+    max_sequenced_events: int | None = 1200
 
     @model_validator(mode="after")
     def _check(self):
@@ -428,7 +435,33 @@ class CameraPlan(BaseModel):
             )
         if self.channel_change_ms is not None and self.channel_change_ms < 0:
             raise ValueError("camera.channel_change_ms must be >= 0")
+        if (
+            self.max_sequenced_events is not None
+            and self.max_sequenced_events < 1
+        ):
+            raise ValueError("camera.max_sequenced_events must be >= 1")
         return self
+
+    def check_sequenced_events(
+        self, n_slices: int, n_channels: int
+    ) -> None:
+        """Fail fast when a z x channels burst exceeds the firmware's
+        hardware-sequence length (reference archive
+        ``acq_engine.py:171-183``): the real instrument's TriggerScope
+        cannot program it, so a plan that validates here but not there
+        would be a lie."""
+        if not self.model_acquisition or self.max_sequenced_events is None:
+            return
+        n = n_slices * n_channels
+        if n > self.max_sequenced_events:
+            raise ValueError(
+                f"the number of sequenced events ({n_slices} slices x "
+                f"{n_channels} channels = {n}) exceeds the "
+                f"{self.max_sequenced_events}-event hardware-sequence "
+                "limit (TriggerScope NR_DAC_STATES/NR_DO_STATES); reduce "
+                "slices/channels or raise camera.max_sequenced_events "
+                "if the firmware was rebuilt with longer sequences"
+            )
 
     def effective_channel_change_ms(self) -> float:
         if self.channel_change_ms is not None:
@@ -461,13 +494,22 @@ class CameraPlan(BaseModel):
             )
         return min(float(self.max_fps), 1000.0 / exposure_ms)
 
-    def volume_time_s(self, n_slices: int, exposure_ms: float) -> float:
-        """Modeled seconds to acquire one n_slices-deep channel volume
-        (z burst + one channel change)."""
-        return (
-            n_slices / self.slice_rate_hz(exposure_ms)
-            + self.effective_channel_change_ms() / 1000.0
-        )
+    def volume_time_s(
+        self, n_slices: int, exposure_ms: float,
+        *, channel_change: bool = True,
+    ) -> float:
+        """Modeled seconds to acquire one n_slices-deep channel volume.
+
+        ``channel_change`` adds one channel-switch (LC / filter wheel)
+        to the burst; the engine sets it only on channel *transitions*,
+        matching the reference's (num_channels - 1) changes per (t, p)
+        burst (archive ``acq_engine.py:1553-1562``) — a single-channel
+        run pays no switch time.
+        """
+        t = n_slices / self.slice_rate_hz(exposure_ms)
+        if channel_change:
+            t += self.effective_channel_change_ms() / 1000.0
+        return t
 
 
 class GeneratedPosition(BaseModel):

@@ -75,9 +75,76 @@ def test_summary_records_modeled_acquisition(tmp_path, fov_source):
     assert summary["camera_slice_rate_hz"] == {
         "ch0": pytest.approx(round(rate, 3))
     }
-    # 2 timepoints x 1 position x 1 channel x 3 slices + LC switch.
-    per_vol = 3 / rate + 0.020
+    # 2 timepoints x 1 position x 1 channel x 3 slices; a single-channel
+    # burst pays NO channel change ((n_channels - 1) transitions per
+    # burst, reference acq_engine.py:1553-1562).
+    per_vol = 3 / rate
     assert summary["camera_acq_s"] == pytest.approx(2 * per_vol, abs=1e-3)
+
+
+def test_channel_change_charged_per_transition(tmp_path):
+    """(n_channels - 1) channel switches per (t, p) burst, matching the
+    reference's await_cz_acq_completion accounting (archive
+    acq_engine.py:1553-1562)."""
+    coordinate_encoded_fov(
+        tmp_path / "src2.zarr", shape=(1, 2, 3, 16, 16)
+    )
+    src = ReplaySource(tmp_path / "src2.zarr")
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 1},
+        camera={
+            "model_acquisition": True,
+            "mode": "labelfree",
+            "max_fps": 40.0,
+            "time_scale": 0.0,
+        },
+    )
+    AcquisitionEngine(src).acquire(tmp_path / "out", "acq", plan)
+    summary = json.loads(
+        (tmp_path / "out" / "acq_summary_metadata.json").read_text()
+    )
+    rate = min(1000.0 / 11.5, math.floor(40.0))
+    # 2 channels x 3 slices + exactly ONE 20 ms LC switch.
+    assert summary["camera_acq_s"] == pytest.approx(
+        2 * (3 / rate) + 0.020, abs=1e-3
+    )
+
+
+def test_timing_uses_physical_exposure_not_laser_power(tmp_path, fov_source):
+    """Laser power scales brightness, not burst timing: an autoexposure
+    result at half-nominal power must not halve the modeled exposure
+    (which would trip the lightsheet readout assert on a physically
+    valid exposure) nor journal a doubled rate."""
+    from shrimpy_tpu.engine.autoexposure import NOMINAL_LASER_POWER
+
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 1},
+        channels=None,
+        source_exposure_ms=20.0,
+        camera={
+            "model_acquisition": True,
+            "mode": "lightsheet",
+            "readout_ms": 15.0,
+            "time_scale": 0.0,
+        },
+        autoexposure={"enabled": True, "algorithm": "manual",
+                      "manual_csv": str(tmp_path / "man.csv")},
+    )
+    # 20 ms exposure at HALF nominal power: brightness-effective 10 ms
+    # (< 15 ms readout, would raise), physical 20 ms (valid).
+    (tmp_path / "man.csv").write_text(
+        "well,exposure_ms,laser_power\n"
+        f"0,20.0,{NOMINAL_LASER_POWER / 2}\n"
+    )
+    AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+    summary = json.loads(
+        (tmp_path / "out" / "acq_summary_metadata.json").read_text()
+    )
+    # Journaled rate reflects the PHYSICAL 20 ms exposure.
+    rate = 1000.0 / (20.0 + 15.0 + 0.05)
+    assert summary["camera_slice_rate_hz"]["ch0"] == pytest.approx(
+        round(rate, 3)
+    )
 
 
 def test_time_scale_scales_the_sleep(tmp_path, fov_source, monkeypatch):
@@ -103,6 +170,49 @@ def test_model_off_records_nothing(tmp_path, fov_source):
     )
     assert summary["camera_slice_rate_hz"] == {}
     assert summary["camera_acq_s"] == 0.0
+
+
+def test_sequenced_event_cap_matches_reference():
+    """z x channels must fit the TriggerScope hardware-sequence length
+    (reference archive acq_engine.py:171-183: 1200 events)."""
+    cam = CameraPlan(model_acquisition=True)
+    cam.check_sequenced_events(600, 2)  # exactly 1200: allowed
+    with pytest.raises(ValueError, match="1200"):
+        cam.check_sequenced_events(601, 2)
+    # Simulation-only cameras can lift the cap.
+    CameraPlan(
+        model_acquisition=True, max_sequenced_events=None
+    ).check_sequenced_events(10_000, 4)
+    # Without the acquisition model the plan never reaches hardware
+    # sequencing, so the cap is moot.
+    CameraPlan(model_acquisition=False).check_sequenced_events(10_000, 4)
+
+
+def test_engine_fails_fast_on_sequenced_event_cap(tmp_path, fov_source):
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 1},
+        camera={"model_acquisition": True, "max_sequenced_events": 2},
+    )
+    with pytest.raises(ValueError, match="sequenced events"):
+        # 3 source slices x 1 channel = 3 > 2.
+        AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+
+
+def test_plan_validate_enforces_sequenced_event_cap(tmp_path):
+    from click.testing import CliRunner
+
+    from shrimpy_tpu.cli.main import cli
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text(
+        "channels: [{name: GFP, exposure_ms: 20.0}, "
+        "{name: RFP, exposure_ms: 20.0}]\n"
+        "z: {n_slices: 601}\n"
+        "camera: {model_acquisition: true}\n"
+    )
+    result = CliRunner().invoke(cli, ["plan", "validate", str(bad)])
+    assert result.exit_code != 0
+    assert "sequenced events" in result.output
 
 
 def test_plan_validate_surfaces_camera_problems(tmp_path):
