@@ -142,6 +142,16 @@ def _completeness(record: dict) -> tuple[int, int, int]:
     return ok, int(record.get("parity_err") is not None), at_production
 
 
+def _environment() -> dict:
+    """Software provenance for the record (the reference logs its conda
+    env into every acquisition log for reproducibility, reference
+    shrimpy/_logging.py:92-136; here: the versions that determine TPU
+    codegen + IO behavior)."""
+    from shrimpy_tpu.utils.logging import environment_provenance
+
+    return environment_provenance()
+
+
 def _save_last_good(record: dict) -> None:
     # Never downgrade: a degraded-tunnel run that measured the headline
     # but lost configs (r4 run 7: headline ok, all seven configs timed
@@ -438,6 +448,15 @@ def _config_register(variant: str | None) -> dict:
     t0 = time.perf_counter()
     result = estimate_registration(fixed, moving, settings)
     est_s = time.perf_counter() - t0
+    # Split compile from warm: a second estimate hits the jit caches,
+    # so its wall time is the steady-state cost and the difference is
+    # compile + tunnel queueing. Without the split, tunnel noise in
+    # the one-shot figure masquerades as regression (r4: 6.5 s ->
+    # 22.9 s at identical accuracy).
+    t0 = time.perf_counter()
+    result_warm = estimate_registration(fixed, moving, settings)
+    warm_s = time.perf_counter() - t0
+    del result_warm
 
     # Amortize the apply over N calls in one jit program (the tunnel's
     # per-dispatch latency otherwise dominates a single warp).
@@ -468,6 +487,8 @@ def _config_register(variant: str | None) -> dict:
         "name": "registration_estimate_apply",
         "shape": shape,
         "estimate_seconds": round(est_s, 3),
+        "estimate_warm_seconds": round(warm_s, 3),
+        "estimate_compile_seconds": round(max(est_s - warm_s, 0.0), 3),
         "apply_seconds": round(apply_s, 4),
         "apply_gvox_per_s": round(int(np.prod(shape)) / apply_s / 1e9, 4),
         "shift_err_px": round(err, 4),
@@ -1098,7 +1119,7 @@ def main() -> None:
                 break
 
     configs = [results[name] for name in record_order]
-    record = {**headline, "configs": configs}
+    record = {**headline, "environment": _environment(), "configs": configs}
     if value > 0:
         _save_last_good(record)
     else:

@@ -37,6 +37,9 @@ from shrimpy_tpu.engine.replay import ReplaySource
 from shrimpy_tpu.io import ngff
 from shrimpy_tpu.tracking.core import ShiftJournal, Tracker
 from shrimpy_tpu.tracking.position import PositionStore, PositionUpdateManager
+from shrimpy_tpu.utils.logging import (
+    environment_provenance as _environment_provenance,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -711,6 +714,9 @@ class AcquisitionEngine:
                 "error": run_error,
                 "paused_s": round(paused_s, 3),
                 "wall_time_s": round(time.monotonic() - t_start, 3),
+                # Software provenance (reference _logging.py:92-136
+                # logs the conda env for reproducibility).
+                "environment": _environment_provenance(),
             }
             try:
                 with open(

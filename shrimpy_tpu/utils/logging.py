@@ -86,6 +86,34 @@ def release_log_file(log_file: str | Path) -> None:
                 h.close()
 
 
+def environment_provenance() -> dict:
+    """Structured software provenance (reference ``_logging.py:92-136``
+    records the conda env into the log; the TPU-relevant analogue is
+    the versions that determine codegen + IO behavior). Recorded into
+    the acquisition summary sidecar and the bench record so cross-round
+    number archaeology can tell a toolchain change from a regression.
+
+    NEVER initializes the jax backend (see :func:`log_environment`).
+    """
+    import platform
+
+    env: dict = {
+        "python": platform.python_version(),
+        "platform": platform.platform(),
+    }
+    from importlib import metadata
+
+    for mod in ("jax", "jaxlib", "numpy", "tensorstore"):
+        try:
+            v = getattr(__import__(mod), "__version__", None)
+            if v is None:  # tensorstore keeps it in dist metadata only
+                v = metadata.version(mod)
+            env[mod] = v
+        except Exception:  # pragma: no cover - absent optional dep
+            continue
+    return env
+
+
 def log_environment(logger: logging.Logger) -> None:
     """Environment provenance (reference ``_logging.py:92-136``)."""
     import platform

@@ -52,6 +52,11 @@ def test_basic_acquisition_roundtrip(tmp_path, fov_source):
     )
     assert summary["volumes_acquired"] == 4
     assert summary["skipped_autofocus"] == []
+    # Environment provenance (reference _logging.py:92-136): the
+    # sidecar records the toolchain so bench/number archaeology can
+    # tell a version change from a regression.
+    env = summary["environment"]
+    assert env["python"] and env["jax"] and env["numpy"]
 
 
 def test_name_auto_increment(tmp_path, fov_source):
