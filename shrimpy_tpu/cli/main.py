@@ -590,107 +590,21 @@ def plan_new(out_path, timepoints, interval_s, channels):
 def plan_validate(plan_path, store_path):
     """Validate a plan YAML (schema; with --input also against a store),
     mirroring the widget's pre-run validation."""
-    from shrimpy_tpu.engine.plan import AcquisitionPlan
+    from shrimpy_tpu.engine.plan import AcquisitionPlan, validate_plan
 
     try:
         p = AcquisitionPlan.from_yaml(plan_path)
     except Exception as e:
         raise click.ClickException(f"invalid plan: {e}") from e
-    problems: list[str] = []
-    # Schema-only checks that need no store: the command's contract is
-    # "fail BEFORE the run", so everything checkable here must check.
-    dyn = p.dynatrack_metadata()
-    cfg = None
-    if dyn:
-        from shrimpy_tpu.config.schemas import DynaTrackConfig
-
-        try:
-            cfg = DynaTrackConfig(**dyn)
-        except Exception as e:
-            problems.append(f"dynatrack config: {e}")
-    if p.camera.model_acquisition:
-        # The engine fails fast on these at run start (the reference
-        # asserts exposure > readout before every lightsheet burst,
-        # archive acq_engine.py:585-588) — surface them pre-run.
-        exposures = (
-            [(c.name, c.exposure_ms) for c in p.channels]
-            if p.channels
-            else [("<default>", p.source_exposure_ms)]
-        )
-        for cname, exp in exposures:
-            try:
-                p.camera.slice_rate_hz(exp)
-            except ValueError as e:
-                problems.append(f"camera model, channel {cname!r}: {e}")
-        # Hardware-sequence length (reference archive
-        # acq_engine.py:171-183): checkable without a store whenever
-        # the plan pins its own slice count; the store branch below
-        # re-checks with the resolved depth.
-        if p.z.n_slices is not None and p.channels:
-            try:
-                p.camera.check_sequenced_events(
-                    p.z.n_slices, len(p.channels)
-                )
-            except ValueError as e:
-                problems.append(f"camera model: {e}")
+    source = None
     if store_path is not None:
         from shrimpy_tpu.engine.replay import ReplaySource
 
         source = ReplaySource(store_path)
-        names = source.channel_names
-        if p.channels:
-            for c in p.channels:
-                if c.name not in names:
-                    problems.append(
-                        f"channel {c.name!r} not in store (has {names})"
-                    )
-        try:
-            p.resolve_positions(source.position_keys)
-        except ValueError as e:
-            problems.append(str(e))
-        # Checks the ENGINE enforces at run start (after the output
-        # dir and log already exist) — surfaced here instead:
-        if p.stage_positions is not None:
-            src = p.stage_positions.source_position
-            if src is not None and src not in source.position_keys:
-                problems.append(
-                    f"stage_positions.source_position={src!r} not in "
-                    f"the source store (has {source.position_keys})"
-                )
-        try:
-            z_idx = p.z.resolve_z_indices(
-                source.shape_tczyx[2], float(source.zyx_scale[0])
-            )
-        except ValueError as e:
-            problems.append(f"z plan: {e}")
-        else:
-            n_ch = (
-                len(p.channels) if p.channels else source.shape_tczyx[1]
-            )
-            try:
-                p.camera.check_sequenced_events(len(z_idx), n_ch)
-            except ValueError as e:
-                problems.append(f"camera model: {e}")
-        if p.refocus.enabled and p.refocus.channel is not None:
-            if p.refocus.channel not in names:
-                problems.append(
-                    f"refocus channel {p.refocus.channel!r} not in store"
-                )
-        if p.autoexposure.enabled and p.autoexposure.channel is not None:
-            if p.autoexposure.channel not in names:
-                problems.append(
-                    f"autoexposure channel "
-                    f"{p.autoexposure.channel!r} not in store"
-                )
-        if cfg is not None:
-            track_src = (
-                cfg.input_channel if cfg.preprocessing
-                else cfg.tracking_channel
-            )
-            if track_src not in names:
-                problems.append(
-                    f"dynatrack channel {track_src!r} not in store"
-                )
+    # Single source of truth shared with the browser plan editor:
+    # engine.plan.validate_plan (every check the engine fails fast on,
+    # surfaced BEFORE the run).
+    problems = validate_plan(p, source)
     if problems:
         raise click.ClickException("; ".join(problems))
     click.echo(json.dumps({"valid": True, "plan": str(plan_path)}))
@@ -758,8 +672,18 @@ def measure_psf(input, psf_out, geometry, ls_angle_deg, threshold_percentile):
                    "127.0.0.1:PORT (0 = pick a free port) — the "
                    "graphical counterpart of the reference napari "
                    "viewer, usable over an SSH port-forward.")
+@click.option("--plan", "plan_path", type=click.Path(exists=True),
+              default=None,
+              help="[--serve] Attach this plan YAML to the browser's "
+                   "plan editor (edit, validate, save — the graphical "
+                   "counterpart of the reference acquisition widget's "
+                   "settings editor).")
+@click.option("--plan-store", type=click.Path(exists=True), default=None,
+              help="[--serve --plan] Cross-check edited plans against "
+                   "this replay store (the `plan validate --input` "
+                   "tier).")
 def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
-            px_to_scan_ratio, serve):
+            px_to_scan_ratio, serve, plan_path, plan_store):
     """Watch a (possibly growing) store: progress stats + preview PNGs.
 
     The headless counterpart of the reference's live napari viewer
@@ -769,7 +693,8 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
     if live:
         _monitor_live(
             input, preview_dir, interval, once, ls_angle_deg,
-            px_to_scan_ratio, serve,
+            px_to_scan_ratio, serve, plan_path=plan_path,
+            plan_store=plan_store,
         )
         return
     import time as _time
@@ -786,7 +711,10 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
     in_path = Path(input)
     # A store-mode monitor usually points at <output_dir>/<name>.zarr;
     # the engine's run-control file sits beside the store.
-    web = _start_web(out_dir, serve, live=False, near=[in_path.parent])
+    web = _start_web(
+        out_dir, serve, live=False, near=[in_path.parent],
+        plan_path=plan_path, plan_store=plan_store,
+    )
     # Reconstruction outputs carry a progress journal sidecar; a
     # growing acquisition store doesn't, but its written chunks are on
     # disk. Both are O(positions)/O(written chunks) per tick — never
@@ -857,12 +785,14 @@ def monitor(input, preview_dir, interval, once, live, ls_angle_deg,
         web.stop()
 
 
-def _start_web(out_dir, serve, *, live, near=None):
+def _start_web(out_dir, serve, *, live, near=None, plan_path=None,
+               plan_store=None):
     """Start the browser UI against a preview dir (None = off).
 
     ``near`` are directories to search for a running acquisition's
     ``run_control.json`` (engine/control.py): when found, the page's
-    pause/resume/abort buttons drive that run.
+    pause/resume/abort buttons drive that run. ``plan_path`` attaches
+    the browser plan editor; ``plan_store`` its store cross-checks.
     """
     if serve is None:
         return None
@@ -875,17 +805,20 @@ def _start_web(out_dir, serve, *, live, near=None):
             run_control = cand
             break
     web = MonitorWebServer(
-        out_dir, port=serve, live=live, run_control=run_control
+        out_dir, port=serve, live=live, run_control=run_control,
+        plan_path=plan_path, plan_store=plan_store,
     ).start()
     click.echo(json.dumps({
         "web_ui": web.url,
         "run_control": str(run_control) if run_control else None,
+        "plan": str(plan_path) if plan_path else None,
     }))
     return web
 
 
 def _monitor_live(input, preview_dir, interval, once, ls_angle_deg,
-                  px_to_scan_ratio, serve=None):
+                  px_to_scan_ratio, serve=None, plan_path=None,
+                  plan_store=None):
     """Attach-mode live monitor: ring descriptor + volumes.jsonl tail.
 
     Ports the reference napari process's live behaviors (follow-latest
@@ -938,7 +871,8 @@ def _monitor_live(input, preview_dir, interval, once, ls_angle_deg,
     # run-control file in OUT itself; when attaching to either path the
     # control file is in the ring dir's parent (or the input itself).
     web = _start_web(
-        out_dir, serve, live=True, near=[in_path, ring_dir.parent]
+        out_dir, serve, live=True, near=[in_path, ring_dir.parent],
+        plan_path=plan_path, plan_store=plan_store,
     )
     try:
         while True:

@@ -626,3 +626,111 @@ class AcquisitionPlan(BaseModel):
         """The ``metadata.dynatrack`` block (reference
         ``metadata.mantis.dynatrack``, ``manager.py:170-240``)."""
         return self.metadata.get("dynatrack")
+
+
+def validate_plan(plan: AcquisitionPlan, source=None) -> list[str]:
+    """Every pre-run check the engine would fail on, as problem strings.
+
+    The one source of truth behind ``plan validate`` (CLI) and the
+    browser plan editor (``viewer/web.py``) — mirroring the reference
+    widget's pre-run validation (reference
+    ``mantis_acquisition_widget.py:604-657``). ``source`` is an opened
+    :class:`~shrimpy_tpu.engine.replay.ReplaySource` for the
+    store cross-checks; ``None`` runs the schema-only tier.
+
+    Returns ``[]`` when the plan is valid.
+    """
+    problems: list[str] = []
+    dyn = plan.dynatrack_metadata()
+    cfg = None
+    if dyn:
+        from shrimpy_tpu.config.schemas import DynaTrackConfig
+
+        try:
+            cfg = DynaTrackConfig(**dyn)
+        except Exception as e:
+            problems.append(f"dynatrack config: {e}")
+    if plan.camera.model_acquisition:
+        # The engine fails fast on these at run start (the reference
+        # asserts exposure > readout before every lightsheet burst,
+        # archive acq_engine.py:585-588) — surface them pre-run.
+        exposures = (
+            [(c.name, c.exposure_ms) for c in plan.channels]
+            if plan.channels
+            else [("<default>", plan.source_exposure_ms)]
+        )
+        for cname, exp in exposures:
+            try:
+                plan.camera.slice_rate_hz(exp)
+            except ValueError as e:
+                problems.append(f"camera model, channel {cname!r}: {e}")
+        # Hardware-sequence length (reference archive
+        # acq_engine.py:171-183): checkable without a store whenever
+        # the plan pins its own slice count; the store branch below
+        # re-checks with the resolved depth.
+        if plan.z.n_slices is not None and plan.channels:
+            try:
+                plan.camera.check_sequenced_events(
+                    plan.z.n_slices, len(plan.channels)
+                )
+            except ValueError as e:
+                problems.append(f"camera model: {e}")
+    if source is not None:
+        names = source.channel_names
+        if plan.channels:
+            for c in plan.channels:
+                if c.name not in names:
+                    problems.append(
+                        f"channel {c.name!r} not in store (has {names})"
+                    )
+        try:
+            plan.resolve_positions(source.position_keys)
+        except ValueError as e:
+            problems.append(str(e))
+        # Checks the ENGINE enforces at run start (after the output
+        # dir and log already exist) — surfaced here instead:
+        if plan.stage_positions is not None:
+            src = plan.stage_positions.source_position
+            if src is not None and src not in source.position_keys:
+                problems.append(
+                    f"stage_positions.source_position={src!r} not in "
+                    f"the source store (has {source.position_keys})"
+                )
+        try:
+            z_idx = plan.z.resolve_z_indices(
+                source.shape_tczyx[2], float(source.zyx_scale[0])
+            )
+        except ValueError as e:
+            problems.append(f"z plan: {e}")
+        else:
+            if plan.camera.model_acquisition:
+                n_ch = (
+                    len(plan.channels)
+                    if plan.channels
+                    else source.shape_tczyx[1]
+                )
+                try:
+                    plan.camera.check_sequenced_events(len(z_idx), n_ch)
+                except ValueError as e:
+                    problems.append(f"camera model: {e}")
+        if plan.refocus.enabled and plan.refocus.channel is not None:
+            if plan.refocus.channel not in names:
+                problems.append(
+                    f"refocus channel {plan.refocus.channel!r} not in store"
+                )
+        if plan.autoexposure.enabled and plan.autoexposure.channel is not None:
+            if plan.autoexposure.channel not in names:
+                problems.append(
+                    f"autoexposure channel "
+                    f"{plan.autoexposure.channel!r} not in store"
+                )
+        if cfg is not None:
+            track_src = (
+                cfg.input_channel if cfg.preprocessing
+                else cfg.tracking_channel
+            )
+            if track_src not in names:
+                problems.append(
+                    f"dynatrack channel {track_src!r} not in store"
+                )
+    return problems

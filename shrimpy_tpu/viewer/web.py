@@ -86,6 +86,22 @@ _PAGE = """<!DOCTYPE html>
   <button id="abort" style="background:#6b2a2a">abort</button>
   <span id="run-note" style="color:#c96"></span>
 </div>
+<div class="controls" id="planbox" style="display:none; flex-direction:column;
+     align-items:stretch;">
+  <div style="display:flex; gap:.8rem; align-items:center;">
+    <span>plan: <code id="plan-path"></code></span>
+    <button id="plan-validate">validate</button>
+    <button id="plan-save">validate &amp; save</button>
+    <button id="plan-reload">reload</button>
+    <span id="plan-note" style="color:#c96"></span>
+  </div>
+  <textarea id="plan-text" rows="14" spellcheck="false"
+    style="width:100%; background:#0d0d0d; color:#cdc; border:1px solid #444;
+           border-radius:4px; font-family:monospace; font-size:.8rem;
+           margin-top:.4rem;"></textarea>
+  <pre id="plan-problems" style="color:#d77; font-size:.75rem;
+       white-space:pre-wrap; margin:.3rem 0 0;"></pre>
+</div>
 <div class="imgs" id="imgs"></div>
 <div id="state"></div>
 <script>
@@ -108,7 +124,31 @@ fetch("/meta").then(r => r.json()).then(meta => {
     document.getElementById("run-note").textContent =
       "no running acquisition attached (run_control.json not found)";
   }
+  if (meta.plan) {
+    document.getElementById("planbox").style.display = "flex";
+    loadPlan();
+  }
 });
+async function loadPlan() {
+  const p = await (await fetch("/plan")).json();
+  document.getElementById("plan-path").textContent = p.path;
+  document.getElementById("plan-text").value = p.text;
+  document.getElementById("plan-problems").textContent = "";
+  document.getElementById("plan-note").textContent = "";
+}
+async function planPost(url) {
+  const r = await fetch(url, {method: "POST", body: JSON.stringify(
+    {text: document.getElementById("plan-text").value})});
+  const body = await r.json();
+  document.getElementById("plan-problems").textContent =
+    (body.problems || []).join("\\n");
+  document.getElementById("plan-note").textContent =
+    body.saved ? "saved" : (body.valid ? "valid" : "invalid");
+}
+document.getElementById("plan-validate").onclick = () =>
+  planPost("/plan/validate");
+document.getElementById("plan-save").onclick = () => planPost("/plan/save");
+document.getElementById("plan-reload").onclick = loadPlan;
 document.getElementById("pause").onclick = () =>
   post("/run", {command: "pause"});
 document.getElementById("resume").onclick = () =>
@@ -210,7 +250,23 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json({
                 "live": self.server.live,
                 "run_control": self.server.run_control is not None,
+                "plan": self.server.plan_path is not None,
             })
+        elif path == "/plan":
+            # The attached plan YAML for the browser editor (reference
+            # widget round-trips its UI state to YAML,
+            # mantis_acquisition_widget.py:685-788).
+            if self.server.plan_path is None:
+                self._send_json({"error": "no plan attached"}, 404)
+                return
+            try:
+                text = self.server.plan_path.read_text()
+            except OSError as e:
+                self._send_json({"error": str(e)}, 404)
+                return
+            self._send_json(
+                {"path": str(self.server.plan_path), "text": text}
+            )
         elif path == "/state":
             try:
                 self._send(
@@ -243,10 +299,34 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send_json({"error": "not found"}, 404)
 
+    def _validate_plan_text(self, text: str) -> list[str]:
+        """Problems for a candidate plan YAML — the same checks as
+        ``plan validate`` (engine.plan.validate_plan), against the
+        attached store when the server has one."""
+        import yaml as _yaml
+
+        from shrimpy_tpu.engine.plan import AcquisitionPlan, validate_plan
+
+        try:
+            plan = AcquisitionPlan(**(_yaml.safe_load(text) or {}))
+        except Exception as e:
+            return [f"invalid plan: {e}"]
+        source = None
+        if self.server.plan_store is not None:
+            from shrimpy_tpu.engine.replay import ReplaySource
+
+            try:
+                source = ReplaySource(self.server.plan_store)
+            except Exception as e:
+                return [f"store {self.server.plan_store}: {e}"]
+        return validate_plan(plan, source)
+
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
         path = self.path.split("?", 1)[0]
         targets = {"/view": "view.json", "/deskew": "deskew.json"}
-        if path not in targets and path != "/run":
+        if path not in targets and path not in (
+            "/run", "/plan/validate", "/plan/save"
+        ):
             self._send_json({"error": "not found"}, 404)
             return
         try:
@@ -261,6 +341,32 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError("control body must be a JSON object")
         except (ValueError, json.JSONDecodeError) as e:
             self._send_json({"error": str(e)}, 400)
+            return
+        if path in ("/plan/validate", "/plan/save"):
+            # Browser plan editor: validate a candidate YAML with the
+            # `plan validate` checks; save only validates clean (the
+            # reference widget refuses to start on invalid settings).
+            if self.server.plan_path is None:
+                self._send_json({"error": "no plan attached"}, 409)
+                return
+            text = body.get("text")
+            if not isinstance(text, str):
+                self._send_json({"error": "body needs a 'text' string"}, 400)
+                return
+            problems = self._validate_plan_text(text)
+            if path == "/plan/validate":
+                self._send_json(
+                    {"valid": not problems, "problems": problems}
+                )
+                return
+            if problems:
+                self._send_json(
+                    {"valid": False, "saved": False, "problems": problems},
+                    422,
+                )
+                return
+            _atomic_write(self.server.plan_path, text)
+            self._send_json({"valid": True, "saved": True, "problems": []})
             return
         if path == "/run":
             # Pause/resume/abort the attached acquisition by writing
@@ -296,7 +402,9 @@ class MonitorWebServer(ThreadingHTTPServer):
 
     def __init__(self, out_dir: str | Path, host: str = "127.0.0.1",
                  port: int = 0, *, live: bool = True,
-                 run_control: str | Path | None = None):
+                 run_control: str | Path | None = None,
+                 plan_path: str | Path | None = None,
+                 plan_store: str | Path | None = None):
         self.out_dir = Path(out_dir)
         # Store-mode monitors never read the control files; the page
         # greys its controls out when this is False.
@@ -305,6 +413,11 @@ class MonitorWebServer(ThreadingHTTPServer):
         # acquisition's run_control.json (engine/control.py). None
         # greys those buttons out (nothing to control).
         self.run_control = Path(run_control) if run_control else None
+        # Plan the browser editor round-trips (edit -> validate ->
+        # save); validation cross-checks against plan_store when given
+        # (the `plan validate --input` tier). None hides the editor.
+        self.plan_path = Path(plan_path) if plan_path else None
+        self.plan_store = Path(plan_store) if plan_store else None
         super().__init__((host, port), _Handler)
         self._thread: threading.Thread | None = None
 

@@ -137,13 +137,17 @@ def test_meta_reports_live_mode(tmp_path):
     srv = MonitorWebServer(tmp_path, port=0, live=False).start()
     try:
         _, body = _get(srv, "/meta")
-        assert json.loads(body) == {"live": False, "run_control": False}
+        assert json.loads(body) == {
+            "live": False, "run_control": False, "plan": False,
+        }
     finally:
         srv.stop()
     srv2 = MonitorWebServer(tmp_path, port=0).start()
     try:
         _, body = _get(srv2, "/meta")
-        assert json.loads(body) == {"live": True, "run_control": False}
+        assert json.loads(body) == {
+            "live": True, "run_control": False, "plan": False,
+        }
     finally:
         srv2.stop()
 
@@ -205,4 +209,86 @@ def test_run_control_absent_is_409(server):
     assert json.loads(body)["run_control"] is False
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(srv, "/run", {"command": "pause"})
+    assert e.value.code == 409
+
+
+def test_plan_editor_round_trip(tmp_path):
+    """Browser plan editor (reference mantis_acquisition_widget.py:
+    604-657, 685-788): GET the attached YAML, validate a candidate,
+    save only when the `plan validate` checks pass."""
+    plan = tmp_path / "plan.yml"
+    plan.write_text("time: {n_timepoints: 2}\n")
+    srv = MonitorWebServer(tmp_path, port=0, plan_path=plan).start()
+    try:
+        _, body = _get(srv, "/meta")
+        assert json.loads(body)["plan"] is True
+        _, body = _get(srv, "/plan")
+        loaded = json.loads(body)
+        assert loaded["path"] == str(plan)
+        assert "n_timepoints: 2" in loaded["text"]
+
+        # Valid edit: validate then save; the file updates atomically.
+        good = "time: {n_timepoints: 5}\n"
+        status, v = _post(srv, "/plan/validate", {"text": good})
+        assert v == {"valid": True, "problems": []}
+        status, s = _post(srv, "/plan/save", {"text": good})
+        assert s["saved"] is True
+        assert plan.read_text() == good
+
+        # Invalid edit (unknown key): validation reports, save refuses
+        # and leaves the file untouched.
+        bad = "time: {n_timepoints: 5}\nbogus_key: 1\n"
+        status, v = _post(srv, "/plan/validate", {"text": bad})
+        assert v["valid"] is False and v["problems"]
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/plan/save", {"text": bad})
+        assert e.value.code == 422
+        assert plan.read_text() == good
+
+        # Semantic problem the engine would fail on (sequenced-event
+        # cap), not just schema: same checks as `plan validate`.
+        over = (
+            "channels: [{name: a, exposure_ms: 5}, {name: b, exposure_ms: 5}]\n"
+            "z: {n_slices: 601}\n"
+            "camera: {model_acquisition: true}\n"
+        )
+        _, v = _post(srv, "/plan/validate", {"text": over})
+        assert v["valid"] is False
+        assert any("sequenced events" in p for p in v["problems"])
+    finally:
+        srv.stop()
+
+
+def test_plan_editor_store_cross_check(tmp_path):
+    """With plan_store attached, edits are validated against the store
+    (channel names, z depth) — the `plan validate --input` tier."""
+    from shrimpy_tpu.io.synthetic import coordinate_encoded_fov
+
+    coordinate_encoded_fov(tmp_path / "src.zarr", shape=(1, 1, 3, 8, 8))
+    plan = tmp_path / "plan.yml"
+    plan.write_text("{}\n")
+    srv = MonitorWebServer(
+        tmp_path, port=0, plan_path=plan,
+        plan_store=tmp_path / "src.zarr",
+    ).start()
+    try:
+        _, v = _post(
+            srv, "/plan/validate",
+            {"text": "channels: [{name: nope, exposure_ms: 5}]\n"},
+        )
+        assert v["valid"] is False
+        assert any("'nope' not in store" in p for p in v["problems"])
+        _, v = _post(srv, "/plan/validate", {"text": "{}\n"})
+        assert v["valid"] is True
+    finally:
+        srv.stop()
+
+
+def test_plan_endpoints_absent_without_plan(server):
+    srv, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(srv, "/plan")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/plan/save", {"text": "{}"})
     assert e.value.code == 409
