@@ -496,3 +496,95 @@ def test_io_strict_mode_aborts(tmp_path, rng, monkeypatch):
     )
     with pytest.raises(OSError, match="injected"):
         reconstruct_store(path, tmp_path / "out.zarr", settings)
+
+
+@pytest.mark.slow
+def test_sigkill_mid_plate_keeps_journal_store_invariant(tmp_path):
+    """SIGKILL a reconstruct_store subprocess mid-run and prove the
+    write-before-journal ordering (stream.py flush_writes: a batch is
+    journaled done ONLY after its writes resolve): no journaled key may
+    lack its committed data, and resume completes exactly the missing
+    items (SURVEY §5.4 resume contract; VERDICT r4 #8)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from shrimpy_tpu.runtime.stream import _Progress
+
+    n_t, shape_zyx = 40, (48, 32, 32)
+    src = tmp_path / "in.zarr"
+    pos = create_fov(src, shape=(n_t, 1, *shape_zyx), dtype="float32")
+    rng = np.random.default_rng(7)
+    vols = rng.random((n_t, *shape_zyx), dtype=np.float32) * 100.0
+    for t in range(n_t):
+        # Deterministic per-t content so committed keys are checkable.
+        pos.write((t, 0), vols[t])
+
+    out = tmp_path / "out.zarr"
+    journal = tmp_path / "out.zarr.progress.jsonl"
+    child_src = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from shrimpy_tpu.config import DeskewSettings, ReconstructSettings
+from shrimpy_tpu.runtime import reconstruct_store
+settings = ReconstructSettings(
+    deskew=DeskewSettings(ls_angle_deg=30.0, px_to_scan_ratio=0.386),
+)
+reconstruct_store({str(src)!r}, {str(out)!r}, settings, batch_size=1)
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_src], env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        # Kill the instant a few items are journaled — mid-stream, with
+        # reads prefetched and writes in flight for later items.
+        deadline = time.monotonic() + 300.0
+        while time.monotonic() < deadline:
+            done = list(_Progress.iter_done_keys(journal))
+            if len(done) >= 3:
+                break
+            if child.poll() is not None:
+                break
+            time.sleep(0.01)
+        assert child.poll() is None, (
+            "run finished before the kill — enlarge the work list"
+        )
+        child.send_signal(signal.SIGKILL)
+        child.wait(timeout=60)
+    finally:
+        if child.poll() is None:
+            child.kill()
+            child.wait(timeout=60)
+
+    done = list(_Progress.iter_done_keys(journal))
+    assert 0 < len(done) < n_t, f"kill landed outside the run ({len(done)})"
+
+    # Invariant 1: every journaled-done key is COMMITTED — its data is
+    # on disk and correct (not a hole, not torn).
+    from shrimpy_tpu.ops.deskew import deskew_volume
+
+    out_store = open_ngff(out)
+    out_pos = out_store.position()
+    for _, t, c in done:
+        got = out_pos.volume(t, c)
+        expected = np.asarray(deskew_volume(vols[t], DESKEW))
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)
+
+    # Invariant 2: resume completes exactly the missing items, skipping
+    # every journaled one.
+    settings = ReconstructSettings(deskew=DESKEW)
+    summary = reconstruct_store(src, out, settings, resume=True)
+    assert summary["skipped_resume"] == len(done)
+    assert summary["volumes"] == n_t - len(done)
+    assert summary["failed"] == []
+    # The healed store is complete and correct everywhere.
+    for t in (0, len(done), n_t - 1):
+        np.testing.assert_allclose(
+            out_pos.volume(t, 0),
+            np.asarray(deskew_volume(vols[t], DESKEW)),
+            rtol=1e-5, atol=1e-4,
+        )
