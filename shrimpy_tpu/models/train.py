@@ -145,6 +145,16 @@ def train_vsunet(
 
     settings = settings or VSModelSettings(out_channels=target_channels)
     assert list(settings.out_channels) == list(target_channels)
+    if (
+        settings.architecture == "unext2"
+        and settings.resolved_arch_config().out_stack_depth > 1
+    ):
+        raise ValueError(
+            "training targets single center planes; voxel-stack heads "
+            "(out_stack_depth > 1) are inference/import-only — train "
+            "with out_stack_depth=1 or import a trained cytoland "
+            "checkpoint"
+        )
     store = open_ngff(store_path)
 
     # Lazy entries: volumes are read (and normalized) on demand through

@@ -84,6 +84,12 @@ class UNeXt2Config(BaseModel):
     # full input window (one z level).
     stem_kernel_z: int | None = None
     head_conv_expansion_ratio: int = 4
+    # Voxel-stack head (cytoland's out_stack_depth): each z-window
+    # emits this many output planes centered in the window; sliding
+    # windows assemble the full 3-D volume with overlap averaging
+    # (reference preprocessing.py:319-416 predict_sliding_windows).
+    # 1 = the plane-per-window 2.5-D head.
+    out_stack_depth: int = 1
 
     @model_validator(mode="after")
     def _check(self):
@@ -94,6 +100,8 @@ class UNeXt2Config(BaseModel):
             )
         if len(self.dims) < 2:
             raise ValueError("unext2 needs at least 2 stages")
+        if self.out_stack_depth < 1:
+            raise ValueError("out_stack_depth must be >= 1")
         return self
 
 
@@ -118,6 +126,11 @@ class VSModelSettings(BaseModel):
     ckpt_path: str | None = None
     seed: int = 0
     batch_slices: int = 8  # z-planes inferred per device step
+    # Sliding-window step for voxel-stack (out_stack_depth > 1)
+    # inference — the reference's `sliding_window_step` config knob
+    # (preprocessing.py:394-399, default 1). Must not exceed
+    # out_stack_depth or output planes would go uncovered.
+    window_step: int = 1
 
     def resolved_arch_config(self) -> BaseModel:
         """Validate ``arch_config`` against the architecture's schema."""
@@ -278,10 +291,15 @@ class VSUNeXt2(nn.Module):
       downsample layers between stages;
     * decoder: pixel-shuffle upsample stages with skip concats and
       NeXt-V2 blocks;
-    * head: 4x pixel-shuffle + GELU + 1x1 projection. DIVERGENCE: the
-      head emits one 2-D plane per sliding z-window (our 2.5-D
-      inference contract, :func:`_infer_volume_jit`) rather than
-      cytoland's voxel-stack head; PARITY.md records this.
+    * head: 4x pixel-shuffle + GELU + 1x1 projection. With
+      ``out_stack_depth=1`` it emits one 2-D plane per z-window
+      ((B, H, W, n_out), the 2.5-D contract of
+      :func:`_infer_volume_jit`); with ``out_stack_depth=D>1`` it is
+      cytoland's voxel-stack head — the projection emits ``n_out*D``
+      channels, reshaped channel-major (torch ``b (c d) h w ->
+      b c d h w``) to (B, H, W, D, n_out); sliding windows assemble
+      the volume in :func:`_infer_volume_stack_jit` (reference
+      ``preprocessing.py:341-358`` predict_sliding_windows).
 
     Parameter naming matches the torch state-dict layout consumed by
     :mod:`shrimpy_tpu.models.torch_import`.
@@ -293,6 +311,7 @@ class VSUNeXt2(nn.Module):
     decoder_conv_blocks: int = 1
     stem_kernel_z: int | None = None
     head_expansion: int = 4
+    out_stack_depth: int = 1
     # float32 for weight-level torch-checkpoint parity (the golden
     # import test); bfloat16 (default) for TPU inference/training.
     compute_dtype: type = jnp.bfloat16
@@ -358,9 +377,17 @@ class VSUNeXt2(nn.Module):
         )(x)
         x = _pixel_shuffle(x, 4)
         x = _gelu_exact(x)
-        return nn.Conv(
-            self.n_out, (1, 1), dtype=jnp.float32, name="head_proj"
+        d = self.out_stack_depth
+        x = nn.Conv(
+            self.n_out * d, (1, 1), dtype=jnp.float32, name="head_proj"
         )(x.astype(jnp.float32))
+        if d == 1:
+            return x  # (B, H, W, n_out) — the 2.5-D plane head
+        bb, hh, ww, _ = x.shape
+        # torch channel-major 'b (c d) h w -> b c d h w': flax channel
+        # j == torch out-channel j after the conv layout transform, so
+        # split the last dim (n_out, d) then move d before n_out.
+        return x.reshape(bb, hh, ww, self.n_out, d).transpose(0, 1, 2, 4, 3)
 
 
 def build_model(settings: VSModelSettings) -> tuple[nn.Module, int]:
@@ -384,6 +411,12 @@ def build_model(settings: VSModelSettings) -> tuple[nn.Module, int]:
             f"dims[0]={arch.dims[0]} must be divisible by the "
             f"{z_levels} stem z levels (in_slices / stem_kernel_z)"
         )
+    if arch.out_stack_depth > settings.in_slices:
+        raise ValueError(
+            f"out_stack_depth={arch.out_stack_depth} cannot exceed "
+            f"in_slices={settings.in_slices} (the output stack is "
+            "centered inside the input window)"
+        )
     return (
         VSUNeXt2(
             n_out=n_out,
@@ -392,6 +425,7 @@ def build_model(settings: VSModelSettings) -> tuple[nn.Module, int]:
             decoder_conv_blocks=arch.decoder_conv_blocks,
             stem_kernel_z=arch.stem_kernel_z,
             head_expansion=arch.head_conv_expansion_ratio,
+            out_stack_depth=arch.out_stack_depth,
         ),
         # stem 4x (2^2) + one 2x per stage after the first.
         len(arch.dims) + 1,
@@ -430,6 +464,59 @@ def _infer_volume_jit(params, vol_zyx, *, apply_fn, in_slices: int, batch: int):
     _, out = jax.lax.scan(step, None, starts.reshape(n_steps, batch))
     out = out.reshape(n_steps * batch, ny, nx, -1)[:nz]
     return out.transpose(3, 0, 1, 2)  # (n_out, Z, Y, X)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "in_slices", "out_stack_depth", "step", "n_out"),
+)
+def _infer_volume_stack_jit(
+    params, vol_zyx, *, apply_fn, in_slices: int, out_stack_depth: int,
+    step: int, n_out: int,
+):
+    """Voxel-stack sliding-window inference (cytoland's
+    ``predict_sliding_windows`` contract, reference
+    ``preprocessing.py:341-358``): each ``in_slices``-deep window emits
+    ``out_stack_depth`` planes centered in the window; windows slide by
+    ``step`` and overlapping outputs average. Returns (n_out, Z, Y, X).
+    """
+    vol = vol_zyx.astype(jnp.float32)
+    nz, ny, nx = vol.shape
+    mean = jnp.mean(vol)
+    std = jnp.std(vol) + 1e-6
+    vol = (vol - mean) / std
+    d = out_stack_depth
+    off = (in_slices - d) // 2
+    # After this edge pad, the window whose OUTPUT planes are
+    # [z0, z0 + d) reads padded input [z0, z0 + in_slices).
+    padded = jnp.pad(
+        vol, ((off, in_slices - d - off), (0, 0), (0, 0)), mode="edge"
+    )
+    last = nz - d  # callers validate nz >= d
+    n_win = -(-last // step) + 1 if last else 1
+    # Clamped tail duplicates average into themselves — harmless.
+    starts = jnp.minimum(jnp.arange(n_win) * step, last)
+
+    def body(carry, z0):
+        acc, cnt = carry
+        win = jax.lax.dynamic_slice(
+            padded, (z0, 0, 0), (in_slices, ny, nx)
+        ).transpose(1, 2, 0)[None]  # (1, H, W, in_slices)
+        y = apply_fn(params, win)[0]  # (H, W, d, n_out)
+        y = y.transpose(2, 3, 0, 1)  # (d, n_out, H, W)
+        cur = jax.lax.dynamic_slice(
+            acc, (z0, 0, 0, 0), (d, n_out, ny, nx)
+        )
+        acc = jax.lax.dynamic_update_slice(acc, cur + y, (z0, 0, 0, 0))
+        ccur = jax.lax.dynamic_slice(cnt, (z0,), (d,))
+        cnt = jax.lax.dynamic_update_slice(cnt, ccur + 1.0, (z0,))
+        return (acc, cnt), None
+
+    acc0 = jnp.zeros((nz, n_out, ny, nx), jnp.float32)
+    cnt0 = jnp.zeros((nz,), jnp.float32)
+    (acc, cnt), _ = jax.lax.scan(body, (acc0, cnt0), starts)
+    out = acc / cnt[:, None, None, None]
+    return out.transpose(1, 0, 2, 3)  # (n_out, Z, Y, X)
 
 
 class VirtualStainer:
@@ -594,13 +681,36 @@ class VirtualStainer:
             f"YX extent {(ny, nx)} must be divisible by {m} "
             "(pad or crop upstream)"
         )
-        out = _infer_volume_jit(
-            self.params,
-            vol,
-            apply_fn=self.model.apply,
-            in_slices=self.settings.in_slices,
-            batch=min(self.settings.batch_slices, vol.shape[0]),
-        )
+        d = getattr(self.model, "out_stack_depth", 1)
+        if d > 1:
+            if vol.shape[0] < d:
+                raise ValueError(
+                    f"volume depth {vol.shape[0]} is shallower than the "
+                    f"model's out_stack_depth {d}"
+                )
+            step = self.settings.window_step
+            if not 1 <= step <= d:
+                raise ValueError(
+                    f"window_step={step} must be in [1, out_stack_depth="
+                    f"{d}] or output planes would go uncovered"
+                )
+            out = _infer_volume_stack_jit(
+                self.params,
+                vol,
+                apply_fn=self.model.apply,
+                in_slices=self.settings.in_slices,
+                out_stack_depth=d,
+                step=step,
+                n_out=len(self.settings.out_channels),
+            )
+        else:
+            out = _infer_volume_jit(
+                self.params,
+                vol,
+                apply_fn=self.model.apply,
+                in_slices=self.settings.in_slices,
+                batch=min(self.settings.batch_slices, vol.shape[0]),
+            )
         return {
             name: out[i] for i, name in enumerate(self.settings.out_channels)
         }

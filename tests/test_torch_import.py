@@ -141,29 +141,37 @@ class _TDecoder(tnn.Module):
 
 
 class _THead(tnn.Module):
-    def __init__(self, in_dim, hw, n_out):
+    def __init__(self, in_dim, hw, n_out, out_stack_depth=1):
         super().__init__()
+        self.n_out = n_out
+        self.d = out_stack_depth
         self.upsample = tnn.Conv2d(in_dim, hw * 16, 3, padding=1)
-        self.proj = tnn.Conv2d(hw, n_out, 1)
+        self.proj = tnn.Conv2d(hw, n_out * out_stack_depth, 1)
 
     def forward(self, x):
         x = self.upsample(x)
         x = F.pixel_shuffle(x, 4)
         x = F.gelu(x)
-        return self.proj(x)
+        x = self.proj(x)
+        if self.d == 1:
+            return x  # (B, n_out, H, W)
+        b, _, h, w = x.shape
+        # cytoland voxel-stack head: 'b (c d) h w -> b c d h w'
+        return x.reshape(b, self.n_out, self.d, h, w)
 
 
 class TorchUNeXt2(tnn.Module):
     """The oracle twin: cytoland-style naming + structure."""
 
-    def __init__(self, n_out, blocks, dims, conv_blocks, in_slices, kz, expansion):
+    def __init__(self, n_out, blocks, dims, conv_blocks, in_slices, kz, expansion,
+                 out_stack_depth=1):
         super().__init__()
         z_levels = in_slices // kz
         self.stem = _TStem(dims[0], kz, z_levels)
         self.encoder = _TEncoder(blocks, dims)
         self.decoder = _TDecoder(dims, conv_blocks)
         hw = max(n_out, dims[0] // expansion)
-        self.head = _THead(dims[0], hw, n_out)
+        self.head = _THead(dims[0], hw, n_out, out_stack_depth)
 
     def forward(self, x):  # (B, D, H, W) z-window
         x = self.stem(x[:, None])  # (B, dims0, H/4, W/4)
@@ -273,3 +281,117 @@ def test_lightning_checkpoint_roundtrip(tmp_path, rng):
     out = stainer.predict(rng.random((6, 32, 32), dtype=np.float32))
     assert set(out) == {"nuclei", "membrane"}
     assert out["nuclei"].shape == (6, 32, 32)
+
+
+def _torch_sliding_windows(twin, vol, in_slices, d, step):
+    """Torch oracle of cytoland's predict_sliding_windows assembly
+    (reference preprocessing.py:341-358): z-score normalize, edge-pad
+    so output window z0 covers planes [z0, z0+d), slide by `step` with
+    a clamped tail, average overlaps. Mirrors the contract of
+    _infer_volume_stack_jit exactly (clamped-tail duplicates included)."""
+    nz, ny, nx = vol.shape
+    v = (vol - vol.mean()) / (vol.std(ddof=0) + 1e-6)
+    off = (in_slices - d) // 2
+    padded = np.pad(
+        v, ((off, in_slices - d - off), (0, 0), (0, 0)), mode="edge"
+    )
+    last = nz - d
+    n_win = -(-last // step) + 1 if last else 1
+    starts = np.minimum(np.arange(n_win) * step, last)
+    n_out = twin.head.n_out
+    acc = np.zeros((n_out, nz, ny, nx), np.float64)
+    cnt = np.zeros(nz, np.float64)
+    for z0 in starts:
+        win = padded[z0 : z0 + in_slices]
+        with torch.no_grad():
+            y = twin(torch.from_numpy(win[None].astype(np.float32)))
+        y = y.numpy()[0]  # (n_out, d, H, W)
+        acc[:, z0 : z0 + d] += y
+        cnt[z0 : z0 + d] += 1.0
+    return (acc / cnt[None, :, None, None]).astype(np.float32)
+
+
+STACK_SETTINGS = VSModelSettings(
+    architecture="unext2",
+    arch_config={
+        "encoder_blocks": [1, 2],
+        "dims": [16, 32],
+        "decoder_conv_blocks": 1,
+        "stem_kernel_z": 2,
+        "head_conv_expansion_ratio": 4,
+        "out_stack_depth": 2,
+    },
+    in_slices=4,
+    out_channels=["nuclei", "membrane"],
+    window_step=1,
+)
+
+
+def _stack_twin():
+    torch.manual_seed(1)
+    return TorchUNeXt2(
+        n_out=2, blocks=[1, 2], dims=[16, 32], conv_blocks=1,
+        in_slices=4, kz=2, expansion=4, out_stack_depth=2,
+    )
+
+
+def test_voxel_stack_head_full_volume_golden(tmp_path, rng):
+    """VERDICT r4 #4 done criterion: an imported checkpoint's FULL 3-D
+    output matches the torch twin's sliding-window voxel-stack
+    assembly <= 1e-4 — not just the center-plane trajectory."""
+    twin = _stack_twin().eval()
+    vol = rng.standard_normal((7, 32, 32)).astype(np.float32) * 3.0 + 1.5
+    oracle = _torch_sliding_windows(twin, vol, in_slices=4, d=2, step=1)
+
+    ckpt = {
+        "state_dict": {f"model.{k}": v for k, v in twin.state_dict().items()}
+    }
+    path = tmp_path / "stack.ckpt"
+    torch.save(ckpt, path)
+
+    from shrimpy_tpu.models.vsunet import VirtualStainer
+
+    settings = STACK_SETTINGS.model_copy(update={"ckpt_path": str(path)})
+    stainer = VirtualStainer(settings)
+    # bf16 inference would swamp the 1e-4 budget; parity runs f32.
+    stainer.model = stainer.model.clone(compute_dtype=jnp.float32)
+    got = stainer.predict(vol)
+    assert set(got) == {"nuclei", "membrane"}
+    ours = np.stack([np.asarray(got["nuclei"]), np.asarray(got["membrane"])])
+    assert ours.shape == oracle.shape == (2, 7, 32, 32)
+    err = np.abs(ours - oracle).max()
+    scale = np.abs(oracle).max()
+    assert err <= 1e-4 * max(scale, 1.0), (err, scale)
+
+
+def test_voxel_stack_step_and_depth_variants(tmp_path, rng):
+    """step=d (non-overlapping) and step<d (overlap averaging) both
+    reproduce the torch assembly; uncovered-plane configs are rejected."""
+    twin = _stack_twin().eval()
+    vol = rng.standard_normal((9, 32, 32)).astype(np.float32)
+    ckpt = {"state_dict": {f"model.{k}": v for k, v in twin.state_dict().items()}}
+    path = tmp_path / "stack.ckpt"
+    torch.save(ckpt, path)
+
+    from shrimpy_tpu.models.vsunet import VirtualStainer
+
+    for step in (1, 2):
+        oracle = _torch_sliding_windows(twin, vol, in_slices=4, d=2, step=step)
+        settings = STACK_SETTINGS.model_copy(
+            update={"ckpt_path": str(path), "window_step": step}
+        )
+        stainer = VirtualStainer(settings)
+        stainer.model = stainer.model.clone(compute_dtype=jnp.float32)
+        got = stainer.predict(vol)
+        ours = np.stack(
+            [np.asarray(got["nuclei"]), np.asarray(got["membrane"])]
+        )
+        err = np.abs(ours - oracle).max()
+        assert err <= 1e-4 * max(np.abs(oracle).max(), 1.0), (step, err)
+
+    settings = STACK_SETTINGS.model_copy(
+        update={"ckpt_path": str(path), "window_step": 3}
+    )
+    stainer = VirtualStainer(settings)
+    with pytest.raises(ValueError, match="window_step"):
+        stainer.predict(vol)
