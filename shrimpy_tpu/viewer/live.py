@@ -97,9 +97,17 @@ class LiveMonitor:
         self._volumes: dict[tuple[str, str], dict[int, dict]] = {}
         self.follow = True
         self.pinned_t: int | None = None
-        # z-scrub: None renders the mid-plane; an int pins that plane
-        # (clamped per volume) — napari's z slider equivalent.
+        # Slice scrub: None renders the mid-plane; an int pins that
+        # plane (clamped per volume) — napari's slider equivalent.
+        # ``slice_axis`` picks WHICH axis is sliced (napari scrubs any
+        # axis of the (p, t, z, y, x) array,
+        # reference _napari_process.py:293-329).
         self.pinned_z: int | None = None
+        self.slice_axis: str = "z"
+        # Per-channel layer visibility (napari's layer toggles): None =
+        # all channels; hidden layers' PNGs are removed so the browser
+        # listing drops them.
+        self.visible_channels: list[str] | None = None
         # Per-channel contrast limits, frozen at first render so
         # brightness stays comparable across timepoints (reference
         # auto-contrasts per channel, _napari_process.py:416-433).
@@ -134,15 +142,24 @@ class LiveMonitor:
                 pinned = int(pinned) if pinned is not None else None
                 pinned_z = view.get("z")
                 pinned_z = int(pinned_z) if pinned_z is not None else None
+                axis = view.get("axis", "z")
+                if axis not in ("z", "y", "x"):
+                    raise ValueError(f"axis must be z/y/x, got {axis!r}")
+                chans = view.get("channels")
+                if chans is not None:
+                    chans = [str(c) for c in chans]
             except (TypeError, ValueError):
                 logger.warning("invalid view.json values (ignored): %r", view)
             else:
-                if (follow, pinned, pinned_z) != (
-                    self.follow, self.pinned_t, self.pinned_z
+                if (follow, pinned, pinned_z, axis, chans) != (
+                    self.follow, self.pinned_t, self.pinned_z,
+                    self.slice_axis, self.visible_channels,
                 ):
                     self.follow = follow
                     self.pinned_t = pinned
                     self.pinned_z = pinned_z
+                    self.slice_axis = axis
+                    self.visible_channels = chans
                     changed = True
             # ``{"contrast": "refresh"}`` drops the frozen limits so the
             # next render re-stretches per channel — the knob for the
@@ -252,6 +269,19 @@ class LiveMonitor:
         return n
 
     def _render_layer(self, key: tuple[str, str]) -> bool:
+        p, channel = key
+        if (
+            self.visible_channels is not None
+            and channel not in self.visible_channels
+        ):
+            # Hidden layer (napari layer-visibility toggle): remove its
+            # published PNG so the browser listing drops the figure.
+            png = self.out_dir / (
+                f"live_p{_slug(str(p))}_{_slug(channel)}.png"
+            )
+            png.unlink(missing_ok=True)
+            self._last_drawn.pop(f"{p}|{channel}", None)
+            return False
         t = self._select_t(key)
         if t is None:
             return False
@@ -270,18 +300,18 @@ class LiveMonitor:
                     break
             if vol is None:
                 return False
-        p, channel = key
         lo, hi = self._contrast_limits(channel, vol)
         self._draw(p, channel, t, vol, lo, hi)
         self._last_drawn[f"{p}|{channel}"] = t
         return True
 
-    def _plane_index(self, nz: int) -> int:
-        """Rendered z plane: the scrubbed plane (clamped to the
-        volume's extent, like napari's slider) or the mid-plane."""
+    def _plane_index(self, n: int) -> int:
+        """Rendered plane along the sliced axis: the scrubbed index
+        (clamped to the volume's extent, like napari's slider) or the
+        mid-plane."""
         if self.pinned_z is None:
-            return nz // 2
-        return max(0, min(self.pinned_z, nz - 1))
+            return n // 2
+        return max(0, min(self.pinned_z, n - 1))
 
     def _contrast_limits(self, channel: str, vol: np.ndarray) -> tuple[float, float]:
         if self.contrast_mode == "auto" or channel not in self.contrast:
@@ -300,12 +330,25 @@ class LiveMonitor:
         panels = 2 + (self.deskew is not None)
         fig, axes = plt.subplots(1, panels, figsize=(4 * panels, 4))
         cmap = colormap_for_channel(channel)
-        zi = self._plane_index(vol.shape[0])
-        axes[0].imshow(vol[zi], cmap=cmap, vmin=lo, vmax=hi)
+        # Arbitrary-plane inspection (napari scrubs every axis of the
+        # lazy array, reference _napari_process.py:293-329): slice the
+        # selected axis at the scrubbed (or mid) index.
+        ax_i = "zyx".index(self.slice_axis)
+        zi = self._plane_index(vol.shape[ax_i])
+        plane = np.take(vol, zi, axis=ax_i)
+        axes[0].imshow(
+            plane, cmap=cmap, vmin=lo, vmax=hi,
+            aspect="auto" if ax_i else None,
+        )
         label = "mid" if self.pinned_z is None else "scrub"
-        axes[0].set_title(f"p={p} {channel} t={t} z={zi} ({label})")
-        axes[1].imshow(vol.max(axis=0), cmap="magma", vmin=lo, vmax=hi)
-        axes[1].set_title("max projection")
+        axes[0].set_title(
+            f"p={p} {channel} t={t} {self.slice_axis}={zi} ({label})"
+        )
+        axes[1].imshow(
+            vol.max(axis=ax_i), cmap="magma", vmin=lo, vmax=hi,
+            aspect="auto" if ax_i else None,
+        )
+        axes[1].set_title(f"max projection over {self.slice_axis}")
         if self.deskew is not None:
             row = self.tilt_row if self.tilt_row is not None else vol.shape[1] // 2
             side = deskew_preview_plane(vol[:, row, :], self.deskew)
@@ -331,6 +374,9 @@ class LiveMonitor:
             "follow": self.follow,
             "pinned_t": self.pinned_t,
             "pinned_z": self.pinned_z,
+            "slice_axis": self.slice_axis,
+            "visible_channels": self.visible_channels,
+            "channels": sorted({c for _, c in self._volumes}),
             "contrast": {c: list(v) for c, v in self.contrast.items()},
             "displayed": self._last_drawn,
             "evicted": self.evicted,

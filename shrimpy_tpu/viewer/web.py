@@ -69,7 +69,12 @@ _PAGE = """<!DOCTYPE html>
 <div class="controls">
   <label><input type="checkbox" id="follow" checked> follow latest</label>
   <label>t <input type="number" id="t" min="0" value="0"></label>
-  <label>z <input type="number" id="z" min="0" placeholder="mid"></label>
+  <label>axis <select id="axis">
+    <option value="z" selected>z</option>
+    <option value="y">y</option>
+    <option value="x">x</option>
+  </select></label>
+  <label>slice <input type="number" id="z" min="0" placeholder="mid"></label>
   <button id="apply">apply</button>
   <button id="home">home (follow)</button>
   <button id="restretch">re-stretch contrast</button>
@@ -77,6 +82,7 @@ _PAGE = """<!DOCTYPE html>
   <label>angle <input type="number" id="angle" step="0.5"></label>
   <label>px/scan <input type="number" id="ratio" step="0.001"></label>
   <button id="geom">set geometry</button>
+  <span id="chanbox" style="display:flex; gap:.6rem;"></span>
   <span id="mode-note" style="color:#c96"></span>
 </div>
 <div class="controls" id="runbox">
@@ -112,8 +118,8 @@ const mtimes = {};
 // clicks that change nothing.
 fetch("/meta").then(r => r.json()).then(meta => {
   if (!meta.live) {
-    for (const id of ["follow", "t", "z", "apply", "home", "restretch",
-                      "autoc", "angle", "ratio", "geom"])
+    for (const id of ["follow", "t", "axis", "z", "apply", "home",
+                      "restretch", "autoc", "angle", "ratio", "geom"])
       document.getElementById(id).disabled = true;
     document.getElementById("mode-note").textContent =
       "store mode: interactive controls need `monitor --live`";
@@ -163,11 +169,34 @@ async function post(url, body) {
 }
 function viewBody() {
   const zRaw = document.getElementById("z").value;
+  const boxes = document.querySelectorAll("#chanbox input");
+  // channels omitted (null) until at least one box is UNchecked —
+  // "all visible" must keep working before channels are known.
+  let channels = null;
+  if (boxes.length && [...boxes].some(b => !b.checked))
+    channels = [...boxes].filter(b => b.checked).map(b => b.value);
   return {follow: document.getElementById("follow").checked,
           t: parseInt(document.getElementById("t").value || "0"),
+          axis: document.getElementById("axis").value,
           z: zRaw === "" ? null : parseInt(zRaw),
+          channels: channels,
           contrast_mode: document.getElementById("autoc").checked
             ? "auto" : "freeze"};
+}
+function syncChannels(state) {
+  const box = document.getElementById("chanbox");
+  for (const c of state.channels || []) {
+    if (!document.getElementById("chan-" + c)) {
+      const lab = document.createElement("label");
+      const cb = document.createElement("input");
+      cb.type = "checkbox"; cb.value = c; cb.checked = true;
+      cb.id = "chan-" + c;
+      cb.onchange = () => post("/view", viewBody());
+      lab.appendChild(cb);
+      lab.appendChild(document.createTextNode(c));
+      box.appendChild(lab);
+    }
+  }
 }
 document.getElementById("apply").onclick = () => post("/view", viewBody());
 document.getElementById("home").onclick = () => {
@@ -188,6 +217,11 @@ async function tick() {
   try {
     const imgs = await (await fetch("/images")).json();
     const box = document.getElementById("imgs");
+    // Drop figures whose PNG disappeared (hidden channel layers).
+    const names = new Set(imgs.map(i => i.name));
+    for (const fig of [...box.children])
+      if (!names.has(fig.id.slice(4))) { fig.remove();
+        delete mtimes[fig.id.slice(4)]; }
     for (const {name, mtime} of imgs) {
       let fig = document.getElementById("fig-" + name);
       if (!fig) {
@@ -205,6 +239,7 @@ async function tick() {
       }
     }
     const state = await (await fetch("/state")).json();
+    syncChannels(state);
     document.getElementById("state").textContent =
       JSON.stringify(state, null, 1);
   } catch (e) { /* server gone or not ready; keep polling */ }

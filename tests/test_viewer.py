@@ -432,3 +432,63 @@ def test_colormap_for_channel_mapping():
         # Black at 0 -> saturated color at 1.
         assert cmap(0.0)[:3] == (0.0, 0.0, 0.0)
         assert max(cmap(1.0)[:3]) == 1.0 or name.startswith("DAPI")
+
+
+def test_live_axis_scrub_slices_y_and_x(live):
+    """view.json {"axis": "y"/"x", "z": k} slices the requested axis —
+    napari scrubs every axis of the (p, t, z, y, x) array (reference
+    _napari_process.py:293-329); bad axis values are ignored."""
+    import json as _json
+
+    ring, monitor, out = live
+    _push_volume(ring, monitor, 0, t=0, nz=4)
+    monitor.render_dirty()
+    png = next(out.glob("live_*.png"))
+    z_bytes = png.read_bytes()
+
+    (out / "view.json").write_text('{"axis": "y", "z": 3}')
+    assert monitor.refresh_controls()
+    monitor.render_dirty()
+    state = _json.loads((out / "state.json").read_text())
+    assert state["slice_axis"] == "y"
+    y_bytes = png.read_bytes()
+    assert y_bytes != z_bytes  # a (Z, X) plane, not a (Y, X) plane
+
+    (out / "view.json").write_text('{"axis": "x", "z": 1}')
+    assert monitor.refresh_controls()
+    monitor.render_dirty()
+    assert png.read_bytes() != y_bytes
+
+    (out / "view.json").write_text('{"axis": "diag"}')
+    assert not monitor.refresh_controls()  # ignored, state unchanged
+    assert monitor.slice_axis == "x"
+
+
+def test_live_channel_visibility_toggle(live):
+    """view.json {"channels": [...]} hides other channels' layers and
+    removes their PNGs (napari's per-layer visibility toggles); null
+    restores all."""
+    import json as _json
+
+    ring, monitor, out = live
+    seq = _push_volume(ring, monitor, 0, t=0, channel="BF")
+    _push_volume(ring, monitor, seq, t=0, channel="GFP")
+    monitor.render_dirty()
+    pngs = sorted(p.name for p in out.glob("live_*.png"))
+    assert len(pngs) == 2
+    state = _json.loads((out / "state.json").read_text())
+    assert state["channels"] == ["BF", "GFP"]
+
+    (out / "view.json").write_text('{"channels": ["GFP"]}')
+    assert monitor.refresh_controls()
+    monitor.render_dirty()
+    pngs = sorted(p.name for p in out.glob("live_*.png"))
+    assert len(pngs) == 1 and "GFP" in pngs[0]
+    state = _json.loads((out / "state.json").read_text())
+    assert state["visible_channels"] == ["GFP"]
+    assert "0|BF" not in state["displayed"]
+
+    (out / "view.json").write_text('{"channels": null}')
+    assert monitor.refresh_controls()
+    monitor.render_dirty()
+    assert len(list(out.glob("live_*.png"))) == 2
