@@ -330,10 +330,23 @@ class AcquisitionEngine:
         # can still re-trip the check mid-run with a new exposure.
         camera_acq_total_s = 0.0
         camera_rate_hz: dict[str, float] = {}
+        # Rates actually charged when autoexposure moved a position's
+        # exposure off the configured one, keyed "position|channel"
+        # (the per-channel dict above cannot represent per-position
+        # autoexposure results).
+        camera_effective_rate_hz: dict[str, float] = {}
         if plan.camera.model_acquisition:
             # z x channels must fit the firmware's hardware-sequence
             # length (reference archive acq_engine.py:171-183).
             plan.camera.check_sequenced_events(nz, len(channels))
+            # Exposures autoexposure may select must be modelable too
+            # (lightsheet exposure > readout) — fail BEFORE any output
+            # exists, not when a bright well trips the model mid-run.
+            from shrimpy_tpu.engine.plan import camera_autoexposure_problems
+
+            ae_problems = camera_autoexposure_problems(plan)
+            if ae_problems:
+                raise ValueError("; ".join(ae_problems))
             for c, e in zip(channels, ch_exposure):
                 camera_rate_hz[c] = plan.camera.slice_rate_hz(e)
 
@@ -604,12 +617,15 @@ class AcquisitionEngine:
                             acq_s = plan.camera.volume_time_s(
                                 nz, phys_ms, channel_change=(ci > 0)
                             )
-                            # Journal the rate actually charged (auto-
-                            # exposure may have moved it off the
-                            # configured exposure's rate).
-                            camera_rate_hz[channels[ci]] = (
-                                plan.camera.slice_rate_hz(phys_ms)
-                            )
+                            # Journal the rate actually charged when
+                            # autoexposure moved it off the configured
+                            # rate — per (position, channel): rates can
+                            # differ per well.
+                            rate = plan.camera.slice_rate_hz(phys_ms)
+                            if rate != camera_rate_hz.get(channels[ci]):
+                                camera_effective_rate_hz[
+                                    f"{p_key}|{channels[ci]}"
+                                ] = rate
                             camera_acq_total_s += acq_s
                             if plan.camera.time_scale > 0:
                                 time.sleep(acq_s * plan.camera.time_scale)
@@ -707,6 +723,12 @@ class AcquisitionEngine:
                 # modeled acquisition seconds charged this run.
                 "camera_slice_rate_hz": {
                     c: round(r, 3) for c, r in camera_rate_hz.items()
+                },
+                # "position|channel" -> the rate actually charged where
+                # autoexposure moved it off the configured rate above.
+                "camera_effective_rate_hz": {
+                    k: round(r, 3)
+                    for k, r in camera_effective_rate_hz.items()
                 },
                 "camera_acq_s": round(camera_acq_total_s, 3),
                 "volumes_acquired": n_volumes,

@@ -391,10 +391,13 @@ class CameraPlan(BaseModel):
       branches, ``:541-543`` flat 30 fps LF and ``:566-570`` LS).
 
     With ``model_acquisition`` on, the replay engine charges each
-    (t, p, channel) volume ``n_slices / slice_rate + channel_change``
-    seconds (scaled by ``time_scale``) and totals it in the summary
-    sidecar — so session replay feeds camera pacing into the
-    per-timepoint latency budget exactly like the live engine.
+    (t, p, channel) volume ``n_slices / slice_rate`` seconds plus one
+    ``channel_change`` per channel TRANSITION — ``(n_channels - 1)``
+    changes per (t, p) burst, matching the reference accounting
+    (archive ``acq_engine.py:1553-1562``) — scaled by ``time_scale``
+    and totaled in the summary sidecar, so session replay feeds camera
+    pacing into the per-timepoint latency budget exactly like the live
+    engine.
     """
 
     model_config = ConfigDict(extra="forbid")
@@ -419,9 +422,11 @@ class CameraPlan(BaseModel):
     # most this many DAC/DO states per sequence, so a z x channels
     # burst beyond it is unprogrammable on the real instrument
     # (reference archive acq_engine.py:171-183, NR_DAC_STATES /
-    # NR_DO_STATES). None = unlimited (simulation-only cameras).
-    # Microscope profiles may seed this (replay-dual arm inheritance).
-    max_sequenced_events: int | None = 1200
+    # NR_DO_STATES). Unset = mode-dependent: 1200 for the real-
+    # instrument modes (labelfree/lightsheet), unlimited for the demo
+    # camera (no TriggerScope in the loop). Microscope profiles may
+    # seed this (replay-dual arm inheritance).
+    max_sequenced_events: int | None = None
 
     @model_validator(mode="after")
     def _check(self):
@@ -442,6 +447,15 @@ class CameraPlan(BaseModel):
             raise ValueError("camera.max_sequenced_events must be >= 1")
         return self
 
+    def effective_max_sequenced_events(self) -> int | None:
+        """The enforced cap: an explicit value (including an explicit
+        ``null`` = unlimited) wins; unset defaults to 1200 for the
+        real-instrument modes and unlimited for the demo camera (no
+        TriggerScope in a simulation loop)."""
+        if "max_sequenced_events" in self.model_fields_set:
+            return self.max_sequenced_events
+        return 1200 if self.mode in ("labelfree", "lightsheet") else None
+
     def check_sequenced_events(
         self, n_slices: int, n_channels: int
     ) -> None:
@@ -450,14 +464,15 @@ class CameraPlan(BaseModel):
         ``acq_engine.py:171-183``): the real instrument's TriggerScope
         cannot program it, so a plan that validates here but not there
         would be a lie."""
-        if not self.model_acquisition or self.max_sequenced_events is None:
+        cap = self.effective_max_sequenced_events()
+        if not self.model_acquisition or cap is None:
             return
         n = n_slices * n_channels
-        if n > self.max_sequenced_events:
+        if n > cap:
             raise ValueError(
                 f"the number of sequenced events ({n_slices} slices x "
                 f"{n_channels} channels = {n}) exceeds the "
-                f"{self.max_sequenced_events}-event hardware-sequence "
+                f"{cap}-event hardware-sequence "
                 "limit (TriggerScope NR_DAC_STATES/NR_DO_STATES); reduce "
                 "slices/channels or raise camera.max_sequenced_events "
                 "if the firmware was rebuilt with longer sequences"
@@ -628,6 +643,62 @@ class AcquisitionPlan(BaseModel):
         return self.metadata.get("dynatrack")
 
 
+def camera_autoexposure_problems(plan: "AcquisitionPlan") -> list[str]:
+    """Exposures autoexposure may SELECT must be modelable.
+
+    Lightsheet's simulated global shutter needs exposure > readout for
+    every burst (reference archive ``acq_engine.py:585-588``), and
+    autoexposure can move the exposure below the configured values —
+    the escalation floor ``min_exposure_ms`` on the algorithmic paths,
+    arbitrary per-well entries on the manual-CSV path. Both are
+    checkable BEFORE the run; shared by ``validate_plan`` and the
+    engine's run-start fail-fast so a bright scene cannot abort a run
+    mid-acquisition with partial output."""
+    cam = plan.camera
+    ae = plan.autoexposure
+    if not (
+        cam.model_acquisition and cam.mode == "lightsheet" and ae.enabled
+    ):
+        return []
+    problems: list[str] = []
+    if ae.algorithm == "manual":
+        if not ae.manual_csv:
+            problems.append(
+                "autoexposure algorithm 'manual' needs manual_csv"
+            )
+            return problems
+        from shrimpy_tpu.engine.autoexposure import load_manual_exposures
+
+        try:
+            table = load_manual_exposures(ae.manual_csv)
+        except Exception as e:
+            problems.append(f"autoexposure manual_csv: {e}")
+            return problems
+        for well, (exp, _pw) in sorted(table.items()):
+            try:
+                cam.slice_rate_hz(exp)
+            except ValueError as e:
+                problems.append(
+                    f"autoexposure manual exposure for well {well!r}: {e}"
+                )
+        return problems
+    from shrimpy_tpu.engine.autoexposure import AutoexposureSettings
+
+    try:
+        s = AutoexposureSettings(**ae.settings)
+    except TypeError as e:
+        problems.append(f"autoexposure settings: {e}")
+        return problems
+    if s.min_exposure_ms <= cam.readout_ms:
+        problems.append(
+            f"autoexposure min_exposure_ms ({s.min_exposure_ms} ms) must "
+            f"exceed the lightsheet sensor readout ({cam.readout_ms} ms): "
+            "escalation on a bright scene could select an exposure the "
+            "camera timing model must reject mid-run"
+        )
+    return problems
+
+
 def validate_plan(plan: AcquisitionPlan, source=None) -> list[str]:
     """Every pre-run check the engine would fail on, as problem strings.
 
@@ -666,15 +737,18 @@ def validate_plan(plan: AcquisitionPlan, source=None) -> list[str]:
                 problems.append(f"camera model, channel {cname!r}: {e}")
         # Hardware-sequence length (reference archive
         # acq_engine.py:171-183): checkable without a store whenever
-        # the plan pins its own slice count; the store branch below
-        # re-checks with the resolved depth.
-        if plan.z.n_slices is not None and plan.channels:
+        # the plan pins its own slice count — at least 1 channel always
+        # acquires, so n_slices alone can already breach the cap; the
+        # store branch below re-checks with the resolved counts.
+        if plan.z.n_slices is not None:
             try:
                 plan.camera.check_sequenced_events(
-                    plan.z.n_slices, len(plan.channels)
+                    plan.z.n_slices,
+                    len(plan.channels) if plan.channels else 1,
                 )
             except ValueError as e:
                 problems.append(f"camera model: {e}")
+        problems.extend(camera_autoexposure_problems(plan))
     if source is not None:
         names = source.channel_names
         if plan.channels:

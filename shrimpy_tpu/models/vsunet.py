@@ -468,17 +468,22 @@ def _infer_volume_jit(params, vol_zyx, *, apply_fn, in_slices: int, batch: int):
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "in_slices", "out_stack_depth", "step", "n_out"),
+    static_argnames=(
+        "apply_fn", "in_slices", "out_stack_depth", "step", "n_out", "batch",
+    ),
 )
 def _infer_volume_stack_jit(
     params, vol_zyx, *, apply_fn, in_slices: int, out_stack_depth: int,
-    step: int, n_out: int,
+    step: int, n_out: int, batch: int,
 ):
     """Voxel-stack sliding-window inference (cytoland's
     ``predict_sliding_windows`` contract, reference
     ``preprocessing.py:341-358``): each ``in_slices``-deep window emits
     ``out_stack_depth`` planes centered in the window; windows slide by
-    ``step`` and overlapping outputs average. Returns (n_out, Z, Y, X).
+    ``step`` and overlapping outputs average. ``batch`` windows run per
+    scan step (the same batching the plane head's inference uses — a
+    batch-1 scan would leave most device parallelism on the table).
+    Returns (n_out, Z, Y, X).
     """
     vol = vol_zyx.astype(jnp.float32)
     nz, ny, nx = vol.shape
@@ -494,27 +499,48 @@ def _infer_volume_stack_jit(
     )
     last = nz - d  # callers validate nz >= d
     n_win = -(-last // step) + 1 if last else 1
-    # Clamped tail duplicates average into themselves — harmless.
-    starts = jnp.minimum(jnp.arange(n_win) * step, last)
+    wb = min(batch, n_win)
+    n_steps = -(-n_win // wb)
+    # Pad the window list to a whole number of batches with zero-WEIGHT
+    # duplicates of the last window: a clamped duplicate must NOT
+    # accumulate (on planes other real windows also cover it would skew
+    # the average toward the tail window), so pad entries carry w=0.
+    idx = jnp.arange(n_steps * wb)
+    starts = jnp.minimum(idx * step, last)
+    weights = (idx < n_win).astype(jnp.float32)
 
-    def body(carry, z0):
-        acc, cnt = carry
-        win = jax.lax.dynamic_slice(
+    def window(z0):
+        return jax.lax.dynamic_slice(
             padded, (z0, 0, 0), (in_slices, ny, nx)
-        ).transpose(1, 2, 0)[None]  # (1, H, W, in_slices)
-        y = apply_fn(params, win)[0]  # (H, W, d, n_out)
-        y = y.transpose(2, 3, 0, 1)  # (d, n_out, H, W)
-        cur = jax.lax.dynamic_slice(
-            acc, (z0, 0, 0, 0), (d, n_out, ny, nx)
-        )
-        acc = jax.lax.dynamic_update_slice(acc, cur + y, (z0, 0, 0, 0))
-        ccur = jax.lax.dynamic_slice(cnt, (z0,), (d,))
-        cnt = jax.lax.dynamic_update_slice(cnt, ccur + 1.0, (z0,))
+        ).transpose(1, 2, 0)
+
+    def body(carry, batch_in):
+        z0s, ws = batch_in
+        acc, cnt = carry
+        x = jax.vmap(window)(z0s)  # (wb, H, W, in_slices)
+        y = apply_fn(params, x)  # (wb, H, W, d, n_out)
+        y = y.transpose(0, 3, 4, 1, 2)  # (wb, d, n_out, H, W)
+        # Scatter-adds serialize within the batch (windows overlap);
+        # the expensive part — the model — already ran batched.
+        for i in range(wb):
+            z0 = z0s[i]
+            cur = jax.lax.dynamic_slice(
+                acc, (z0, 0, 0, 0), (d, n_out, ny, nx)
+            )
+            acc = jax.lax.dynamic_update_slice(
+                acc, cur + ws[i] * y[i], (z0, 0, 0, 0)
+            )
+            ccur = jax.lax.dynamic_slice(cnt, (z0,), (d,))
+            cnt = jax.lax.dynamic_update_slice(cnt, ccur + ws[i], (z0,))
         return (acc, cnt), None
 
     acc0 = jnp.zeros((nz, n_out, ny, nx), jnp.float32)
     cnt0 = jnp.zeros((nz,), jnp.float32)
-    (acc, cnt), _ = jax.lax.scan(body, (acc0, cnt0), starts)
+    (acc, cnt), _ = jax.lax.scan(
+        body,
+        (acc0, cnt0),
+        (starts.reshape(n_steps, wb), weights.reshape(n_steps, wb)),
+    )
     out = acc / cnt[:, None, None, None]
     return out.transpose(1, 0, 2, 3)  # (n_out, Z, Y, X)
 
@@ -702,6 +728,7 @@ class VirtualStainer:
                 out_stack_depth=d,
                 step=step,
                 n_out=len(self.settings.out_channels),
+                batch=self.settings.batch_slices,
             )
         else:
             out = _infer_volume_jit(

@@ -185,16 +185,29 @@ function viewBody() {
 }
 function syncChannels(state) {
   const box = document.getElementById("chanbox");
+  const visible = state.visible_channels;  // null = all visible
   for (const c of state.channels || []) {
-    if (!document.getElementById("chan-" + c)) {
+    let cb = document.getElementById("chan-" + c);
+    if (!cb) {
       const lab = document.createElement("label");
-      const cb = document.createElement("input");
-      cb.type = "checkbox"; cb.value = c; cb.checked = true;
+      cb = document.createElement("input");
+      cb.type = "checkbox"; cb.value = c;
       cb.id = "chan-" + c;
-      cb.onchange = () => post("/view", viewBody());
+      cb.onchange = () => { cb.dataset.touched = "1";
+                            post("/view", viewBody()); };
       lab.appendChild(cb);
       lab.appendChild(document.createTextNode(c));
       box.appendChild(lab);
+      // Seed from the monitor's CURRENT visibility so a page (re)load
+      // while channels are hidden doesn't silently unhide them on the
+      // next apply.
+      cb.checked = visible === null || visible === undefined
+        || visible.includes(c);
+    } else if (!cb.dataset.touched) {
+      // Keep following external view.json edits until the user
+      // touches this box in THIS page.
+      cb.checked = visible === null || visible === undefined
+        || visible.includes(c);
     }
   }
 }
@@ -346,14 +359,10 @@ class _Handler(BaseHTTPRequestHandler):
             plan = AcquisitionPlan(**(_yaml.safe_load(text) or {}))
         except Exception as e:
             return [f"invalid plan: {e}"]
-        source = None
-        if self.server.plan_store is not None:
-            from shrimpy_tpu.engine.replay import ReplaySource
-
-            try:
-                source = ReplaySource(self.server.plan_store)
-            except Exception as e:
-                return [f"store {self.server.plan_store}: {e}"]
+        try:
+            source = self.server.plan_source()
+        except Exception as e:
+            return [f"store {self.server.plan_store}: {e}"]
         return validate_plan(plan, source)
 
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
@@ -453,8 +462,20 @@ class MonitorWebServer(ThreadingHTTPServer):
         # (the `plan validate --input` tier). None hides the editor.
         self.plan_path = Path(plan_path) if plan_path else None
         self.plan_store = Path(plan_store) if plan_store else None
+        self._plan_source = None
         super().__init__((host, port), _Handler)
         self._thread: threading.Thread | None = None
+
+    def plan_source(self):
+        """Lazily-opened (and cached) ReplaySource for plan validation:
+        re-opening the store (full metadata scan) on every validate/
+        save click would pay seconds of redundant IO on large plates.
+        None when no store is attached."""
+        if self.plan_store is not None and self._plan_source is None:
+            from shrimpy_tpu.engine.replay import ReplaySource
+
+            self._plan_source = ReplaySource(self.plan_store)
+        return self._plan_source
 
     @property
     def port(self) -> int:

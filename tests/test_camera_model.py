@@ -174,18 +174,32 @@ def test_model_off_records_nothing(tmp_path, fov_source):
 
 def test_sequenced_event_cap_matches_reference():
     """z x channels must fit the TriggerScope hardware-sequence length
-    (reference archive acq_engine.py:171-183: 1200 events)."""
-    cam = CameraPlan(model_acquisition=True)
+    (reference archive acq_engine.py:171-183: 1200 events) on the
+    real-instrument modes; the demo camera has no TriggerScope."""
+    cam = CameraPlan(model_acquisition=True, mode="labelfree")
     cam.check_sequenced_events(600, 2)  # exactly 1200: allowed
     with pytest.raises(ValueError, match="1200"):
         cam.check_sequenced_events(601, 2)
-    # Simulation-only cameras can lift the cap.
+    with pytest.raises(ValueError, match="1200"):
+        CameraPlan(
+            model_acquisition=True, mode="lightsheet", readout_ms=10.0
+        ).check_sequenced_events(601, 2)
+    # Demo mode: simulation only, unlimited by default...
+    CameraPlan(model_acquisition=True).check_sequenced_events(10_000, 4)
+    # ...but an explicit cap is honored in any mode,
+    with pytest.raises(ValueError, match="hardware-sequence"):
+        CameraPlan(
+            model_acquisition=True, max_sequenced_events=100
+        ).check_sequenced_events(101, 1)
+    # and an explicit null lifts it on a real-instrument mode.
     CameraPlan(
-        model_acquisition=True, max_sequenced_events=None
+        model_acquisition=True, mode="labelfree", max_sequenced_events=None
     ).check_sequenced_events(10_000, 4)
     # Without the acquisition model the plan never reaches hardware
     # sequencing, so the cap is moot.
-    CameraPlan(model_acquisition=False).check_sequenced_events(10_000, 4)
+    CameraPlan(
+        model_acquisition=False, mode="labelfree"
+    ).check_sequenced_events(10_000, 4)
 
 
 def test_engine_fails_fast_on_sequenced_event_cap(tmp_path, fov_source):
@@ -208,7 +222,7 @@ def test_plan_validate_enforces_sequenced_event_cap(tmp_path):
         "channels: [{name: GFP, exposure_ms: 20.0}, "
         "{name: RFP, exposure_ms: 20.0}]\n"
         "z: {n_slices: 601}\n"
-        "camera: {model_acquisition: true}\n"
+        "camera: {model_acquisition: true, mode: labelfree}\n"
     )
     result = CliRunner().invoke(cli, ["plan", "validate", str(bad)])
     assert result.exit_code != 0
@@ -242,3 +256,93 @@ def test_invalid_lightsheet_exposure_fails_fast(tmp_path, fov_source):
     )
     with pytest.raises(ValueError, match="exceed"):
         AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+
+
+def test_lightsheet_autoexposure_floor_fails_before_run(tmp_path, fov_source):
+    """Autoexposure escalation can select exposures down to
+    min_exposure_ms; on a modeled lightsheet camera that floor must
+    exceed the sensor readout or a bright well aborts the run MID-
+    acquisition (the reference asserts before every burst,
+    acq_engine.py:585-588). Checked at run start and by plan validate."""
+    from click.testing import CliRunner
+
+    from shrimpy_tpu.cli.main import cli
+
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 1},
+        source_exposure_ms=20.0,
+        camera={"model_acquisition": True, "mode": "lightsheet",
+                "readout_ms": 10.0, "time_scale": 0.0},
+        # Default min_exposure_ms=1.0 < 10 ms readout.
+        autoexposure={"enabled": True},
+    )
+    with pytest.raises(ValueError, match="min_exposure_ms"):
+        AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+    assert not (tmp_path / "out" / "acq.zarr").exists()  # nothing written
+
+    y = tmp_path / "p.yml"
+    y.write_text(
+        "source_exposure_ms: 20.0\n"
+        "camera: {model_acquisition: true, mode: lightsheet}\n"
+        "autoexposure: {enabled: true}\n"
+    )
+    r = CliRunner().invoke(cli, ["plan", "validate", str(y)])
+    assert r.exit_code != 0 and "min_exposure_ms" in r.output
+
+    # A floor above the readout validates clean.
+    ok = AcquisitionPlan(
+        time={"n_timepoints": 1},
+        source_exposure_ms=20.0,
+        camera={"model_acquisition": True, "mode": "lightsheet",
+                "readout_ms": 10.0, "time_scale": 0.0},
+        autoexposure={"enabled": True,
+                      "settings": {"min_exposure_ms": 12.0}},
+    )
+    AcquisitionEngine(fov_source).acquire(tmp_path / "out2", "acq", ok)
+
+
+def test_lightsheet_manual_autoexposure_entries_checked(tmp_path, fov_source):
+    """Manual-CSV exposures are per-well arbitrary: every entry is
+    validated against the readout constraint BEFORE the run."""
+    (tmp_path / "man.csv").write_text(
+        "well,exposure_ms,laser_power\n0,5.0,50\n"
+    )
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 1},
+        source_exposure_ms=20.0,
+        camera={"model_acquisition": True, "mode": "lightsheet",
+                "readout_ms": 10.0, "time_scale": 0.0},
+        autoexposure={"enabled": True, "algorithm": "manual",
+                      "manual_csv": str(tmp_path / "man.csv")},
+    )
+    with pytest.raises(ValueError, match="well '0'"):
+        AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+
+
+def test_effective_rate_journaled_per_position(tmp_path, fov_source):
+    """When autoexposure moves a position's exposure off the configured
+    one, the summary journals the rate actually charged keyed by
+    position|channel (a per-channel scalar cannot represent per-well
+    autoexposure results)."""
+    (tmp_path / "man.csv").write_text(
+        "well,exposure_ms,laser_power\n0,40.0,100\n"
+    )
+    plan = AcquisitionPlan(
+        time={"n_timepoints": 1},
+        source_exposure_ms=20.0,
+        camera={"model_acquisition": True, "mode": "lightsheet",
+                "readout_ms": 15.0, "time_scale": 0.0},
+        autoexposure={"enabled": True, "algorithm": "manual",
+                      "manual_csv": str(tmp_path / "man.csv")},
+    )
+    AcquisitionEngine(fov_source).acquire(tmp_path / "out", "acq", plan)
+    summary = json.loads(
+        (tmp_path / "out" / "acq_summary_metadata.json").read_text()
+    )
+    # Configured rate: 20 ms exposure; charged rate: the manual 40 ms.
+    assert summary["camera_slice_rate_hz"]["ch0"] == pytest.approx(
+        round(1000.0 / 35.05, 3)
+    )
+    assert summary["camera_effective_rate_hz"] == {
+        "0|ch0": pytest.approx(round(1000.0 / 55.05, 3))
+    }

@@ -366,9 +366,13 @@ def test_voxel_stack_head_full_volume_golden(tmp_path, rng):
 
 def test_voxel_stack_step_and_depth_variants(tmp_path, rng):
     """step=d (non-overlapping) and step<d (overlap averaging) both
-    reproduce the torch assembly; uncovered-plane configs are rejected."""
+    reproduce the torch assembly; uncovered-plane configs are rejected.
+    nz=10 with the default batch of 8 forces a padded final window
+    batch, pinning the zero-weight masking of clamped duplicates (an
+    unmasked duplicate would skew overlapping planes toward the tail
+    window)."""
     twin = _stack_twin().eval()
-    vol = rng.standard_normal((9, 32, 32)).astype(np.float32)
+    vol = rng.standard_normal((10, 32, 32)).astype(np.float32)
     ckpt = {"state_dict": {f"model.{k}": v for k, v in twin.state_dict().items()}}
     path = tmp_path / "stack.ckpt"
     torch.save(ckpt, path)

@@ -250,7 +250,7 @@ def test_plan_editor_round_trip(tmp_path):
         over = (
             "channels: [{name: a, exposure_ms: 5}, {name: b, exposure_ms: 5}]\n"
             "z: {n_slices: 601}\n"
-            "camera: {model_acquisition: true}\n"
+            "camera: {model_acquisition: true, mode: labelfree}\n"
         )
         _, v = _post(srv, "/plan/validate", {"text": over})
         assert v["valid"] is False
