@@ -160,7 +160,19 @@ class DeconvolveSettings(BaseModel):
     # products on the MXU (fast path for (near-)separable PSFs, ~25x the
     # FFT path's throughput on TPU); "auto" picks it when the PSF is
     # rank-decomposable within separable_tol, else falls back to "fft".
-    algorithm: Literal["auto", "fft", "separable"] = "auto"
+    # "hybrid" warm-starts the exact FFT/DFT-path iteration with
+    # ``hybrid_separable_iters`` cheap separable iterations on a
+    # NONNEGATIVE rank-K CP approximation of the PSF (signed
+    # truncations diverge on dark scenes — ops/deconv.py::
+    # nonneg_cp_decompose): RL's early iterations restore bulk contrast —
+    # work the truncated operator does nearly as well at a fraction of
+    # the cost — and the exact tail (``iterations``) converges on the
+    # TRUE operator's trajectory, so the limit point is plain exact
+    # RL's, not the truncated PSF's biased one. The lever for genuinely
+    # non-separable PSFs, where every exact iteration is transform-
+    # bound (see ops/deconv.py::rl_hybrid for the measured quality and
+    # cost model).
+    algorithm: Literal["auto", "fft", "separable", "hybrid"] = "auto"
     separable_tol: float = 1e-4  # PSF reconstruction rel error budget
     max_separable_terms: int = 6
     # Measured-PSF denoising: bead-measured PSFs carry iid noise that
@@ -261,6 +273,16 @@ class DeconvolveSettings(BaseModel):
     # distributed shard_volumes path runs plain RL only and raises if
     # asked to accelerate.
     acceleration: Literal["none", "biggs"] = "none"
+    # algorithm="hybrid" only: number of warm-start iterations run with
+    # the nonneg rank-K CP PSF before the ``iterations`` exact FFT/DFT-
+    # path iterations. Each warm iteration advances the exact
+    # trajectory by ~0.9-1.0 exact iterations on the bench PSF
+    # (measured, tests/test_deconv.py hybrid trajectory tests) at
+    # ~1/9 the cost, so hybrid(s=16, e=6) beats plain exact RL-20 at
+    # ~2.5x the throughput; 0 degenerates to the plain FFT path.
+    # ``acceleration`` applies to both phases (each restarts the Biggs
+    # alpha at its boundary).
+    hybrid_separable_iters: int = 16
     # Donate the input volume's device buffer to the deconvolution
     # program (jax buffer donation): the INPUT IS CONSUMED — the
     # caller's array is invalid after the call. The raw volume's
@@ -281,6 +303,8 @@ class DeconvolveSettings(BaseModel):
             raise ValueError("iterations must be >= 1")
         if self.fused_low_precision_iters < 0:
             raise ValueError("fused_low_precision_iters must be >= 0")
+        if self.hybrid_separable_iters < 0:
+            raise ValueError("hybrid_separable_iters must be >= 0")
         if self.fft_z_chunk < 1:
             raise ValueError("fft_z_chunk must be >= 1")
         return self
@@ -570,11 +594,12 @@ class ReconstructSettings(BaseModel):
         if (
             self.shard_volumes
             and self.deconvolve is not None
-            and self.deconvolve.algorithm == "separable"
+            and self.deconvolve.algorithm in ("separable", "hybrid")
         ):
             raise ValueError(
                 "shard_volumes requires the FFT deconvolution path "
-                "(algorithm='fft' or 'auto'); the separable kernels are "
+                "(algorithm='fft' or 'auto'); the separable kernels "
+                f"(algorithm='{self.deconvolve.algorithm}') are "
                 "volume-local"
             )
         return self

@@ -130,6 +130,7 @@ def _embed_psf(psf: jnp.ndarray, grid: tuple[int, ...]) -> jnp.ndarray:
 def _rl_jit(
     image: jnp.ndarray,
     psf: jnp.ndarray,
+    init: jnp.ndarray | None = None,
     *,
     iterations: int,
     grid: tuple[int, ...],
@@ -155,7 +156,15 @@ def _rl_jit(
     otf = fwd(_embed_psf(psf, grid))
 
     data = jnp.maximum(padded, 0.0)
-    est0 = jnp.maximum(padded, epsilon)
+    # Warm start (algorithm="hybrid"): iterate from the provided
+    # image-shaped estimate instead of the flat data start. The data
+    # term stays the ORIGINAL image — init only moves the starting
+    # point, so the fixed point is unchanged.
+    est0 = jnp.maximum(
+        padded if init is None
+        else jnp.pad(init.astype(jnp.float32), pads, mode=pad_mode),
+        epsilon,
+    )
 
     def step(est, _):
         conv = inv(fwd(est) * otf)
@@ -178,6 +187,7 @@ def _rl_jit(
 def _rl_dftz_jit(
     image: jnp.ndarray,
     psf: jnp.ndarray,
+    init: jnp.ndarray | None = None,
     *,
     iterations: int,
     grid: tuple[int, int, int],
@@ -217,7 +227,12 @@ def _rl_dftz_jit(
     image = image.astype(jnp.float32)
     padded = jnp.pad(image, pads, mode=pad_mode)
     data = jnp.maximum(padded, 0.0)
-    est0 = jnp.maximum(padded, epsilon)
+    # Warm start: see _rl_jit — init moves the starting point only.
+    est0 = jnp.maximum(
+        padded if init is None
+        else jnp.pad(init.astype(jnp.float32), pads, mode=pad_mode),
+        epsilon,
+    )
 
     psf = psf.astype(jnp.float32)
     psf = psf / jnp.sum(psf)
@@ -325,6 +340,7 @@ def _fft2z_chunk(grid_z: int, requested: int) -> int:
 def _rl_fft2z_jit(
     image: jnp.ndarray,
     psf: jnp.ndarray,
+    init: jnp.ndarray | None = None,
     *,
     iterations: int,
     grid: tuple[int, int, int],
@@ -382,7 +398,12 @@ def _rl_fft2z_jit(
     image = image.astype(jnp.float32)
     padded = jnp.pad(image, pads, mode=pad_mode)
     data = jnp.maximum(padded, 0.0)
-    est0 = jnp.maximum(padded, epsilon)
+    # Warm start: see _rl_jit — init moves the starting point only.
+    est0 = jnp.maximum(
+        padded if init is None
+        else jnp.pad(init.astype(jnp.float32), pads, mode=pad_mode),
+        epsilon,
+    )
 
     # Per-z-plane OTFs: psf plane rz+dz embedded at the (y, x) origin
     # (same roll convention as _embed_psf, so DC carries no phase).
@@ -678,6 +699,177 @@ def plan_separable_terms(
         settings.psf_denoise_max_residual,
     )
     return None
+
+
+_NONNEG_CP_CACHE = LruCache(maxsize=8)
+
+
+def nonneg_cp_decompose(
+    psf: np.ndarray, n_terms: int, sweeps: int = 200
+) -> tuple[list[tuple[np.ndarray, np.ndarray, np.ndarray]], float]:
+    """Nonnegative rank-K CP decomposition ``psf ~ sum_k a_k x b_k x c_k``
+    with ``a_k, b_k, c_k >= 0``, via HALS (hierarchical alternating
+    least squares with nonneg projection). Returns ``(terms, rel_residual)``.
+
+    Two properties make this the right warm-phase operator for
+    :func:`rl_hybrid` where the greedy signed SVD cascade
+    (:func:`_separable_candidates`) is not:
+
+    * **Stability by construction.** A nonnegative kernel keeps the RL
+      update positivity-preserving. Signed rank-K truncations are
+      explosively unstable on scenes with dark regions (measured: the
+      cascade's rank-7 truncation of the bench PSF reaches -8e18
+      within 4 iterations on a benign scene; on a dark-octant scene
+      every signed rank >= 2 diverges geometrically from iteration 1 —
+      the eps ratio floor amplifies the negative lobes). Microscopy
+      backgrounds ARE dark regions; a signed warm kernel is unusable.
+    * **Better accuracy per term.** HALS optimizes all K terms jointly
+      where the cascade is greedy: measured on the bench PSF
+      (tilted_gaussian_psf), nonneg K=4 reaches residual 0.105 vs the
+      signed cascade's 0.283, K=8 0.032 vs 0.088; on the (15,31,31)
+      production-support variant K=8 reaches 0.101 vs 0.312. Fewer
+      warm terms = directly fewer ms/iter (27.6 ms/term on v5e).
+
+    Factors are initialized from |cascade| modes (a good basin) and
+    swept column-wise; a column that HALS zeroes is a dead term
+    (contributes nothing — harmless). Memoized per (psf, K): the
+    pipeline builder and richardson_lucy may plan the same PSF.
+    """
+    psf = np.asarray(psf, np.float64)
+    key = (psf.tobytes(), psf.shape, n_terms, sweeps)
+    if key in _NONNEG_CP_CACHE:
+        return _NONNEG_CP_CACHE[key]
+    nz, ny, nx = psf.shape
+    cands = _separable_candidates(np.abs(psf) + 1e-30, n_terms)
+    rng = np.random.default_rng(0)
+    a = np.zeros((nz, n_terms))
+    b = np.zeros((ny, n_terms))
+    c = np.zeros((nx, n_terms))
+    for k in range(n_terms):
+        if k < len(cands):
+            w, wz, wy, wx = cands[k]
+            a[:, k] = np.abs(wz)
+            b[:, k] = np.abs(wy) * abs(w) ** 0.5
+            c[:, k] = np.abs(wx)
+        else:
+            a[:, k] = rng.random(nz)
+            b[:, k] = rng.random(ny)
+            c[:, k] = rng.random(nx)
+    t1 = psf.reshape(nz, -1)
+    t2 = np.moveaxis(psf, 1, 0).reshape(ny, -1)
+    t3 = np.moveaxis(psf, 2, 0).reshape(nx, -1)
+    for _ in range(sweeps):
+        for m, tm, p, q in ((a, t1, b, c), (b, t2, a, c), (c, t3, a, b)):
+            kr = (p[:, None, :] * q[None, :, :]).reshape(-1, n_terms)
+            gram = (p.T @ p) * (q.T @ q)
+            w = tm @ kr
+            for k in range(n_terms):
+                num = w[:, k] - m @ gram[:, k] + m[:, k] * gram[k, k]
+                m[:, k] = np.maximum(num / max(gram[k, k], 1e-30), 0.0)
+    recon = np.einsum("zk,yk,xk->zyx", a, b, c)
+    residual = float(np.linalg.norm(psf - recon) / np.linalg.norm(psf))
+    terms = [
+        (
+            a[:, k].astype(np.float32),
+            b[:, k].astype(np.float32),
+            c[:, k].astype(np.float32),
+        )
+        for k in range(n_terms)
+    ]
+    result = (terms, residual)
+    _NONNEG_CP_CACHE[key] = result
+    return result
+
+
+def plan_hybrid_terms(
+    psf_np: np.ndarray, settings: "DeconvolveSettings"
+) -> tuple[list[tuple[np.ndarray, np.ndarray, np.ndarray]], float]:
+    """Warm-phase term set for ``algorithm='hybrid'``: the smallest
+    NONNEGATIVE rank-K CP factorization whose residual is usefully
+    small, accepted at ANY residual.
+
+    Unlike :func:`plan_separable_terms` there is no acceptance bar —
+    the warm operator only has to point the early iterations in
+    roughly the right direction; the exact tail owns correctness
+    (:func:`rl_hybrid`). Nonnegativity is REQUIRED (not a preference):
+    see :func:`nonneg_cp_decompose` — signed truncations diverge on
+    dark regions. K stops growing once the residual clears 0.15
+    (measured: warm iterations at residual ~0.1 advance the exact
+    trajectory by ~0.9-1.0 exact iterations each; chasing lower
+    residual buys little trajectory and costs 27.6 ms/iter per term
+    on v5e) or at extended rank.
+    """
+    import logging
+
+    psf_unit = np.asarray(psf_np, np.float64)
+    psf_unit = psf_unit / psf_unit.sum()
+    extended = max(settings.max_extended_terms, settings.max_separable_terms)
+    best: tuple[list, float] | None = None
+    for n in (2, 4, 6, 8, 12, 16, 24):
+        if n > extended and best is not None:
+            break
+        terms, residual = nonneg_cp_decompose(psf_unit, min(n, extended))
+        if best is None or residual < best[1]:
+            best = (terms, residual)
+        if residual <= 0.15:
+            break
+    terms, residual = best
+    logging.getLogger(__name__).info(
+        "hybrid warm phase: nonneg rank-%d CP PSF (residual %.2e "
+        "Frobenius); exact FFT/DFT tail corrects the model error",
+        len(terms), residual,
+    )
+    return terms, residual
+
+
+def rl_hybrid(image, psf_np, warm_terms, settings, iterations: int):
+    """Warm-started non-separable RL: ``hybrid_separable_iters`` cheap
+    separable iterations on the rank-truncated PSF initialize
+    ``iterations`` exact FFT/DFT-path iterations.
+
+    Why this is sound: RL is a fixed-point iteration whose fixed point
+    is set ONLY by the data term and the operator — the init moves the
+    starting point, never the limit. Early RL iterations restore bulk
+    contrast, work the truncated operator (Frobenius residual typically
+    0.05-0.2 for genuinely non-separable PSFs) does nearly as well as
+    the exact one; the exact tail then converges on the TRUE operator's
+    trajectory. Contrast with deconvolving with the truncated PSF
+    outright, whose limit is biased by the model error and never
+    recovers the discarded structure.
+
+    Cost model (v5e, production carry (128, 2888, 1600)): an exact
+    dft2z iteration is ~1.09 s; a rank-4 fused separable iteration is
+    ~0.12 s (35.3 ms + 27.6 ms/term, docs/kernels.md). Quality
+    (tests/test_deconv.py hybrid trajectory tests, bench PSF at warm
+    rank 4 / residual 0.105, dark-region scene): each warm iteration
+    advances the exact trajectory by ~0.9-1.0 exact iterations —
+    hybrid(s=24, e=8) matches plain exact RL-30, hybrid(s=16, e=6)
+    beats RL-20 — at ~1/9 the per-iteration cost, so an RL-20-quality
+    restoration runs ~2.5x faster end to end.
+
+    Reference context: biahub routes non-separable PSFs to a generic
+    FFT deconvolution (reference ``shrimpy/dynatrack/preprocessing.py:296-317``
+    uses the PSF as given); the hybrid is a capability add for the
+    same inputs, opt-in via ``DeconvolveSettings.algorithm='hybrid'``.
+    ``acceleration`` applies to both phases (the Biggs alpha restarts
+    at the boundary — the startup runs two plain updates there).
+    """
+    warm = None
+    if settings.hybrid_separable_iters:
+        warm = rl_separable(
+            image, psf_np, warm_terms, settings,
+            settings.hybrid_separable_iters,
+        )
+        # Safety net: the nonneg warm operator preserves positivity in
+        # exact arithmetic, but the exact tail's correctness must not
+        # depend on warm-phase numerics — any non-finite or negative
+        # warm voxel falls back to the flat data start there. One
+        # elementwise pass, noise against the iterations.
+        img_pos = jnp.maximum(jnp.asarray(image).astype(jnp.float32), 0.0)
+        warm = jnp.where(
+            jnp.isfinite(warm) & (warm >= 0.0), warm, img_pos
+        )
+    return rl_fft(image, psf_np, settings, iterations, init=warm)
 
 
 def _circulant(n: int, taps: np.ndarray) -> np.ndarray:
@@ -1273,12 +1465,13 @@ def richardson_lucy(
     psf_np = _pad_psf_to_odd(_crop_psf_support(psf_np, settings.psf_crop_tol))
     assert image.ndim == psf_np.ndim, (image.shape, psf_np.shape)
 
-    if settings.algorithm == "separable" and psf_np.ndim != 3:
+    if settings.algorithm in ("separable", "hybrid") and psf_np.ndim != 3:
         raise ValueError(
-            f"algorithm='separable' needs a 3-D PSF (got {psf_np.ndim}-D); "
-            "use algorithm='fft'"
+            f"algorithm='{settings.algorithm}' needs a 3-D PSF (got "
+            f"{psf_np.ndim}-D); use algorithm='fft'"
         )
     terms = None
+    hybrid_terms = None
     if settings.algorithm in ("auto", "separable") and psf_np.ndim == 3:
         terms = plan_separable_terms(psf_np, settings)
         if terms is None and settings.algorithm == "separable":
@@ -1289,6 +1482,8 @@ def richardson_lucy(
                 f"psf_denoise_max_residual={settings.psf_denoise_max_residual}; "
                 "use algorithm='fft' or raise the tolerance"
             )
+    elif settings.algorithm == "hybrid" and settings.hybrid_separable_iters:
+        hybrid_terms, _ = plan_hybrid_terms(psf_np, settings)
 
     # donate_input: hand the caller's device buffer to the program —
     # the raw volume is dead once the padded carries are built, so
@@ -1309,12 +1504,17 @@ def richardson_lucy(
             inner = settings.model_copy(update={"donate_input": False})
 
             def run(img):
+                if hybrid_terms is not None:
+                    return rl_hybrid(img, psf_np, hybrid_terms, inner, iters)
                 if terms is not None:
                     return rl_separable(img, psf_np, terms, inner, iters)
                 return rl_fft(img, psf_np, inner, iters)
 
             _RL_DONATED_CACHE[key] = jax.jit(run, donate_argnums=0)
         return _RL_DONATED_CACHE[key](image)
+
+    if hybrid_terms is not None:
+        return rl_hybrid(image, psf_np, hybrid_terms, settings, iters)
 
     if terms is not None:
         return rl_separable(image, psf_np, terms, settings, iters)
@@ -1398,13 +1598,15 @@ def resolve_fft_backend(settings: DeconvolveSettings, ndim: int) -> str:
     return fft_backend
 
 
-def rl_fft(image, psf_np, settings, iterations: int):
+def rl_fft(image, psf_np, settings, iterations: int, init=None):
     """FFT-path RL honoring ``settings.fft_backend`` (auto/fft3/fft2z).
 
     The single dispatch point for the non-separable fallback — used by
     :func:`richardson_lucy` AND the runtime pipeline
     (``parallel/pipeline.py``), so ``fft_backend``/``fft_z_chunk`` are
-    never silently inert in either path.
+    never silently inert in either path. ``init`` (image-shaped,
+    positive) warm-starts the iteration in place of the flat data
+    start — the data term stays ``image`` (see :func:`rl_hybrid`).
     """
     fft_backend = resolve_fft_backend(settings, image.ndim)
     grid, pads = _padded_grid_shape(
@@ -1422,6 +1624,7 @@ def rl_fft(image, psf_np, settings, iterations: int):
         return _rl_dftz_jit(
             image,
             jnp.asarray(psf_np),
+            init,
             iterations=iterations,
             grid=grid,
             pads=pads,
@@ -1434,6 +1637,7 @@ def rl_fft(image, psf_np, settings, iterations: int):
         return _rl_fft2z_jit(
             image,
             jnp.asarray(psf_np),
+            init,
             iterations=iterations,
             grid=grid,
             pads=pads,
@@ -1446,6 +1650,7 @@ def rl_fft(image, psf_np, settings, iterations: int):
     return _rl_jit(
         image,
         jnp.asarray(psf_np),
+        init,
         iterations=iterations,
         grid=grid,
         pads=pads,

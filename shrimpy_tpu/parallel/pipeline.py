@@ -49,17 +49,44 @@ def _deconv_fn(
     )
 
     terms = None
+    hybrid_terms = None
     if settings.shard_volumes:
         # >HBM volumes stay X-sharded through the volumetric stages:
         # only the pure-XLA FFT path partitions under GSPMD (the
         # Pallas/separable kernels are volume-local).
-        pass
+        if deconv.algorithm == "hybrid":
+            raise ValueError(
+                "shard_volumes runs the plain sharded RL update; "
+                "algorithm='hybrid' (separable warm phase on volume-"
+                "local kernels) is not supported on the distributed "
+                "slab path"
+            )
     elif deconv.algorithm in ("auto", "separable"):
         from shrimpy_tpu.ops.deconv import plan_separable_terms
 
         terms = plan_separable_terms(psf_np, deconv)
         if terms is None and deconv.algorithm == "separable":
             raise ValueError("PSF not separable within separable_tol")
+    elif deconv.algorithm == "hybrid" and deconv.hybrid_separable_iters:
+        from shrimpy_tpu.ops.deconv import plan_hybrid_terms
+
+        hybrid_terms, _ = plan_hybrid_terms(psf_np, deconv)
+
+    if hybrid_terms is not None:
+        captured_hybrid_terms = hybrid_terms
+
+        def rl_h(vol):
+            # Same warm-start dispatch as richardson_lucy — the warm
+            # separable phase and exact tail both resolve their backend
+            # per the (device-local) volume shape.
+            from shrimpy_tpu.ops.deconv import rl_hybrid
+
+            return rl_hybrid(
+                vol, psf_np, captured_hybrid_terms, deconv,
+                deconv.iterations,
+            )
+
+        return rl_h
 
     if terms is not None:
 
@@ -211,6 +238,13 @@ def _fft_stages_sharded(settings: ReconstructSettings, psf, mesh: Mesh):
                 "shard_volumes runs the plain sharded RL update; "
                 f"acceleration='{deconv.acceleration}' is not supported "
                 "on the distributed slab path (single-chip FFT RL only)"
+            )
+        if deconv.algorithm == "hybrid":
+            raise ValueError(
+                "shard_volumes runs the plain sharded RL update; "
+                "algorithm='hybrid' (separable warm phase on volume-"
+                "local kernels) is not supported on the distributed "
+                "slab path"
             )
         # Same PSF conditioning as the unsharded path (_deconv_fn):
         # support cropping shrinks the padded grid — which matters MOST
