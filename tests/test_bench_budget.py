@@ -109,7 +109,8 @@ def _run_main(
 
 
 CANONICAL = [
-    "deskew", "rl20", "accel", "register", "plate", "replay", "nonsep"
+    "deskew", "rl20", "accel", "register", "plate", "replay", "nonsep",
+    "nonsep_hybrid",
 ]
 
 
