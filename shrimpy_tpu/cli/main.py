@@ -190,8 +190,12 @@ def deskew(
 @click.option("--psf", "psf_path", type=click.Path(exists=True), default=None,
               help="PSF volume (.npy or OME-Zarr); default synthetic.")
 @click.option("--iterations", type=int, default=20, show_default=True)
-@click.option("--algorithm", type=click.Choice(["auto", "fft", "separable"]),
-              default="auto", show_default=True)
+@click.option("--algorithm",
+              type=click.Choice(["auto", "fft", "separable", "hybrid"]),
+              default="auto", show_default=True,
+              help="'hybrid' warm-starts the exact transform path with "
+              "cheap separable iterations on a nonnegative rank-K PSF "
+              "(non-separable PSFs; see docs/usage.md).")
 def deconvolve(
     input, output, devices, space, batch, resume, profile_dir,
     psf_path, iterations, algorithm,
