@@ -359,6 +359,46 @@ class AcquisitionEngine:
             self._restore_refocus_from_previous(output_dir, name, final_name)
         autofocus = DemoAutofocus(plan.autofocus, len(positions))
 
+        # Instrument rig (shrimpy_tpu.devices): lasers / shutter / O3
+        # piezo / DAQ counters behind first-party drivers over
+        # virtualized transports — the reference's archived hardware
+        # roles (microscope_operations.py:184-232,296-358,536-635).
+        rig = None
+        if plan.hardware.enabled:
+            from shrimpy_tpu.devices.rig import LaserSpec, build_rig
+
+            rig = build_rig(
+                [
+                    LaserSpec(
+                        channel=l.channel,
+                        wavelength_nm=l.wavelength_nm,
+                        max_power_mw=l.max_power_mw,
+                        power_mw=l.power_mw,
+                        port=l.port,
+                    )
+                    for l in plan.hardware.lasers
+                ],
+                o3_port=plan.hardware.o3_port,
+                o3_steps_per_slice=plan.hardware.o3_steps_per_slice,
+                with_shutter=plan.hardware.shutter,
+            )
+            rig.run_start()
+            if plan.hardware.daq and plan.camera.model_acquisition:
+                # Counter rates come from the camera model (the
+                # reference's update_*_acquisition_rates feed its DAQ
+                # setup, archive acq_engine.py:600-612); without the
+                # model there is nothing honest to arm — the reference
+                # likewise skips DAQ setup in demo mode (:613-615).
+                exp0 = ch_exposure[0]
+                rig.arm_counters(
+                    nz,
+                    len(channels),
+                    plan.camera.slice_rate_hz(exp0),
+                    plan.camera.volume_time_s(
+                        nz, exp0, channel_change=True
+                    ),
+                )
+
         # Output store mirrors the source layout; a generated grid is
         # always an HCS plate (its keys are row/col/fov).
         out_positions: dict[str, ngff.NgffPosition] = {}
@@ -560,8 +600,24 @@ class AcquisitionEngine:
                         self._run_autoexposure(
                             plan, p_key, chan_idx, channels, src_key=src_key
                         )
+                        if rig is not None and p_key in self._exposures:
+                            # Apply the selected laser power to the AE
+                            # channel's excitation line (the reference
+                            # writes laser_powers_per_well before each
+                            # well, archive acq_engine.py:1188-1197).
+                            ae_channel = (
+                                plan.autoexposure.channel or channels[0]
+                            )
+                            rig.set_laser_power(
+                                ae_channel, self._exposures[p_key][1]
+                            )
                     if self._tracking is not None:
                         self._tracking.record_acquisition(t, p_key)
+                    if rig is not None:
+                        # One hardware-sequenced burst per (t, p): start
+                        # the chained channel/z counters (the reference's
+                        # post-camera hook, archive acq_engine.py:1274).
+                        rig.on_burst_start()
                     for ci, c_src in enumerate(chan_idx):
                         if camera is not None:
                             # Frame-level event loop: one SequencedBurst per
@@ -622,6 +678,11 @@ class AcquisitionEngine:
                             # rate — per (position, channel): rates can
                             # differ per well.
                             rate = plan.camera.slice_rate_hz(phys_ms)
+                            if rig is not None:
+                                # Per-channel z-counter rate update (the
+                                # reference updates the LS Z counter per
+                                # channel, archive acq_engine.py:565-598).
+                                rig.on_channel(channels[ci], rate)
                             if rate != camera_rate_hz.get(channels[ci]):
                                 camera_effective_rate_hz[
                                     f"{p_key}|{channels[ci]}"
@@ -644,10 +705,16 @@ class AcquisitionEngine:
                         plan.refocus.enabled
                         and t % plan.refocus.interval_timepoints == 0
                     ):
+                        n_ev = len(self._refocus_events)
                         self._run_refocus(
                             plan, vol, t, p_key, channels, z_idx,
                             src_key=src_key, offset=offset,
                         )
+                        if rig is not None and len(self._refocus_events) > n_ev:
+                            # Drive the O3 piezo by the correction the
+                            # refocus just journaled (compensated KIM101
+                            # move, microscope_operations.py:334-358).
+                            rig.refocus_move(self._refocus_events[-1][2])
                     visit_s = time.monotonic() - t_pos_start
                     if visit_s > plan.watchdog_s:
                         # Stall watchdog (archive acq_engine.py:1567-1616):
@@ -679,6 +746,18 @@ class AcquisitionEngine:
                 except Exception:
                     logger.exception("tracking teardown failed")
 
+            hardware_summary = None
+            if rig is not None:
+                try:
+                    if aborted_at is not None:
+                        # Stop sequences + counters like the reference's
+                        # abort_acquisition_sequence
+                        # (microscope_operations.py:594-616).
+                        rig.on_abort()
+                    rig.run_end()
+                    hardware_summary = rig.summary()
+                except Exception:
+                    logger.exception("hardware rig teardown failed")
             summary = {
                 "name": final_name,
                 "plan": plan.model_dump(),
@@ -731,6 +810,11 @@ class AcquisitionEngine:
                     for k, r in camera_effective_rate_hz.items()
                 },
                 "camera_acq_s": round(camera_acq_total_s, 3),
+                # Instrument-rig device journal (lasers / shutter / O3
+                # piezo / DAQ bursts; the reference logs the final O3
+                # position for chunk restore, archive
+                # acq_engine.py:478-481). None when hardware is off.
+                "hardware": hardware_summary,
                 "volumes_acquired": n_volumes,
                 "aborted_at": aborted_at,
                 "error": run_error,

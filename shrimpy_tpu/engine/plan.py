@@ -527,6 +527,72 @@ class CameraPlan(BaseModel):
         return t
 
 
+class HardwareLaserPlan(BaseModel):
+    """One excitation laser bound to a channel (reference archive
+    ``acq_engine.py:766-787`` maps TriggerScope illumination states to
+    Vortran COM ports)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    channel: str
+    wavelength_nm: int = 488
+    max_power_mw: float = 100.0
+    power_mw: float = 10.0
+    # Serial port name; unset = a per-channel emulator (the only
+    # transport on a TPU pod). A name pre-bound on devices.bus is
+    # opened as-is, so tests/operators can supply their own device.
+    port: str | None = None
+
+    @model_validator(mode="after")
+    def _check(self):
+        if self.max_power_mw <= 0 or self.power_mw < 0:
+            raise ValueError("laser powers must be positive")
+        if self.power_mw > self.max_power_mw:
+            raise ValueError(
+                f"laser {self.channel}: power_mw ({self.power_mw}) exceeds "
+                f"max_power_mw ({self.max_power_mw})"
+            )
+        return self
+
+
+class HardwarePlan(BaseModel):
+    """Instrument-control surface (``shrimpy_tpu.devices``): lasers,
+    shutter bracket, O3 remote-refocus piezo, and DAQ counter
+    triggering — the reference's archived microscope-operations roles
+    (``microscope_operations.py:184-232,296-358,536-635``) over
+    virtualized transports."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    enabled: bool = False
+    lasers: list[HardwareLaserPlan] = Field(default_factory=list)
+    # Save/open the mechanical shutter for the run, restore after
+    # (reference acq_engine.py:932-934, 1023-1024).
+    shutter: bool = True
+    # KIM101 port for the O3 remote-refocus stage; refocus corrections
+    # become compensated relative moves (microscope_operations.py:334-358).
+    o3_port: str | None = None
+    # Calibration: piezo steps per source z slice of refocus correction.
+    o3_steps_per_slice: int = 10
+    # Arm channel/z counter tasks from the camera model and start them
+    # per (t, p) burst (reference acq_engine.py:600-688). Requires
+    # camera.model_acquisition (the rates come from that model).
+    daq: bool = True
+
+    @model_validator(mode="after")
+    def _check(self):
+        if self.o3_steps_per_slice < 1:
+            raise ValueError("hardware.o3_steps_per_slice must be >= 1")
+        seen: set[str] = set()
+        for laser in self.lasers:
+            if laser.channel in seen:
+                raise ValueError(
+                    f"hardware.lasers: duplicate channel {laser.channel!r}"
+                )
+            seen.add(laser.channel)
+        return self
+
+
 class GeneratedPosition(BaseModel):
     """One stage-position grid point: output HCS key + replay offset."""
 
@@ -563,6 +629,7 @@ class AcquisitionPlan(BaseModel):
     autoexposure: AutoexposurePlan = Field(default_factory=AutoexposurePlan)
     stage: StagePlan = Field(default_factory=StagePlan)
     camera: CameraPlan = Field(default_factory=CameraPlan)
+    hardware: HardwarePlan = Field(default_factory=HardwarePlan)
     metadata: dict = Field(default_factory=dict)
     # Stall watchdog: a (t, p) visit exceeding this wall time is logged
     # as an error (the reference's 100 s sequence-stall watchdog,
@@ -749,6 +816,14 @@ def validate_plan(plan: AcquisitionPlan, source=None) -> list[str]:
             except ValueError as e:
                 problems.append(f"camera model: {e}")
         problems.extend(camera_autoexposure_problems(plan))
+    if plan.hardware.enabled and plan.channels:
+        names = [c.name for c in plan.channels]
+        for laser in plan.hardware.lasers:
+            if laser.channel not in names:
+                problems.append(
+                    f"hardware laser channel {laser.channel!r} not among "
+                    f"the plan channels {names}"
+                )
     if source is not None:
         names = source.channel_names
         if plan.channels:
@@ -756,6 +831,13 @@ def validate_plan(plan: AcquisitionPlan, source=None) -> list[str]:
                 if c.name not in names:
                     problems.append(
                         f"channel {c.name!r} not in store (has {names})"
+                    )
+        if plan.hardware.enabled and not plan.channels:
+            for laser in plan.hardware.lasers:
+                if laser.channel not in names:
+                    problems.append(
+                        f"hardware laser channel {laser.channel!r} not in "
+                        f"store (has {names})"
                     )
         try:
             plan.resolve_positions(source.position_keys)
