@@ -42,8 +42,19 @@ class VirtualSerialPort:
     thread (e.g. the engine's watchdog) stays consistent.
     """
 
-    def __init__(self, handler: Callable[[bytes], bytes]):
+    def __init__(self, handler: Callable[[bytes], bytes],
+                 handler_lock: "threading.Lock | None" = None):
         self._handler = handler
+        # One emulator instance can back several ports (repeated opens
+        # of the same port name = one physical instrument, the
+        # replay-dual sharing model). Its handler mutates shared
+        # device state, so all ports of one instrument must serialize
+        # through the same lock — otherwise two arm engines writing
+        # concurrently can interleave inside handle() and one arm
+        # drains the other's reply. Drivers write whole
+        # commands/frames per write() call, so under the lock each
+        # write's reply routes back to its own port.
+        self._handler_lock = handler_lock or threading.Lock()
         self._rx = bytearray()
         self._lock = threading.Lock()
         self._closed = False
@@ -51,7 +62,8 @@ class VirtualSerialPort:
     def write(self, data: bytes) -> None:
         if self._closed:
             raise OSError("port is closed")
-        reply = self._handler(bytes(data))
+        with self._handler_lock:
+            reply = self._handler(bytes(data))
         if reply:
             with self._lock:
                 self._rx.extend(reply)

@@ -77,14 +77,18 @@ class KIM101Emulator:
     journals every state change for tests and the rig summary."""
 
     def __init__(self, serial_number: int = 74000291):
+        import threading
+
         self.serial_number = int(serial_number)
         self.position_steps = 0
         self.drive_params: tuple[int, int, int] | None = None
         self.journal: list[tuple] = []
         self._buf = bytearray()
+        # Shared by every port of this instrument (see StradusEmulator).
+        self._wire_lock = threading.Lock()
 
     def port(self) -> VirtualSerialPort:
-        return VirtualSerialPort(self.handle)
+        return VirtualSerialPort(self.handle, self._wire_lock)
 
     def handle(self, data: bytes) -> bytes:
         self._buf.extend(data)

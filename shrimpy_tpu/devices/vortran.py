@@ -38,6 +38,8 @@ class StradusEmulator:
     """
 
     def __init__(self, wavelength_nm: int = 488, max_power_mw: float = 100.0):
+        import threading
+
         self.wavelength_nm = int(wavelength_nm)
         self.max_power_mw = float(max_power_mw)
         self.power_mw = 0.0
@@ -45,9 +47,13 @@ class StradusEmulator:
         self.emission = 0
         self.journal: list[str] = []
         self._partial = bytearray()
+        # Shared by every port of this instrument: serializes handle()
+        # across concurrently writing clients (replay-dual arms share
+        # one laser by port name).
+        self._wire_lock = threading.Lock()
 
     def port(self) -> VirtualSerialPort:
-        return VirtualSerialPort(self.handle)
+        return VirtualSerialPort(self.handle, self._wire_lock)
 
     def handle(self, data: bytes) -> bytes:
         self._partial.extend(data)

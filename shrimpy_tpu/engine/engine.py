@@ -229,6 +229,7 @@ class AcquisitionEngine:
         self._refocus_z = {}
         self._refocus_events = []
         self._exposures = {}
+        self._manual_ae_cache = None
         self.aborted_at = None
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
@@ -932,7 +933,15 @@ class AcquisitionEngine:
         if ae.algorithm == "manual":
             if not ae.manual_csv:
                 raise ValueError("autoexposure algorithm 'manual' needs manual_csv")
-            table = load_manual_exposures(ae.manual_csv)
+            # Parse once per run, not once per position: the table is
+            # the same file for every well, and a mid-run edit silently
+            # diverging between positions would be worse than stale.
+            cache_key = ("manual_ae", str(ae.manual_csv))
+            table = getattr(self, "_manual_ae_cache", None)
+            if table is None or table[0] != cache_key:
+                table = (cache_key, load_manual_exposures(ae.manual_csv))
+                self._manual_ae_cache = table
+            table = table[1]
             well = p_key.rsplit("/", 1)[0].replace("/", "") or p_key
             if well in table or p_key in table:
                 self._exposures[p_key] = table.get(p_key, table.get(well))

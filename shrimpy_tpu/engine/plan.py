@@ -756,6 +756,22 @@ def camera_autoexposure_problems(plan: "AcquisitionPlan") -> list[str]:
     except TypeError as e:
         problems.append(f"autoexposure settings: {e}")
         return problems
+    # AutoexposureSettings is a plain dataclass (no coercion): a YAML
+    # string value survives construction and would blow up the
+    # comparison below — or the escalation math mid-run — with a
+    # TypeError. Report it as a problem instead of crashing
+    # `plan validate` / the browser editor's validate handler.
+    import dataclasses
+
+    for f in dataclasses.fields(s):
+        v = getattr(s, f.name)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            problems.append(
+                f"autoexposure settings: {f.name} must be a number "
+                f"(got {v!r})"
+            )
+    if any(p.startswith("autoexposure settings:") for p in problems):
+        return problems
     if s.min_exposure_ms <= cam.readout_ms:
         problems.append(
             f"autoexposure min_exposure_ms ({s.min_exposure_ms} ms) must "

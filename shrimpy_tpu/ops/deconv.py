@@ -805,7 +805,11 @@ def plan_hybrid_terms(
     psf_unit = psf_unit / psf_unit.sum()
     extended = max(settings.max_extended_terms, settings.max_separable_terms)
     best: tuple[list, float] | None = None
-    for n in (2, 4, 6, 8, 12, 16, 24):
+    # The settings cap itself is always a rung: with e.g.
+    # max_extended_terms=10 the ladder must probe rank 10, not stop at
+    # the last built-in rung below it (8).
+    ladder = sorted({n for n in (2, 4, 6, 8, 12, 16, 24, extended)})
+    for n in ladder:
         if n > extended and best is not None:
             break
         terms, residual = nonneg_cp_decompose(psf_unit, min(n, extended))

@@ -73,18 +73,14 @@ def _deconv_fn(
         hybrid_terms, _ = plan_hybrid_terms(psf_np, deconv)
 
     if hybrid_terms is not None:
-        captured_hybrid_terms = hybrid_terms
 
-        def rl_h(vol):
+        def rl_h(vol, terms=hybrid_terms):
             # Same warm-start dispatch as richardson_lucy — the warm
             # separable phase and exact tail both resolve their backend
             # per the (device-local) volume shape.
             from shrimpy_tpu.ops.deconv import rl_hybrid
 
-            return rl_hybrid(
-                vol, psf_np, captured_hybrid_terms, deconv,
-                deconv.iterations,
-            )
+            return rl_hybrid(vol, psf_np, terms, deconv, deconv.iterations)
 
         return rl_h
 

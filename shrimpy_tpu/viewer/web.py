@@ -112,11 +112,13 @@ _PAGE = """<!DOCTYPE html>
 <div id="state"></div>
 <script>
 const mtimes = {};
+let liveMode = false;
 // Store-mode monitor renders progress previews only; the scrub/
 // contrast/geometry control files are read by `monitor --live` alone,
 // so a non-live server greys the controls out instead of accepting
 // clicks that change nothing.
 fetch("/meta").then(r => r.json()).then(meta => {
+  liveMode = !!meta.live;
   if (!meta.live) {
     for (const id of ["follow", "t", "axis", "z", "apply", "home",
                       "restretch", "autoc", "angle", "ratio", "geom"])
@@ -193,6 +195,9 @@ function syncChannels(state) {
       cb = document.createElement("input");
       cb.type = "checkbox"; cb.value = c;
       cb.id = "chan-" + c;
+      // Store mode greys these like every other view control: the
+      // control files they write are only read by `monitor --live`.
+      cb.disabled = !liveMode;
       cb.onchange = () => { cb.dataset.touched = "1";
                             post("/view", viewBody()); };
       lab.appendChild(cb);

@@ -246,6 +246,26 @@ def test_plan_validate_surfaces_camera_problems(tmp_path):
     assert "camera model" in result.output and "GFP" in result.output
 
 
+def test_plan_validate_reports_non_numeric_autoexposure_setting():
+    """A YAML string in autoexposure.settings must come back as a
+    problem string, not crash validation with a TypeError
+    (AutoexposureSettings is a plain dataclass — no coercion)."""
+    from shrimpy_tpu.engine.plan import AcquisitionPlan, validate_plan
+
+    plan = AcquisitionPlan(
+        channels=[{"name": "GFP", "exposure_ms": 20.0}],
+        camera={"model_acquisition": True, "mode": "lightsheet"},
+        autoexposure={
+            "enabled": True,
+            "settings": {"min_exposure_ms": "15"},
+        },
+    )
+    problems = validate_plan(plan)
+    assert any(
+        "min_exposure_ms" in p and "number" in p for p in problems
+    ), problems
+
+
 def test_invalid_lightsheet_exposure_fails_fast(tmp_path, fov_source):
     # source_exposure_ms default 10 ms == readout -> the engine must
     # refuse before writing any output (the reference asserts before

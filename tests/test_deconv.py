@@ -449,6 +449,26 @@ def test_nonneg_cp_beats_signed_cascade_and_is_nonneg():
         assert resid < signed_resid, (k, resid, signed_resid)
 
 
+def test_hybrid_ladder_probes_the_settings_cap_rank():
+    """max_extended_terms between built-in rungs must itself be probed
+    (review finding: rank 9-10 were unreachable with cap 10 — the
+    ladder broke at 12 without evaluating 10)."""
+    from shrimpy_tpu.ops.deconv import plan_hybrid_terms
+
+    # A random PSF keeps its nonneg-CP residual above the 0.15
+    # early-stop through every rank here (measured 0.25 at 8, 0.24 at
+    # 10), so the ladder runs to the cap.
+    psf = np.random.RandomState(0).uniform(0.1, 1.0, (5, 7, 7))
+    psf /= psf.sum()
+    lo = DeconvolveSettings(algorithm="hybrid", max_extended_terms=8)
+    hi = DeconvolveSettings(algorithm="hybrid", max_extended_terms=10)
+    terms8, resid8 = plan_hybrid_terms(psf, lo)
+    terms10, resid10 = plan_hybrid_terms(psf, hi)
+    assert resid8 > 0.15 and resid10 > 0.15  # early-stop never fired
+    assert len(terms10) == 10
+    assert resid10 < resid8
+
+
 def test_hybrid_zero_warm_iters_equals_fft_path(rng):
     """hybrid with hybrid_separable_iters=0 degenerates to the plain
     FFT path bit-for-bit (same program)."""

@@ -332,6 +332,38 @@ def test_plan_validate_rejects_unknown_laser_channel():
     assert any("mCherry" in p for p in problems)
 
 
+def test_shared_emulator_is_thread_safe_across_ports():
+    """Two arm engines can open the same port name (one physical
+    instrument); concurrent command round-trips must not steal each
+    other's replies (review finding: unlocked shared handle())."""
+    import threading
+
+    emu = StradusEmulator()
+    bus.bind_port("COM7", emu.port)
+    errors: list[Exception] = []
+
+    def hammer():
+        try:
+            laser = setup_vortran_laser("COM7")
+            for i in range(200):
+                # Shared instrument state may be overwritten by the
+                # other threads; what must hold is that every
+                # round-trip parses ITS OWN echo+reply (no stolen or
+                # torn messages -> IOError/TimeoutError).
+                laser.pulse_power = float(i % 50)
+                _ = laser.pulse_power
+                _ = laser.pulse_mode
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+
 def test_hardware_plan_rejects_duplicate_and_overrange():
     from shrimpy_tpu.engine.plan import HardwarePlan
 
