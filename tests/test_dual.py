@@ -159,6 +159,46 @@ def test_family_auto_increment_moves_arms_together(tmp_path):
     assert r2["ls"].output.endswith("dual_ls_1.zarr")
 
 
+def test_dual_arms_share_one_hardware_instrument(tmp_path):
+    """Both arms enable the rig with the same laser port name: one
+    physical instrument (the reference's lasers are shared between the
+    arms' TriggerScope states, archive acq_engine.py:766-787). The
+    emulator's per-instrument wire lock must keep the two arm engines'
+    concurrent serial round-trips intact, and both device journals must
+    land in their summaries."""
+    src_a = _blob_source(tmp_path / "a.zarr")
+    src_b = _blob_source(tmp_path / "b.zarr")
+
+    def hw_plan():
+        return AcquisitionPlan(
+            time={"n_timepoints": 3},
+            hardware={
+                "enabled": True,
+                "lasers": [
+                    {"channel": "BF", "wavelength_nm": 488,
+                     "power_mw": 12.0, "port": "COM-shared"},
+                ],
+            },
+        )
+
+    session = DualArmAcquisition(
+        {"lf": (src_a, hw_plan()), "ls": (src_b, hw_plan())},
+        barrier_timeout_s=30.0,
+    )
+    results = session.run(tmp_path / "out", "dual")
+    assert all(r.error is None for r in results.values()), results
+    for arm in ("lf", "ls"):
+        summary = json.loads(
+            (tmp_path / "out" / f"dual_{arm}_summary_metadata.json")
+            .read_text()
+        )
+        hw = summary["hardware"]
+        assert hw is not None and not hw["aborted"]
+        assert hw["lasers"]["BF"]["port"] == "COM-shared"
+        kinds = [e[0] for e in hw["events"]]
+        assert "laser_on" in kinds and "shutter_reset" in kinds
+
+
 def test_dual_config_validation():
     with pytest.raises(ValueError, match="at least two"):
         DualReplayConfig(arms={"only": ArmConfig(input="x.zarr")})
