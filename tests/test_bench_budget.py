@@ -110,7 +110,7 @@ def _run_main(
 
 CANONICAL = [
     "deskew", "rl20", "accel", "register", "plate", "replay", "nonsep",
-    "nonsep_hybrid",
+    "nonsep_hybrid", "nonsep_hybrid_accel",
 ]
 
 
