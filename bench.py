@@ -1119,9 +1119,13 @@ def main() -> None:
     # Parity in a BOUNDED child: a wedged device tunnel must not hang
     # the parent (round 2's record was lost to exactly that). A timeout
     # leaves parity_err null in the record rather than no record.
-    payload, timed_out = _run_child(["--parity"], min(180.0, child_timeout()))
+    # Full child cap, not a shorter one: on a congested tunnel (probe
+    # starvation behind queued compiles, 2026-08-20) even this small
+    # child needs minutes of startup; a 180 s cap lost parity in a run
+    # where every geometry child succeeded at 300 s.
+    payload, timed_out = _run_child(["--parity"], child_timeout())
     if payload is None and timed_out and remaining() > CHILD_TIMEOUT_S:
-        payload, _ = _run_child(["--parity"], min(180.0, child_timeout()))
+        payload, _ = _run_child(["--parity"], child_timeout())
     if payload is not None and payload.get("parity_err") is not None:
         headline["parity_err"] = round(payload["parity_err"], 8)
     # Second insurance line, now carrying parity.
