@@ -56,6 +56,33 @@ def test_deskew_verb_end_to_end(runner, tmp_path):
     assert np.asarray(pos.volume(0, 0)).max() > 0
 
 
+def test_deconvolve_verb_hybrid_algorithm(runner, tmp_path):
+    """`deconvolve --algorithm hybrid` runs the warm-started
+    non-separable route end to end (CLI -> pipeline -> rl_hybrid) and
+    writes a finite, nonnegative store."""
+    from shrimpy_tpu.io.ngff import create_fov
+    from shrimpy_tpu.io.synthetic import tilted_gaussian_psf
+
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(0, 100, (10, 32, 24)).astype(np.float32)
+    pos = create_fov(
+        tmp_path / "in.zarr", shape=(1, 1) + vol.shape,
+        dtype="float32",
+    )
+    pos.write((0, 0), vol)
+    np.save(tmp_path / "psf.npy", tilted_gaussian_psf((5, 7, 7)))
+    out = tmp_path / "out.zarr"
+    result = runner.invoke(cli, [
+        "deconvolve", str(tmp_path / "in.zarr"), "-o", str(out),
+        "--psf", str(tmp_path / "psf.npy"),
+        "--iterations", "2", "--algorithm", "hybrid",
+    ])
+    assert result.exit_code == 0, result.output
+    data = np.asarray(open_ngff(out).position().volume(0, 0))
+    assert np.isfinite(data).all() and (data >= 0).all()
+    assert data.max() > 0
+
+
 def test_track_verb(runner, tmp_path):
     synthetic_blob_fov(tmp_path / "tl.zarr", n_timepoints=3, shape_zyx=(8, 32, 32))
     cfg = tmp_path / "track.yml"
