@@ -281,7 +281,11 @@ class DeconvolveSettings(BaseModel):
     # ~1/9 the cost, so hybrid(s=16, e=6) beats plain exact RL-20 at
     # ~2.5x the throughput; 0 degenerates to the plain FFT path.
     # ``acceleration`` applies to both phases (each restarts the Biggs
-    # alpha at its boundary).
+    # alpha at its boundary); accelerating the warm phase is
+    # load-bearing — hybrid(s=16, e=3, acceleration='biggs') beats
+    # plain exact RL-20 by a ~34% trajectory margin (the fastest
+    # RL-20-equivalent non-separable configuration,
+    # tests/test_deconv.py::test_hybrid_biggs_beats_plain_rl20).
     hybrid_separable_iters: int = 16
     # Donate the input volume's device buffer to the deconvolution
     # program (jax buffer donation): the INPUT IS CONSUMED — the
