@@ -1,11 +1,11 @@
-"""Headline benchmark + the seven benchmark configs.
+"""Headline benchmark + the nine benchmark configs.
 
 Headline: deskew + Richardson-Lucy(20) throughput per chip at the
 mantis production geometry (fused Pallas pipeline). Prints the headline
 JSON line::
 
     {"metric": ..., "value": ..., "unit": "GVox/s", "vs_baseline": ...,
-     "configs": [ {...}, x7 ]}
+     "configs": [ {...}, x9 ]}
 
 ``value`` = reconstructed output voxels per second through the full
 pipeline; ``vs_baseline`` is the ratio to the BASELINE.json north-star
@@ -33,7 +33,9 @@ Budget discipline (the round-2 run was killed before printing anything):
   repeats everything. A parser taking the last JSON line sees the full
   record; a timeout kill still leaves the best insurance line on
   stdout.
-- Every child subprocess is capped at 300 s. The only retry is on a
+- Every child subprocess is capped at 300 s (override with
+  ``BENCH_CHILD_TIMEOUT_S`` for congested-tunnel watcher runs). The
+  only retry is on a
   child *timeout* — the known compile-queue stall signature of the
   tunneled TPU (a killed client leaves its compile queued server-side;
   the queue drains and a second attempt hits the persistent cache).
@@ -80,13 +82,18 @@ GEOMETRIES = [
 PSF_SHAPE = (9, 21, 21)
 RL_ITERS = 20
 REPEATS = 3
+def _env_float(name: str, default: float) -> float:
+    """Parse a float env knob, falling back on a malformed value."""
+    try:
+        return float(os.environ.get(name, str(default)))
+    except ValueError:  # pragma: no cover - malformed env
+        return default
+
+
 # Per-child wall cap. Env-overridable for watcher runs on a congested
 # tunnel (2026-08-20: child startup+compile alone ran past 300 s while
 # the tunnel queue drained; a bigger budget + bigger cap rode it out).
-try:
-    CHILD_TIMEOUT_S = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "300"))
-except ValueError:  # pragma: no cover - malformed env
-    CHILD_TIMEOUT_S = 300.0
+CHILD_TIMEOUT_S = _env_float("BENCH_CHILD_TIMEOUT_S", 300.0)
 
 # The fused-RL kernel's measured floor on v5e (docs/kernels.md round-3
 # bake-off): the staggered-carry K=256 x pass broke the round-2 ~40 ms
@@ -187,10 +194,7 @@ def _stale_record(cached: dict, why: str) -> dict:
 
 
 def _budget_s() -> float:
-    try:
-        return float(os.environ.get("BENCH_BUDGET_S", "900"))
-    except ValueError:
-        return 900.0
+    return _env_float("BENCH_BUDGET_S", 900.0)
 
 
 def _cache_dir() -> str:
@@ -809,7 +813,11 @@ def _config_nonsep_hybrid_accel(variant: str | None) -> dict:
     import jax.numpy as jnp
 
     from shrimpy_tpu.config import DeconvolveSettings
-    from shrimpy_tpu.ops.deconv import resolve_fft_backend, richardson_lucy
+    from shrimpy_tpu.ops.deconv import (
+        plan_hybrid_terms,
+        resolve_fft_backend,
+        richardson_lucy,
+    )
     from shrimpy_tpu.io.synthetic import tilted_gaussian_psf
 
     psf = tilted_gaussian_psf()
@@ -817,6 +825,9 @@ def _config_nonsep_hybrid_accel(variant: str | None) -> dict:
         iterations=3, algorithm="hybrid", hybrid_separable_iters=16,
         acceleration="biggs",
     )
+    # Same provenance field as config 8: the record itself documents
+    # that the warm start ran on a genuinely non-separable PSF.
+    _, warm_residual = plan_hybrid_terms(psf, settings)
     shape = tuple(int(v) for v in (variant or "128,2888,1600").split(","))
     vol = jax.random.uniform(
         jax.random.key(0), shape, jnp.float32, 0.0, 100.0
@@ -831,6 +842,7 @@ def _config_nonsep_hybrid_accel(variant: str | None) -> dict:
         "warm_iterations": 16,
         "exact_iterations": 3,
         "acceleration": "biggs",
+        "warm_residual": round(float(warm_residual), 4),
         "fft_backend": backend,
         "gvox_per_s": round(int(np.prod(shape)) / best / 1e9, 4),
         "seconds": round(best, 4),
@@ -1034,12 +1046,17 @@ def main() -> None:
             break
         if remaining() < 240.0:
             break
-        print(
-            f"# device probe failed (attempt {attempt + 1}); waiting",
-            file=sys.stderr,
-        )
         if attempt == 0:  # no point sleeping into the last-chance child
+            print(
+                f"# device probe failed (attempt {attempt + 1}); waiting",
+                file=sys.stderr,
+            )
             time.sleep(45.0)
+        else:
+            print(
+                f"# device probe failed (attempt {attempt + 1})",
+                file=sys.stderr,
+            )
     value = 0.0
     used = None
     out_zyx = None
@@ -1054,9 +1071,19 @@ def main() -> None:
         # congested one yields a fresh record instead of a stale replay.
         print("# probes failed; trying a headline child anyway",
               file=sys.stderr)
-        payload, _ = _run_child(
+        payload, timed_out = _run_child(
             ["--geom", ",".join(map(str, GEOMETRIES[0]))], child_timeout()
         )
+        if payload is None and timed_out and remaining() > CHILD_TIMEOUT_S:
+            # Same compile-queue-stall retry every other child path
+            # gets: the killed client's compile (and the probes') drain
+            # server-side, and the retry warm-starts from the shared
+            # cache. Without this, a big-budget watcher run goes stale
+            # with hundreds of seconds unused (r5 review finding).
+            payload, _ = _run_child(
+                ["--geom", ",".join(map(str, GEOMETRIES[0]))],
+                child_timeout(),
+            )
         if payload is not None:
             alive = True
             value = payload["vox_per_s"] / 1e9

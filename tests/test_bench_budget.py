@@ -382,6 +382,55 @@ def test_congested_tunnel_probes_fail_but_headline_measures(
     assert final["raw_shape"] == list(bench.GEOMETRIES[0])
 
 
+def test_last_chance_headline_child_gets_the_stall_retry(
+    bench, monkeypatch, capsys
+):
+    """A congested tunnel can also time out the FIRST last-chance
+    headline child (its compile queues behind the killed probes'); with
+    budget left, the same compile-queue-stall retry every other child
+    path gets must run — a big-budget watcher run must not go stale
+    with hundreds of seconds unused (r5 review finding)."""
+    cached = {
+        "metric": "deskew+rl20 reconstruction throughput per chip",
+        "value": 0.5,
+        "unit": "GVox/s",
+        "vs_baseline": 0.5,
+        "parity_err": 1.5e-07,
+        "configs": [{"name": n, "gvox_per_s": 1.0} for n in CANONICAL],
+        "measured_at_utc": "2026-08-19T12:00:00Z",
+    }
+    bench._LAST_GOOD.write_text(json.dumps(cached))
+    clock = FakeClock()
+    monkeypatch.setattr(bench.time, "monotonic", clock.monotonic)
+    monkeypatch.setattr(bench.time, "sleep", clock.sleep)
+    healthy = _fake_run_child(clock, {name: 20.0 for name in CANONICAL})
+    geom_calls = {"n": 0}
+
+    def congested_child(args, timeout):
+        if args[0] == "--probe":
+            clock.now += max(timeout, 0.0)
+            return None, True
+        if args[0] == "--geom":
+            geom_calls["n"] += 1
+            if geom_calls["n"] == 1:  # stalls behind the probes' queue
+                clock.now += timeout
+                return None, True
+        return healthy(args, timeout)
+
+    monkeypatch.setattr(bench, "_run_child", congested_child)
+    monkeypatch.setenv("BENCH_BUDGET_S", "2400")
+    bench.main()
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    final = lines[-1]
+    assert geom_calls["n"] == 2  # the retry ran
+    assert "stale" not in final
+    assert final["value"] == pytest.approx(0.839)
+
+
 def test_dead_probe_without_cache_still_reports_null(
     bench, monkeypatch, capsys
 ):
