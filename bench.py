@@ -43,6 +43,12 @@ Budget discipline (the round-2 run was killed before printing anything):
   at max(90 s, remaining/configs_left) with rollover, cheapest first,
   so a degraded tunnel (slow children timing out) cannot starve every
   later config the way it did in the r4 run-4 record.
+- Congestion pacing: after two consecutive child timeouts the driver
+  holds (sleep 120 s + cheap probe, at most twice) before the next
+  config, so a degraded stretch of an oscillating tunnel burns sleep
+  instead of every config's share; children still launch after the
+  hold regardless of probe outcome (the congested-but-workable state
+  answers children but not probes).
 - All children share one persistent XLA compilation cache (same
   directory as the CLI), so repeated geometries warm-start.
 - Every complete run persists its final record to
@@ -1023,6 +1029,48 @@ def main() -> None:
     def child_timeout(margin: float = 30.0) -> float:
         return min(CHILD_TIMEOUT_S, remaining() - margin)
 
+    # Congestion pacing (r5: the tunnel oscillates between ~10-min
+    # healthy windows and ~30-40-min degraded stretches; measured
+    # 2026-08-21: a degraded stretch burned EVERY config's fair share
+    # on ~116 s timeouts just before a healthy window arrived). Track
+    # consecutive child timeouts; at >=2, hold before the next config:
+    # sleep, then issue a cheap probe, resuming the moment the tunnel
+    # answers — at most two cycles, then launch the next child
+    # REGARDLESS (the congested-but-workable state answers children but
+    # not probes; see the last-chance rationale above). The hold burns
+    # budget as sleep instead of config shares, so the healthy window
+    # inherits shares instead of a drained budget.
+    timeout_streak = 0
+
+    def tracked_child(args: list[str], timeout: float):
+        nonlocal timeout_streak
+        payload, timed_out = _run_child(args, timeout)
+        if timed_out:
+            timeout_streak += 1
+        elif payload is not None:
+            timeout_streak = 0
+        return payload, timed_out
+
+    def pace() -> None:
+        nonlocal timeout_streak
+        if timeout_streak < 2:
+            return
+        for _ in range(2):
+            if remaining() < 420.0:
+                return
+            print(
+                f"# pacing: {timeout_streak} consecutive child "
+                "timeouts; sleeping 120s then probing",
+                file=sys.stderr,
+            )
+            time.sleep(120.0)
+            payload, _ = _run_child(
+                ["--probe"], min(240.0, child_timeout())
+            )
+            if payload is not None and payload.get("alive"):
+                timeout_streak = 0
+                return
+
     # Tunnel liveness probe BEFORE anything expensive: the axon relay
     # has been observed fully unresponsive for hours (even
     # jax.devices() hangs). Without this, every geometry child would
@@ -1118,13 +1166,13 @@ def main() -> None:
     # measures) — the throughput number is the record that must survive
     # a timeout kill, so nothing runs before it.
     for geom in GEOMETRIES if used is None else []:
-        payload, timed_out = _run_child(
+        payload, timed_out = tracked_child(
             ["--geom", ",".join(map(str, geom))], child_timeout()
         )
         if payload is None and timed_out and remaining() > CHILD_TIMEOUT_S:
             # Compile-queue stall: the killed client's compile drains
             # server-side; the retry warm-starts from the shared cache.
-            payload, _ = _run_child(
+            payload, _ = tracked_child(
                 ["--geom", ",".join(map(str, geom))], child_timeout()
             )
         if payload is None:
@@ -1156,9 +1204,9 @@ def main() -> None:
     # starvation behind queued compiles, 2026-08-20) even this small
     # child needs minutes of startup; a 180 s cap lost parity in a run
     # where every geometry child succeeded at 300 s.
-    payload, timed_out = _run_child(["--parity"], child_timeout())
+    payload, timed_out = tracked_child(["--parity"], child_timeout())
     if payload is None and timed_out and remaining() > CHILD_TIMEOUT_S:
-        payload, _ = _run_child(["--parity"], child_timeout())
+        payload, _ = tracked_child(["--parity"], child_timeout())
     if payload is not None and payload.get("parity_err") is not None:
         headline["parity_err"] = round(payload["parity_err"], 8)
     # Second insurance line, now carrying parity.
@@ -1175,11 +1223,11 @@ def main() -> None:
     # only with plenty of budget left — the warm compile cache makes
     # retries cheap).
     if used is not None:
-        payload, timed_out = _run_child(
+        payload, timed_out = tracked_child(
             ["--geom-accel", ",".join(map(str, used))], child_timeout()
         )
         if payload is None and timed_out and remaining() > 2 * CHILD_TIMEOUT_S:
-            payload, _ = _run_child(
+            payload, _ = tracked_child(
                 ["--geom-accel", ",".join(map(str, used))], child_timeout()
             )
         if payload is not None:
@@ -1222,6 +1270,7 @@ def main() -> None:
     )
     results: dict[str, dict] = {}
     for idx, name in enumerate(run_order):
+        pace()
         if remaining() < 60.0:
             results[name] = {"name": name, "skipped": "budget"}
             continue
@@ -1238,15 +1287,19 @@ def main() -> None:
         payload = None
         for variant in _CONFIG_VARIANTS[name]:
             args = ["--config", name] + ([variant] if variant else [])
-            payload, timed_out = _run_child(args, config_timeout())
+            payload, timed_out = tracked_child(args, config_timeout())
             if (
                 payload is None
                 and timed_out
+                and timeout_streak < 2
                 and config_deadline - time.monotonic() > 60.0
             ):
                 # Compile-queue stall retry (headline rationale), still
-                # inside this config's share.
-                payload, _ = _run_child(args, config_timeout())
+                # inside this config's share — but only for a one-off
+                # stall: at streak >=2 the tunnel is degraded and the
+                # retry would burn the share for nothing (pace()
+                # handles that state between configs).
+                payload, _ = tracked_child(args, config_timeout())
             if payload is not None:
                 break
             if config_timeout() < 30.0:
@@ -1272,6 +1325,7 @@ def main() -> None:
         and "apply_gvox_per_s" not in results[n]
     ]
     for idx, name in enumerate(retry):
+        pace()
         if remaining() < 90.0:
             break
         share = max(90.0, (remaining() - 30.0) / (len(retry) - idx))
@@ -1286,7 +1340,7 @@ def main() -> None:
 
         for variant in _CONFIG_VARIANTS[name]:
             args = ["--config", name] + ([variant] if variant else [])
-            payload, _ = _run_child(args, retry_timeout())
+            payload, _ = tracked_child(args, retry_timeout())
             if payload is not None:
                 print(f"# config {name} (retry): {payload}", file=sys.stderr)
                 results[name] = payload

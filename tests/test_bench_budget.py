@@ -431,6 +431,66 @@ def test_last_chance_headline_child_gets_the_stall_retry(
     assert final["value"] == pytest.approx(0.839)
 
 
+def test_pacing_preserves_shares_across_a_degraded_stretch(
+    bench, monkeypatch, capsys
+):
+    """Oscillating tunnel (r5, 2026-08-21): a ~20-min degraded stretch
+    between healthy windows must not burn every config's fair share on
+    timeouts — congestion pacing holds (sleep+probe) after two
+    consecutive child timeouts, and the post-recovery window completes
+    EVERY config plus the second-chance retries of the early burns."""
+    clock = FakeClock()
+    monkeypatch.setattr(bench.time, "monotonic", clock.monotonic)
+    monkeypatch.setattr(bench.time, "sleep", clock.sleep)
+    T0 = clock.now
+    DEGRADE_FROM, RECOVER_AT = 140.0, 1400.0  # offsets from start
+
+    def degraded(t):
+        return DEGRADE_FROM <= (t - T0) < RECOVER_AT
+
+    def oscillating_child(args, timeout):
+        if timeout <= 0:
+            return None, False
+        if args[0] == "--probe":
+            if degraded(clock.now):
+                clock.now += timeout
+                return None, True
+            clock.now += 2.0
+            return {"alive": True, "platform": "cpu"}, False
+        if degraded(clock.now):
+            clock.now += timeout
+            return None, True
+        if args[0] == "--geom":
+            clock.now += 50.0
+            return {"vox_per_s": 8.39e8, "out_shape": [128, 2888, 1600]}, False
+        if args[0] == "--geom-accel":
+            clock.now += 50.0
+            return {"vox_per_s": 1.1e9, "out_shape": [128, 2888, 1600]}, False
+        if args[0] == "--parity":
+            clock.now += 30.0
+            return {"parity_err": 1.5e-07}, False
+        assert args[0] == "--config"
+        clock.now += 20.0
+        return {"name": args[1], "gvox_per_s": 1.0}, False
+
+    monkeypatch.setattr(bench, "_run_child", oscillating_child)
+    monkeypatch.setenv("BENCH_BUDGET_S", "2400")
+    bench.main()
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    final = lines[-1]
+    ok = [
+        c for c in final["configs"]
+        if "error" not in c and "skipped" not in c
+    ]
+    assert len(ok) == len(CANONICAL), final["configs"]
+    assert final["value"] == pytest.approx(0.839)
+    assert final["parity_err"] == pytest.approx(1.5e-07)
+
+
 def test_dead_probe_without_cache_still_reports_null(
     bench, monkeypatch, capsys
 ):
