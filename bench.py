@@ -138,9 +138,9 @@ def _load_last_good() -> dict | None:
     return rec if isinstance(rec, dict) and rec.get("value") else None
 
 
-def _completeness(record: dict) -> tuple[int, int, int]:
-    """(ok configs, parity present, production geometry) — the
-    record-quality score.
+def _completeness(record: dict) -> tuple[int, int, int, int]:
+    """(ok configs, parity present, production geometry, freshly
+    measured rl20_equivalent) — the record-quality score.
 
     A config counts as ok when it carries a measurement (no ``error``
     or ``skipped`` marker). The third term guards against a degraded
@@ -158,7 +158,12 @@ def _completeness(record: dict) -> tuple[int, int, int]:
     at_production = int(
         tuple(record.get("raw_shape") or ()) == GEOMETRIES[0]
     )
-    return ok, int(record.get("parity_err") is not None), at_production
+    eq = record.get("rl20_equivalent")
+    fresh_eq = int(isinstance(eq, dict) and "carried_from" not in eq)
+    return (
+        ok, int(record.get("parity_err") is not None), at_production,
+        fresh_eq,
+    )
 
 
 def _environment() -> dict:
@@ -181,6 +186,18 @@ def _save_last_good(record: dict) -> None:
     if cached is not None and _completeness(record) < _completeness(cached):
         return
     stamped = dict(record)
+    # A fresher record that lost only the rl20_equivalent child (the
+    # geom-accel measurement) must not silently drop the cached figure:
+    # carry it forward, explicitly marked with the run it came from.
+    if (
+        "rl20_equivalent" not in stamped
+        and cached is not None
+        and isinstance(cached.get("rl20_equivalent"), dict)
+    ):
+        stamped["rl20_equivalent"] = {
+            **cached["rl20_equivalent"],
+            "carried_from": cached.get("measured_at_utc", "unknown"),
+        }
     stamped["measured_at_utc"] = time.strftime(
         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
     )

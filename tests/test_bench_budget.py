@@ -431,6 +431,56 @@ def test_last_chance_headline_child_gets_the_stall_retry(
     assert final["value"] == pytest.approx(0.839)
 
 
+def test_rl20_equivalent_carried_forward_when_accel_child_fails(
+    bench, monkeypatch, capsys
+):
+    """A fresh 9-ok-config record whose geom-accel child failed must
+    not silently drop the cached rl20_equivalent figure: the save path
+    carries it forward, marked with the run it came from, and the
+    carried field ranks below a freshly measured one in completeness."""
+    cached = {
+        "metric": "deskew+rl20 reconstruction throughput per chip",
+        "value": 0.8391,
+        "unit": "GVox/s",
+        "vs_baseline": 0.8391,
+        "raw_shape": list(bench.GEOMETRIES[0]),
+        "parity_err": 1.5e-07,
+        "rl20_equivalent": {"gvox_per_s": 1.1092, "iterations": 10},
+        "configs": [
+            {"name": n, "gvox_per_s": 1.0} for n in CANONICAL[:7]
+        ],
+        "measured_at_utc": "2026-08-20T04:00:00Z",
+    }
+    bench._LAST_GOOD.write_text(json.dumps(cached))
+    clock = FakeClock()
+    monkeypatch.setattr(bench.time, "monotonic", clock.monotonic)
+    monkeypatch.setattr(bench.time, "sleep", clock.sleep)
+    healthy = _fake_run_child(clock, {name: 20.0 for name in CANONICAL})
+
+    def accel_fails(args, timeout):
+        if args[0] == "--geom-accel":
+            clock.now += max(timeout, 0.0)
+            return None, True
+        return healthy(args, timeout)
+
+    monkeypatch.setattr(bench, "_run_child", accel_fails)
+    monkeypatch.setenv("BENCH_BUDGET_S", "2400")
+    bench.main()
+    capsys.readouterr()
+    saved = json.loads(bench._LAST_GOOD.read_text())
+    ok = [
+        c for c in saved["configs"]
+        if "error" not in c and "skipped" not in c
+    ]
+    assert len(ok) == len(CANONICAL)  # the fresh record superseded
+    eq = saved["rl20_equivalent"]
+    assert eq["gvox_per_s"] == pytest.approx(1.1092)
+    assert eq["carried_from"] == "2026-08-20T04:00:00Z"
+    # A carried figure ranks below a freshly measured one.
+    assert bench._completeness(saved)[-1] == 0
+    assert bench._completeness(cached)[-1] == 1
+
+
 def test_pacing_preserves_shares_across_a_degraded_stretch(
     bench, monkeypatch, capsys
 ):
