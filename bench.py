@@ -875,7 +875,10 @@ def _config_nonsep_hybrid_accel(variant: str | None) -> dict:
         "exact RL-20 on the convergence trajectory by ~34% margin "
         "across seeds (CPU gates). Compare gvox_per_s against configs "
         "6 (plain exact RL-20) and 8 (unaccelerated hybrid) at "
-        "matched-or-better output quality",
+        "matched-or-better output quality — at the SAME shape field: "
+        "the biggs carry (x/dx/g extrapolation volumes on the dft2z "
+        "tail) OOMs single-chip HBM at the production grid, so this "
+        "config records the fallback geometry on 16 GB chips",
     }
 
 
@@ -967,7 +970,13 @@ _CONFIG_VARIANTS: dict[str, list[str | None]] = {
     # Same geometry ladder as nonsep so the entries compare directly
     # at matched quality (see _config_nonsep_hybrid*).
     "nonsep_hybrid": ["128,2888,1600", "128,1444,800"],
-    "nonsep_hybrid_accel": ["128,2888,1600", "128,1444,800"],
+    # Fallback geometry FIRST: biggs on the dft2z tail carries the
+    # accelerated state (x/dx/g extrapolation volumes) on top of the
+    # plain RL carry, and that working set OOMs single-chip HBM at the
+    # production grid (144,2920,1664) — measured 2026-08-21 (the
+    # plain hybrid/nonsep carry fits). The production attempt stays as
+    # the second rung for bigger-HBM hosts.
+    "nonsep_hybrid_accel": ["128,1444,800", "128,2888,1600"],
 }
 
 
